@@ -1,0 +1,89 @@
+"""Reference genome: flattened contigs + scaffold coordinates + BWT index.
+
+Counterpart of the reference's reference dir (modules/bio_base/reference.h:10,
+flat_ref.h:20, bwt_file.h:22): a FASTA is flattened into one code array with
+contig extents (N-gaps recorded as gap extents), and an FM-index-style BWT
+supports exact-match range queries.  On TPU the "BWT" is simply a seqset built
+over the reference contigs (fwd + revcomp), reusing the same rank machinery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import numpy as np
+
+from biograph_tpu.core import container, dna
+from biograph_tpu.io import fastq as fio
+
+
+@dataclass
+class Contig:
+    name: str
+    start: int  # offset in the flat array
+    length: int
+
+
+@dataclass
+class Reference:
+    flat: np.ndarray  # uint8 codes, all contigs concatenated (N -> 0)
+    is_n: np.ndarray  # bool, N/ambiguous mask
+    contigs: List[Contig]
+    uuid: str = ""
+
+    @staticmethod
+    def from_fasta(path: str) -> "Reference":
+        parsed = fio.read_fasta_with_n(path)
+        contigs = []
+        chunks = []
+        nmask = []
+        off = 0
+        for name, codes, is_n in parsed:
+            contigs.append(Contig(name=name, start=off, length=len(codes)))
+            chunks.append(codes)
+            nmask.append(is_n)
+            off += len(codes)
+        return Reference(
+            flat=np.concatenate(chunks) if chunks else np.zeros(0, np.uint8),
+            is_n=np.concatenate(nmask) if nmask else np.zeros(0, bool),
+            contigs=contigs,
+        )
+
+    @property
+    def total_bases(self) -> int:
+        return len(self.flat)
+
+    def contig_by_name(self, name: str) -> Contig:
+        for c in self.contigs:
+            if c.name == name:
+                return c
+        raise KeyError(name)
+
+    def get_codes(self, name: str, start: int = 0, end: int | None = None) -> np.ndarray:
+        c = self.contig_by_name(name)
+        end = c.length if end is None else end
+        return self.flat[c.start + start : c.start + end]
+
+    def save(self, path: str):
+        with container.ArtifactWriter(path, "reference") as w:
+            w.add_array("flat", self.flat)
+            w.add_array("is_n", self.is_n)
+            w.set_scalar(
+                "contigs",
+                [[c.name, c.start, c.length] for c in self.contigs],
+            )
+            self.uuid = w.meta["uuid"]
+
+    @staticmethod
+    def load(path: str) -> "Reference":
+        r = container.ArtifactReader(path, "reference")
+        contigs = [Contig(n, s, l) for n, s, l in r.scalar("contigs")]
+        return Reference(
+            flat=np.asarray(r.array("flat")),
+            is_n=np.asarray(r.array("is_n")),
+            contigs=contigs,
+            uuid=r.uuid,
+        )

