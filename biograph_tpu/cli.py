@@ -1,0 +1,213 @@
+"""Command-line interface.
+
+Mirrors the reference's command surface (modules/biograph/main.cpp:51-70 and
+python/biograph/__main__.py:31-46): reference, create, discovery, kmers,
+stats, full_pipeline.  Each stage writes an immutable artifact and a
+qc/timings entry, making the pipeline resumable (reference:
+bgbinary_cmds.py full_pipeline --resume).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _force_platform(args):
+    import jax
+
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
+
+
+def cmd_reference(args):
+    """FASTA (or BWA-index dir) -> reference artifact.
+    (reference: bgbinary reference, modules/main/make_ref.cpp:21)"""
+    from biograph_tpu.index.reference import Reference
+
+    t0 = time.time()
+    if os.path.isdir(args.input):
+        ref = Reference.from_reference_dir(args.input)
+    else:
+        ref = Reference.from_fasta(args.input)
+    ref.save(args.out)
+    print(
+        f"reference: {len(ref.contigs)} contigs, {ref.total_bases} bases "
+        f"-> {args.out} ({time.time()-t0:.1f}s)"
+    )
+
+
+def cmd_create(args):
+    """reads -> .bgt dir (seqset + readmap + metadata + qc).
+    (reference: bgbinary create, modules/biograph/biograph_create.cpp)"""
+    from biograph_tpu.io.fastq import read_fastq, pad_batches
+    from biograph_tpu.build.seqset_build import build_seqset
+    from biograph_tpu.build.readmap_build import build_readmap
+    from biograph_tpu.kmers.count import count_kmers
+
+    t_start = time.time()
+    timings = {}
+    os.makedirs(args.out, exist_ok=True)
+
+    t0 = time.time()
+    batches = [read_fastq(p) for p in args.reads]
+    batch = batches[0] if len(batches) == 1 else pad_batches(batches)
+    timings["import"] = time.time() - t0
+    print(f"import: {batch.num_reads} reads x <={batch.max_len}bp")
+
+    mate_of = None
+    if args.paired:
+        # interleaved pairing: read 2i <-> 2i+1 (reference read_importer
+        # pair association, build_seqset/read_importer.h:43-48)
+        R = batch.num_reads
+        mate_of = np.arange(R, dtype=np.int64)
+        mate_of[0::2] += 1
+        mate_of[1::2] -= 1
+        if R % 2:
+            mate_of[-1] = -1
+
+    t0 = time.time()
+    kc = count_kmers(batch.codes, batch.lengths, k=args.kmer_size)
+    timings["kmerize"] = time.time() - t0
+    print(f"kmerize: {len(kc.kmers)} distinct canonical {args.kmer_size}-mers")
+
+    t0 = time.time()
+    ss = build_seqset(batch.codes, batch.lengths)
+    timings["seqset"] = time.time() - t0
+    print(f"seqset: {ss.n_entries} entries ({timings['seqset']:.1f}s)")
+    ss.save(os.path.join(args.out, "seqset"))
+
+    t0 = time.time()
+    rm = build_readmap(ss, batch.codes, batch.lengths, mate_of)
+    timings["readmap"] = time.time() - t0
+    rm.save(os.path.join(args.out, "readmap"))
+    print(f"readmap: {rm.num_entries} entries ({timings['readmap']:.1f}s)")
+
+    meta = {
+        "biograph_version": "biograph_tpu-0.1",
+        "num_reads": int(batch.num_reads),
+        "num_seqset_entries": int(ss.n_entries),
+        "kmer_size": args.kmer_size,
+        "paired": bool(args.paired),
+        "accession_id": os.path.basename(args.out.rstrip("/")),
+    }
+    with open(os.path.join(args.out, "metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    qc = {"timings": timings, "total_s": time.time() - t_start}
+    os.makedirs(os.path.join(args.out, "qc"), exist_ok=True)
+    with open(os.path.join(args.out, "qc", "create_stats.json"), "w") as f:
+        json.dump(qc, f, indent=1)
+    print(f"create: done in {qc['total_s']:.1f}s -> {args.out}")
+
+
+def cmd_kmers(args):
+    """reads -> kmer count text (reference: kmerize_reads + kmer_count
+    exporter, golden/kmer_count.txt format)."""
+    from biograph_tpu.io.fastq import read_fastq
+    from biograph_tpu.kmers.count import count_kmers
+
+    batch = read_fastq(args.reads)
+    kc = count_kmers(batch.codes, batch.lengths, k=args.kmer_size)
+    kc.write_text(args.out)
+    print(f"kmers: {len(kc.kmers)} -> {args.out}")
+
+
+def cmd_discovery(args):
+    """reads/.bgt + reference -> VCF.
+    (reference: bgbinary discovery, modules/biograph/biograph_variants.cpp)"""
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.io.fastq import read_fastq
+    from biograph_tpu.variants.pileup import (
+        run_pileup_pipeline,
+        write_pileup_vcf,
+    )
+
+    ref = Reference.load(args.ref) if _is_artifact(args.ref) else (
+        Reference.from_reference_dir(args.ref)
+        if os.path.isdir(args.ref)
+        else Reference.from_fasta(args.ref)
+    )
+    batch = read_fastq(args.reads)
+    t0 = time.time()
+    pl, counts, calls = run_pileup_pipeline(
+        ref,
+        batch.codes,
+        batch.lengths,
+        min_depth=args.min_depth,
+    )
+    placed = int((pl.pos >= 0).sum())
+    print(
+        f"discovery: placed {placed}/{batch.num_reads} reads, "
+        f"{len(calls)} calls ({time.time()-t0:.1f}s)"
+    )
+    write_pileup_vcf(args.out, ref, counts, calls, sample=args.sample)
+    print(f"vcf -> {args.out}")
+
+
+def cmd_stats(args):
+    """.bgt dir -> summary (reference: biograph stats)."""
+    from biograph_tpu.api import BioGraph
+
+    bg = BioGraph(args.biograph)
+    print(json.dumps(bg.metadata, indent=1))
+    print(f"seqset entries: {bg.seqset.n_entries}")
+    if bg.readmap:
+        print(f"readmap entries: {bg.readmap.num_entries}")
+        print(json.dumps(bg.readmap.get_pair_stats(), indent=1))
+
+
+def _is_artifact(path):
+    from biograph_tpu.core import container
+
+    return os.path.isdir(path) and container.exists(path)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="biograph_tpu", description="TPU-native BioGraph-class engine"
+    )
+    p.add_argument("--platform", help="force jax platform (cpu/tpu)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("reference", help="build reference artifact")
+    pr.add_argument("--in", dest="input", required=True)
+    pr.add_argument("--out", required=True)
+    pr.set_defaults(fn=cmd_reference)
+
+    pc = sub.add_parser("create", help="reads -> seqset+readmap (.bgt)")
+    pc.add_argument("--reads", nargs="+", required=True)
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--kmer-size", type=int, default=23)
+    pc.add_argument("--paired", action="store_true")
+    pc.set_defaults(fn=cmd_create)
+
+    pk = sub.add_parser("kmers", help="reads -> kmer count text")
+    pk.add_argument("--reads", required=True)
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--kmer-size", type=int, default=23)
+    pk.set_defaults(fn=cmd_kmers)
+
+    pd = sub.add_parser("discovery", help="call variants -> VCF")
+    pd.add_argument("--reads", required=True)
+    pd.add_argument("--ref", required=True)
+    pd.add_argument("--out", required=True)
+    pd.add_argument("--sample", default="SAMPLE")
+    pd.add_argument("--min-depth", type=int, default=8)
+    pd.set_defaults(fn=cmd_discovery)
+
+    ps = sub.add_parser("stats", help="biograph dir stats")
+    ps.add_argument("biograph")
+    ps.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    _force_platform(args)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,18 @@
 """Readmap: seqset entries <-> reads, lengths, pairing, coverage queries.
 
 Counterpart of the reference readmap (modules/bio_base/readmap.h:75):
-  * sparse_multi mapping seqset entry -> readmap entries (CSR offsets)
-  * per readmap-entry: read length, is_forward bit, mate-loop links
+  * sparse_multi mapping seqset entry -> readmap entries (CSR offsets,
+    reference modules/io/sparse_multi.h:20)
+  * per readmap-entry: read length, is_forward bit, mate-loop link
     (fwd -> RC -> mate -> mate-RC cycle, readmap.h:216-236)
 
-A "readmap entry" exists for each stored orientation of each read (a read and
-its reverse complement are separate readmap entries pointing at different
-seqset entries, linked by the mate loop).
+A "readmap entry" exists for each orientation of each read (a read and its
+reverse complement are separate entries pointing at different seqset entries,
+linked by the mate loop).  get_read_count == num_entries / 2
+(readmap.h:142).
+
+All queries are batched (arrays of readmap-entry ids / seqset ranges in,
+arrays out), mirroring the one-at-a-time reference API in vector form.
 """
 
 from __future__ import annotations
@@ -36,19 +41,30 @@ class Readmap:
     def num_entries(self) -> int:
         return len(self.read_lengths)
 
+    @property
+    def read_count(self) -> int:
+        return self.num_entries // 2
+
     @cached_property
     def entry_of_rm(self) -> np.ndarray:
         """seqset entry id owning each readmap entry (reverse CSR)."""
         n = len(self.offsets) - 1
-        out = np.zeros(self.num_entries, np.int64)
         counts = np.diff(self.offsets)
-        out = np.repeat(np.arange(n, dtype=np.int64), counts)
-        return out
+        return np.repeat(np.arange(n, dtype=np.int64), counts)
 
-    # --- queries (batched; jnp in, jnp out) ---
+    @cached_property
+    def min_read_len(self) -> int:
+        return int(self.read_lengths.min(initial=0))
+
+    @cached_property
+    def max_read_len(self) -> int:
+        return int(self.read_lengths.max(initial=0))
+
+    # ------------- batched queries (jnp in/out) -------------
 
     def entry_read_range(self, entries):
-        """[start, end) into readmap-entry ids for each seqset entry."""
+        """[start, end) into readmap-entry ids for each seqset entry
+        (reference readmap::entry_to_index, readmap.h:113)."""
         off = jnp.asarray(self.offsets)
         e = jnp.asarray(entries)
         return jnp.take(off, e), jnp.take(off, e + 1)
@@ -57,8 +73,107 @@ class Readmap:
         s, e = self.entry_read_range(entries)
         return e - s
 
+    def get_rev_comp(self, rm_ids):
+        """Mate-loop walked 1 (forward) or 3 (rc) times (readmap.h:223-225)."""
+        loop = jnp.asarray(self.mate_pair_ptr)
+        fwd = jnp.take(jnp.asarray(self.is_forward), rm_ids)
+        one = jnp.take(loop, rm_ids)
+        three = jnp.take(loop, jnp.take(loop, one))
+        return jnp.where(fwd, one, three)
+
+    def get_mate(self, rm_ids):
+        """Mate = loop twice (readmap.h:227); for unpaired returns self."""
+        loop = jnp.asarray(self.mate_pair_ptr)
+        return jnp.take(loop, jnp.take(loop, rm_ids))
+
+    def has_mate(self, rm_ids):
+        return self.get_mate(rm_ids) != jnp.asarray(rm_ids)
+
+    def get_pair_stats(self):
+        loop = self.mate_pair_ptr
+        mate2 = loop[loop]
+        paired = mate2 != np.arange(self.num_entries)
+        fwd = self.is_forward
+        return {
+            "paired_reads": int((paired & fwd).sum()),
+            "paired_bases": int(self.read_lengths[paired & fwd].sum()),
+            "unpaired_reads": int((~paired & fwd).sum()),
+            "unpaired_bases": int(self.read_lengths[~paired & fwd].sum()),
+        }
+
+    # ------------- coverage (sequence-level queries) -------------
+
+    def coverage(self, codes, lengths, kmax: int = 16):
+        """Per-base read coverage of query sequences, split by strand.
+
+        Batch counterpart of readmap::approx_strand_coverage_split
+        (modules/bio_base/readmap.cpp:368-399): walk the *complement* of each
+        query with push_front_drop; wherever the range is unique, reads
+        attached to its entry with read_len <= range size end at that
+        position.  Strand is flipped because the walk builds the complement.
+
+        codes: [B, L] uint8; lengths: [B]; kmax bounds reads gathered per
+        entry (duplicate-heavy entries beyond kmax are truncated, matching
+        the 'approx' spirit of the reference API).
+
+        Returns (fwd_cov, rev_cov): int32 [B, L].
+        """
+        from biograph_tpu.index.seqset import SeqsetRanges
+
+        ss = self.seqset.d
+        B, L = codes.shape
+        lengths = jnp.asarray(lengths, jnp.int32)
+        off = jnp.asarray(self.offsets)
+        rlen = jnp.asarray(self.read_lengths)
+        isfwd = jnp.asarray(self.is_forward)
+        n_rm = max(self.num_entries, 1)
+
+        begin = jnp.zeros((B,), jnp.int64)
+        end = jnp.full((B,), self.seqset.n_entries, jnp.int64)
+        size = jnp.zeros((B,), jnp.int32)
+        starts = [jnp.zeros((B, L), jnp.int32), jnp.zeros((B, L), jnp.int32)]
+        ends = [jnp.zeros((B, L), jnp.int32), jnp.zeros((B, L), jnp.int32)]
+
+        for pos in range(L):
+            active = pos < lengths
+            base = codes[:, pos].astype(jnp.int32)
+            comp = 3 - base
+            r2 = ss.push_front_drop(SeqsetRanges(begin, end, size), comp)
+            begin = jnp.where(active, r2.begin, begin)
+            end = jnp.where(active, r2.end, end)
+            size = jnp.where(active, r2.size, size)
+            unique = active & (begin + 1 == end)
+            e = jnp.clip(begin, 0, self.seqset.n_entries - 1)
+            rs = jnp.take(off, e)
+            re = jnp.take(off, e + 1)
+            for kk in range(kmax):
+                ridx = rs + kk
+                ok = unique & (ridx < re)
+                ric = jnp.clip(ridx, 0, n_rm - 1)
+                m = jnp.take(rlen, ric)
+                start_pos = pos + 1 - m
+                match = ok & (m <= size) & (start_pos >= 0)
+                # complement walk => strand flips (readmap.cpp:389)
+                strand_rev = jnp.take(isfwd, ric)  # is_forward -> rev strand
+                for s_i, sel in ((0, ~strand_rev), (1, strand_rev)):
+                    hit = (match & sel).astype(jnp.int32)
+                    starts[s_i] = starts[s_i].at[
+                        jnp.arange(B), jnp.clip(start_pos, 0, L - 1)
+                    ].add(hit)
+                    ends[s_i] = ends[s_i].at[:, pos].add(hit)
+        covs = []
+        for s_i in range(2):
+            run = jnp.cumsum(starts[s_i], axis=1) - jnp.cumsum(
+                jnp.pad(ends[s_i], ((0, 0), (1, 0)))[:, :L], axis=1
+            )
+            covs.append(run)
+        return covs[0], covs[1]
+
+    # ------------- persistence -------------
+
     def save(self, path: str):
         with container.ArtifactWriter(path, "readmap") as w:
+            w.set_scalar("seqset_uuid", getattr(self.seqset, "uuid", ""))
             w.add_array("offsets", self.offsets)
             w.add_array("read_lengths", np.asarray(self.read_lengths, np.int32))
             w.add_array("is_forward", np.asarray(self.is_forward, bool))

@@ -52,6 +52,36 @@ class Reference:
             contigs=contigs,
         )
 
+    @staticmethod
+    def from_reference_dir(path: str) -> "Reference":
+        """Open a reference directory: prefers a FASTA; falls back to BWA
+        .pac/.ann/.amb files (the reference repo's bundled reference dirs
+        ship only the latter — datasets/reference/e_coli_k12_ASM584v1)."""
+        import os
+
+        for fa in ("source.fasta", "reference.fasta", "genome.fa"):
+            p = os.path.join(path, fa)
+            if os.path.isfile(p):
+                return Reference.from_fasta(p)
+        for stem in ("source.fasta", "reference.fasta"):
+            pac = os.path.join(path, stem + ".pac")
+            ann = os.path.join(path, stem + ".ann")
+            if os.path.isfile(pac) and os.path.isfile(ann):
+                from biograph_tpu.io import pac as pacio
+
+                total_len, contig_list = pacio.read_ann(ann)
+                flat = pacio.read_pac(pac, total_len)
+                is_n = np.zeros(total_len, bool)
+                for off, length in pacio.read_amb(
+                    os.path.join(path, stem + ".amb")
+                ):
+                    is_n[off : off + length] = True
+                contigs = [
+                    Contig(name=n, start=o, length=l) for n, o, l in contig_list
+                ]
+                return Reference(flat=flat, is_n=is_n, contigs=contigs)
+        raise FileNotFoundError(f"no FASTA or BWA pac index in {path}")
+
     @property
     def total_bases(self) -> int:
         return len(self.flat)

@@ -69,6 +69,8 @@ class Seqset:
     @cached_property
     def d(self):
         """Device-resident arrays bundle (jnp)."""
+        from biograph_tpu.ops.ltsearch import LtSearch
+
         return _SeqsetDevice(
             fixed=jnp.asarray(self.fixed),
             prev_words=jnp.asarray(self.prev_words),
@@ -77,6 +79,7 @@ class Seqset:
             shared=jnp.asarray(np.asarray(self.shared)),
             pop_sel=jnp.asarray(np.asarray(self.pop_sel)),
             n_entries=self.n_entries,
+            shared_lt=LtSearch.build(np.asarray(self.shared)),
         )
 
     # ---------------- convenience (host-side, small queries) -------------
@@ -147,6 +150,7 @@ class _SeqsetDevice:
     shared: jnp.ndarray
     pop_sel: jnp.ndarray
     n_entries: int
+    shared_lt: object = None  # LtSearch over shared (push_front_drop)
 
     # -- primitive ops (all batched) --
 
@@ -205,6 +209,105 @@ class _SeqsetDevice:
         nb = jnp.where(was_valid, nb, r.begin)
         ne = jnp.where(was_valid, ne, r.begin)
         return SeqsetRanges(begin=nb, end=ne, size=jnp.where(was_valid, new_size, r.size))
+
+    def push_front_drop(self, r: SeqsetRanges, b, min_ctx=0) -> SeqsetRanges:
+        """Batched seqset_range::push_front_drop (seqset.cpp:350-427).
+
+        Pushes base b onto each lane's sequence; where the result would be
+        empty (or a lone too-short entry), drops context — widening the range
+        to a shorter shared suffix via nearest-shared-below searches — until
+        the push succeeds.  Lanes whose context would fall below ``min_ctx``
+        come back invalid.
+        """
+        b = jnp.asarray(b)
+        n = self.n_entries
+        fixed_b = jnp.take(self.fixed, b.astype(jnp.int64))
+        o_begin = jnp.asarray(r.begin)
+        o_end = jnp.asarray(r.end)
+        o_ctx = jnp.asarray(r.size, jnp.int32)
+        sub_b = self.rank(b, o_begin)
+        sub_e = self.rank(b, o_end)
+        dead = (o_ctx < jnp.asarray(min_ctx, jnp.int32)) | (o_begin >= o_end)
+
+        def need_drop(sub_b, sub_e, o_ctx):
+            first = jnp.clip(fixed_b + sub_b, 0, n - 1)
+            lone_short = (sub_b + 1 == sub_e) & (
+                jnp.take(self.entry_sizes, first) < o_ctx + 1
+            )
+            return (sub_b == sub_e) | lone_short
+
+        def cond(state):
+            o_begin, o_end, o_ctx, sub_b, sub_e, dead, done = state
+            return jnp.any(~done)
+
+        def body(state):
+            o_begin, o_end, o_ctx, sub_b, sub_e, dead, done = state
+            active = ~done
+            first = jnp.clip(fixed_b + sub_b, 0, n - 1)
+            drop = jnp.maximum(
+                jnp.take(self.shared, jnp.clip(o_begin, 0, n - 1)),
+                jnp.where(
+                    o_end >= n,
+                    0,
+                    jnp.take(self.shared, jnp.clip(o_end, 0, n - 1)),
+                ),
+            ).astype(jnp.int32)
+            drop = jnp.where(
+                sub_b != sub_e,
+                jnp.maximum(drop, jnp.take(self.entry_sizes, first) - 1),
+                drop,
+            )
+            below_min = drop < jnp.asarray(min_ctx, jnp.int32)
+            upd_b = active & (o_begin > 0) & (
+                jnp.take(self.shared, jnp.clip(o_begin, 0, n - 1)) >= drop
+            )
+            upd_e = active & (o_end < n) & (
+                jnp.take(self.shared, jnp.clip(o_end, 0, n - 1)) >= drop
+            )
+            nb = self.shared_lt.next_backward_lt(
+                jnp.where(upd_b, o_begin, 1), drop
+            )
+            ne = self.shared_lt.next_forward_lt(
+                jnp.where(upd_e, o_end, n - 1), drop
+            )
+            nb = jnp.maximum(nb, 0)
+            progress = upd_b | upd_e | (drop != o_ctx)
+            newly_dead = active & (below_min | ~progress)
+            o_begin2 = jnp.where(upd_b, nb, o_begin)
+            o_end2 = jnp.where(upd_e, ne, o_end)
+            sub_b2 = jnp.where(upd_b, self.rank(b, o_begin2), sub_b)
+            sub_e2 = jnp.where(upd_e, self.rank(b, o_end2), sub_e)
+            o_ctx2 = jnp.where(active, drop, o_ctx)
+            still = need_drop(sub_b2, sub_e2, o_ctx2)
+            dead = dead | newly_dead
+            done = done | newly_dead | (active & ~still)
+            keep = active & ~newly_dead
+            return (
+                jnp.where(keep, o_begin2, o_begin),
+                jnp.where(keep, o_end2, o_end),
+                jnp.where(keep, o_ctx2, o_ctx),
+                jnp.where(keep, sub_b2, sub_b),
+                jnp.where(keep, sub_e2, sub_e),
+                dead,
+                done,
+            )
+
+        done0 = dead | ~need_drop(sub_b, sub_e, o_ctx)
+        o_begin, o_end, o_ctx, sub_b, sub_e, dead, _ = lax.while_loop(
+            cond, body, (o_begin, o_end, o_ctx, sub_b, sub_e, dead, done0)
+        )
+        new_begin = fixed_b + sub_b
+        new_end = fixed_b + sub_e
+        sizes_nb = jnp.take(self.entry_sizes, jnp.clip(new_begin, 0, n - 1))
+        kick = (new_begin < new_end) & (sizes_nb < o_ctx + 1)
+        new_begin = new_begin + kick.astype(new_begin.dtype)
+        new_begin = jnp.where(dead, 0, new_begin)
+        new_end = jnp.where(dead, 0, new_end)
+        return SeqsetRanges(
+            begin=new_begin,
+            end=new_end,
+            size=jnp.where(dead, 0, o_ctx + 1),
+        )
 
     def find(self, codes, lengths) -> SeqsetRanges:
         """Batched seqset::find (seqset.cpp:146-155): backward search.

@@ -1,0 +1,137 @@
+"""VCF writing/reading.
+
+Counterpart of the reference's VCF export (modules/bio_format/vcf.cpp,
+modules/variants/ploidless_vcf_export.h:9) and the import side used by the
+coverage tool.  Writer streams records; reader is a light parser for tests
+and the coverage/annotation pipeline.
+"""
+
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Tuple
+
+
+@dataclass
+class VcfRecord:
+    chrom: str
+    pos: int  # 1-based
+    ref: str
+    alt: str
+    qual: float | None = None
+    id: str = "."
+    filter: str = "PASS"
+    info: Dict[str, object] = field(default_factory=dict)
+    fmt: Dict[str, object] = field(default_factory=dict)  # single sample
+
+    def info_str(self) -> str:
+        if not self.info:
+            return "."
+        parts = []
+        for key, v in self.info.items():
+            if v is True:
+                parts.append(key)
+            else:
+                parts.append(f"{key}={v}")
+        return ";".join(parts)
+
+
+class VcfWriter:
+    def __init__(
+        self,
+        path_or_file,
+        sample: str = "SAMPLE",
+        contigs: List[Tuple[str, int]] | None = None,
+        source: str = "biograph_tpu",
+        extra_headers: List[str] | None = None,
+    ):
+        if isinstance(path_or_file, str):
+            self._f = (
+                gzip.open(path_or_file, "wt")
+                if path_or_file.endswith(".gz")
+                else open(path_or_file, "w")
+            )
+            self._own = True
+        else:
+            self._f = path_or_file
+            self._own = False
+        self.sample = sample
+        self._f.write("##fileformat=VCFv4.2\n")
+        self._f.write(f"##source={source}\n")
+        for name, length in contigs or []:
+            self._f.write(f"##contig=<ID={name},length={length}>\n")
+        for h in extra_headers or []:
+            self._f.write(h.rstrip("\n") + "\n")
+        self._f.write(
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t%s\n" % sample
+        )
+
+    def write(self, rec: VcfRecord):
+        qual = "." if rec.qual is None else ("%g" % rec.qual)
+        fmt_keys = list(rec.fmt.keys()) or ["GT"]
+        fmt_vals = [str(rec.fmt.get(k, ".")) for k in fmt_keys]
+        self._f.write(
+            "\t".join(
+                [
+                    rec.chrom,
+                    str(rec.pos),
+                    rec.id,
+                    rec.ref,
+                    rec.alt,
+                    qual,
+                    rec.filter,
+                    rec.info_str(),
+                    ":".join(fmt_keys),
+                    ":".join(fmt_vals),
+                ]
+            )
+            + "\n"
+        )
+
+    def close(self):
+        if self._own:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_vcf(path: str) -> List[VcfRecord]:
+    opener = gzip.open if path.endswith(".gz") else open
+    out: List[VcfRecord] = []
+    with opener(path, "rt") as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            fields = line.rstrip("\n").split("\t")
+            chrom, pos, rid, ref, alt, qual, filt, info = fields[:8]
+            info_d: Dict[str, object] = {}
+            if info != ".":
+                for item in info.split(";"):
+                    if "=" in item:
+                        k, v = item.split("=", 1)
+                        info_d[k] = v
+                    else:
+                        info_d[item] = True
+            fmt_d: Dict[str, object] = {}
+            if len(fields) >= 10:
+                for k, v in zip(fields[8].split(":"), fields[9].split(":")):
+                    fmt_d[k] = v
+            out.append(
+                VcfRecord(
+                    chrom=chrom,
+                    pos=int(pos),
+                    id=rid,
+                    ref=ref,
+                    alt=alt,
+                    qual=None if qual == "." else float(qual),
+                    filter=filt,
+                    info=info_d,
+                    fmt=fmt_d,
+                )
+            )
+    return out

@@ -1,0 +1,128 @@
+"""Batched nearest-position-with-value-below queries over the shared array.
+
+Counterpart of the reference's less_than_search used by
+seqset_range::push_front_drop (modules/bio_base/seqset.cpp:350-427:
+next_backward_lt / next_forward_lt over entry_shared).  Two-level layout:
+per-position values + per-block minima (block = 256), so a query scans at
+most one block vector-wise plus a block-pointer walk — all lanes advance in
+lockstep inside jit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+BLOCK = 256
+
+
+@dataclass(frozen=True)
+class LtSearch:
+    values: jnp.ndarray  # int32 [n]
+    block_min: jnp.ndarray  # int32 [nb] (padded with +inf semantics)
+    n: int
+
+    @staticmethod
+    def build(values: np.ndarray) -> "LtSearch":
+        values = np.asarray(values, np.int32)
+        n = len(values)
+        nb = (n + BLOCK - 1) // BLOCK
+        pad = np.full(nb * BLOCK, np.iinfo(np.int32).max, np.int32)
+        pad[:n] = values
+        bmin = pad.reshape(nb, BLOCK).min(axis=1)
+        return LtSearch(
+            values=jnp.asarray(pad), block_min=jnp.asarray(bmin), n=n
+        )
+
+    def next_backward_lt(self, pos, c):
+        """Largest j < pos with values[j] < c; -1 if none.  Batched."""
+        pos = jnp.asarray(pos, jnp.int64)
+        c = jnp.asarray(c, jnp.int32)
+        nb = self.block_min.shape[0]
+
+        # 1) find the candidate block: start at pos's block; if the part of
+        # that block before pos has no value < c, walk block_ptr down until
+        # block_min < c.
+        b0 = pos >> 8
+        in_block = self._block_scan_back(b0, pos, c)
+        found0 = in_block >= 0
+        bptr = jnp.where(found0, b0, b0 - 1)
+
+        def cond(state):
+            bptr, done = state
+            return jnp.any(~done)
+
+        def body(state):
+            bptr, done = state
+            ok = (~done) & (bptr >= 0)
+            bm = jnp.take(self.block_min, jnp.maximum(bptr, 0))
+            hit = ok & (bm < c)
+            done = done | hit | (bptr < 0)
+            bptr = jnp.where(ok & ~hit, bptr - 1, bptr)
+            return bptr, done
+
+        done0 = found0 | (bptr < 0)
+        bptr, _ = lax.while_loop(cond, body, (bptr, done0))
+        # 2) scan the found block fully (positions < pos constraint only
+        # matters in pos's own block, already handled)
+        in_later_block = self._block_scan_back(
+            jnp.maximum(bptr, 0), jnp.full_like(pos, self.values.shape[0]), c
+        )
+        res = jnp.where(found0, in_block, jnp.where(bptr >= 0, in_later_block, -1))
+        return res
+
+    def next_forward_lt(self, pos, c):
+        """Smallest j > pos with values[j] < c; n if none.  Batched."""
+        pos = jnp.asarray(pos, jnp.int64)
+        c = jnp.asarray(c, jnp.int32)
+        nb = self.block_min.shape[0]
+        b0 = pos >> 8
+        in_block = self._block_scan_fwd(b0, pos, c)
+        found0 = in_block >= 0
+        bptr = jnp.where(found0, b0, b0 + 1)
+
+        def cond(state):
+            bptr, done = state
+            return jnp.any(~done)
+
+        def body(state):
+            bptr, done = state
+            ok = (~done) & (bptr < nb)
+            bm = jnp.take(self.block_min, jnp.minimum(bptr, nb - 1))
+            hit = ok & (bm < c)
+            done = done | hit | (bptr >= nb)
+            bptr = jnp.where(ok & ~hit, bptr + 1, bptr)
+            return bptr, done
+
+        done0 = found0 | (bptr >= nb)
+        bptr, _ = lax.while_loop(cond, body, (bptr, done0))
+        in_later = self._block_scan_fwd(jnp.minimum(bptr, nb - 1), -jnp.ones_like(pos), c)
+        res = jnp.where(
+            found0, in_block, jnp.where(bptr < nb, in_later, self.n)
+        )
+        res = jnp.where(res < 0, self.n, res)
+        return res
+
+    def _block_scan_back(self, blk, pos_limit, c):
+        """Largest j in block blk with j < pos_limit and values[j] < c, else -1."""
+        base = (blk << 8).astype(jnp.int64)
+        idx = base[..., None] + jnp.arange(BLOCK, dtype=jnp.int64)
+        vals = jnp.take(self.values, jnp.minimum(idx, self.values.shape[0] - 1))
+        ok = (vals < c[..., None]) & (idx < pos_limit[..., None])
+        best = jnp.max(jnp.where(ok, idx, -1), axis=-1)
+        return best
+
+    def _block_scan_fwd(self, blk, pos_limit, c):
+        """Smallest j in block blk with j > pos_limit and values[j] < c, else -1."""
+        base = (blk << 8).astype(jnp.int64)
+        idx = base[..., None] + jnp.arange(BLOCK, dtype=jnp.int64)
+        vals = jnp.take(self.values, jnp.minimum(idx, self.values.shape[0] - 1))
+        ok = (vals < c[..., None]) & (idx > pos_limit[..., None]) & (
+            idx < self.values.shape[0]
+        )
+        big = jnp.int64(1 << 62)
+        best = jnp.min(jnp.where(ok, idx, big), axis=-1)
+        return jnp.where(best == big, -1, best)

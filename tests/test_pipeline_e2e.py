@@ -1,0 +1,102 @@
+"""End-to-end pipeline tests on the reference's golden E. coli data.
+
+Gates (SURVEY.md §6/§7):
+  * k-mer counts bit-identical to golden/kmer_count.txt
+  * pileup variant calls: 100% recall vs golden/final.vcf, >=95% concordance
+    vs golden/pileup.vcf SNP records
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+GOLDEN = "/root/reference/golden"
+REFDIR = "/root/reference/datasets/reference/e_coli_k12_ASM584v1"
+
+
+def _vcf_records(path, strip_contig=True):
+    out = set()
+    for ln in open(path):
+        if ln.startswith("#"):
+            continue
+        f = ln.split("\t")
+        chrom = f[0].split(":")[0] if strip_contig else f[0]
+        out.add((chrom, int(f[1]), f[3], f[4]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def ecoli_ref():
+    from biograph_tpu.index.reference import Reference
+
+    return Reference.from_reference_dir(REFDIR)
+
+
+def test_kmer_count_golden_bitexact(tmp_path):
+    from biograph_tpu.io.fastq import read_fastq
+    from biograph_tpu.kmers.count import count_kmers
+
+    batch = read_fastq(os.path.join(GOLDEN, "quick_e_coli.fq"))
+    kc = count_kmers(batch.codes, batch.lengths, k=23)
+    out = tmp_path / "kmer_count.txt"
+    kc.write_text(str(out))
+    golden = open(os.path.join(GOLDEN, "kmer_count.txt"), "rb").read()
+    ours = open(out, "rb").read()
+    assert ours == golden
+
+
+def test_pileup_concordance(ecoli_ref):
+    from biograph_tpu.io.fastq import read_fastq
+    from biograph_tpu.variants.pileup import run_pileup_pipeline, write_pileup_vcf
+
+    batch = read_fastq(os.path.join(GOLDEN, "e_coli_10000snp.fq"))
+    pl, counts, calls = run_pileup_pipeline(ecoli_ref, batch.codes, batch.lengths)
+    placed = int((pl.pos >= 0).sum())
+    assert placed >= 0.85 * batch.num_reads
+
+    out = "/tmp/bgt_e2e_final.vcf"
+    write_pileup_vcf(out, ecoli_ref, counts, calls)
+    ours = _vcf_records(out)
+
+    golden_final = _vcf_records(os.path.join(GOLDEN, "final.vcf"))
+    assert golden_final <= ours, f"missing: {sorted(golden_final - ours)[:5]}"
+
+    golden_pileup = {
+        r
+        for r in _vcf_records(os.path.join(GOLDEN, "pileup.vcf"))
+        if len(r[2]) == 1 and len(r[3]) == 1  # SNPs only (no indel calls yet)
+    }
+    common = len(golden_pileup & ours)
+    assert common >= 0.95 * len(golden_pileup), (
+        f"{common}/{len(golden_pileup)} pileup SNPs recovered"
+    )
+
+
+def test_cli_kmers_and_reference(tmp_path):
+    env = dict(os.environ)
+    out = tmp_path / "kc.txt"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "biograph_tpu",
+            "--platform",
+            "cpu",
+            "kmers",
+            "--reads",
+            os.path.join(GOLDEN, "quick_e_coli.fq"),
+            "--out",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    assert open(out, "rb").read() == open(
+        os.path.join(GOLDEN, "kmer_count.txt"), "rb"
+    ).read()
