@@ -46,6 +46,11 @@ def build_seqset(
     """
     codes = np.asarray(codes, np.uint8)
     lengths = np.asarray(lengths, np.int32)
+    if codes.shape[0] == 0 or int(lengths.max(initial=0)) == 0:
+        raise ValueError(
+            "build_seqset: no nonempty reads (all reads dropped by "
+            "correction/filters?)"
+        )
     R, L = codes.shape
     W = dna.words_for_bases(L)
 

@@ -76,14 +76,47 @@ def cmd_create(args):
     timings["kmerize"] = time.time() - t0
     print(f"kmerize: {len(kc.kmers)} distinct canonical {args.kmer_size}-mers")
 
+    codes, lengths = batch.codes, batch.lengths
+    n_corrected = 0
+    if args.correct:
+        from biograph_tpu.kmers.kmer_set import KmerSet
+        from biograph_tpu.build.correct import correct_reads
+
+        t0 = time.time()
+        ks = KmerSet.from_counts(kc, min_count=args.min_kmer_count)
+        res = correct_reads(
+            ks,
+            codes,
+            lengths,
+            max_corrections=args.max_corrections,
+            min_good_run=args.min_good_run,
+        )
+        # dropped reads keep zero length; they fall out of the suffix set
+        codes, lengths = res.codes, res.lengths
+        n_corrected = int((res.corrections > 0).sum())
+        timings["read_correction"] = time.time() - t0
+        print(
+            f"read_correction: {n_corrected} corrected, "
+            f"{int((res.lengths == 0).sum())} dropped"
+        )
+
+    # drop zero-length (uncorrectable) reads, remapping mate indices
+    if (lengths == 0).any():
+        keep = lengths > 0
+        remap = np.full(len(lengths), -1, np.int64)
+        remap[keep] = np.arange(int(keep.sum()))
+        codes, lengths = codes[keep], lengths[keep]
+        if mate_of is not None:
+            mate_of = np.where(mate_of >= 0, remap[mate_of], -1)[keep]
+
     t0 = time.time()
-    ss = build_seqset(batch.codes, batch.lengths)
+    ss = build_seqset(codes, lengths)
     timings["seqset"] = time.time() - t0
     print(f"seqset: {ss.n_entries} entries ({timings['seqset']:.1f}s)")
     ss.save(os.path.join(args.out, "seqset"))
 
     t0 = time.time()
-    rm = build_readmap(ss, batch.codes, batch.lengths, mate_of)
+    rm = build_readmap(ss, codes, lengths, mate_of)
     timings["readmap"] = time.time() - t0
     rm.save(os.path.join(args.out, "readmap"))
     print(f"readmap: {rm.num_entries} entries ({timings['readmap']:.1f}s)")
@@ -119,33 +152,62 @@ def cmd_kmers(args):
 
 def cmd_discovery(args):
     """reads/.bgt + reference -> VCF.
-    (reference: bgbinary discovery, modules/biograph/biograph_variants.cpp)"""
+    (reference: bgbinary discovery, modules/biograph/biograph_variants.cpp)
+
+    --mode pileup: place reads, pileup SNP caller (legacy path)
+    --mode assemble: seqset wavefront assembly (SNP/indel/SV; needs --biograph)
+    """
     from biograph_tpu.index.reference import Reference
-    from biograph_tpu.io.fastq import read_fastq
-    from biograph_tpu.variants.pileup import (
-        run_pileup_pipeline,
-        write_pileup_vcf,
-    )
 
     ref = Reference.load(args.ref) if _is_artifact(args.ref) else (
         Reference.from_reference_dir(args.ref)
         if os.path.isdir(args.ref)
         else Reference.from_fasta(args.ref)
     )
-    batch = read_fastq(args.reads)
     t0 = time.time()
-    pl, counts, calls = run_pileup_pipeline(
-        ref,
-        batch.codes,
-        batch.lengths,
-        min_depth=args.min_depth,
-    )
-    placed = int((pl.pos >= 0).sum())
-    print(
-        f"discovery: placed {placed}/{batch.num_reads} reads, "
-        f"{len(calls)} calls ({time.time()-t0:.1f}s)"
-    )
-    write_pileup_vcf(args.out, ref, counts, calls, sample=args.sample)
+    if args.mode == "assemble":
+        from biograph_tpu.api import BioGraph
+        from biograph_tpu.variants.discover import (
+            DiscoverOptions,
+            discover_variants,
+            write_discovery_vcf,
+        )
+
+        if not args.biograph:
+            raise SystemExit("--mode assemble requires --biograph <dir.bgt>")
+        bg = BioGraph(args.biograph)
+        opt = DiscoverOptions(min_alt_support=args.min_depth)
+        region = None
+        if args.region:
+            cname, span = args.region.split(":")
+            lo, hi = (int(x) for x in span.split("-"))
+            c = ref.contig_by_name(cname)
+            region = (c.start + lo, c.start + hi)
+        recs = discover_variants(
+            bg.seqset, ref, region=region, opt=opt, readmap=bg.readmap
+        )
+        print(f"discovery: {len(recs)} assembled records ({time.time()-t0:.1f}s)")
+        write_discovery_vcf(args.out, ref, recs, sample=args.sample, opt=opt)
+    else:
+        from biograph_tpu.io.fastq import read_fastq
+        from biograph_tpu.variants.pileup import (
+            run_pileup_pipeline,
+            write_pileup_vcf,
+        )
+
+        batch = read_fastq(args.reads)
+        pl, counts, calls = run_pileup_pipeline(
+            ref,
+            batch.codes,
+            batch.lengths,
+            min_depth=args.min_depth,
+        )
+        placed = int((pl.pos >= 0).sum())
+        print(
+            f"discovery: placed {placed}/{batch.num_reads} reads, "
+            f"{len(calls)} calls ({time.time()-t0:.1f}s)"
+        )
+        write_pileup_vcf(args.out, ref, counts, calls, sample=args.sample)
     print(f"vcf -> {args.out}")
 
 
@@ -184,6 +246,14 @@ def main(argv=None):
     pc.add_argument("--out", required=True)
     pc.add_argument("--kmer-size", type=int, default=23)
     pc.add_argument("--paired", action="store_true")
+    pc.add_argument(
+        "--correct",
+        action="store_true",
+        help="error-correct reads against the trusted k-mer set",
+    )
+    pc.add_argument("--min-kmer-count", type=int, default=2)
+    pc.add_argument("--max-corrections", type=int, default=8)
+    pc.add_argument("--min-good-run", type=int, default=2)
     pc.set_defaults(fn=cmd_create)
 
     pk = sub.add_parser("kmers", help="reads -> kmer count text")
@@ -193,11 +263,14 @@ def main(argv=None):
     pk.set_defaults(fn=cmd_kmers)
 
     pd = sub.add_parser("discovery", help="call variants -> VCF")
-    pd.add_argument("--reads", required=True)
+    pd.add_argument("--reads", help="FASTQ (pileup mode)")
+    pd.add_argument("--biograph", help=".bgt dir (assemble mode)")
     pd.add_argument("--ref", required=True)
     pd.add_argument("--out", required=True)
     pd.add_argument("--sample", default="SAMPLE")
     pd.add_argument("--min-depth", type=int, default=8)
+    pd.add_argument("--mode", choices=["pileup", "assemble"], default="pileup")
+    pd.add_argument("--region", help="contig:lo-hi (0-based)")
     pd.set_defaults(fn=cmd_discovery)
 
     ps = sub.add_parser("stats", help="biograph dir stats")

@@ -118,58 +118,32 @@ class Readmap:
 
         Returns (fwd_cov, rev_cov): int32 [B, L].
         """
-        from biograph_tpu.index.seqset import SeqsetRanges
-
-        ss = self.seqset.d
+        codes = np.asarray(codes, np.uint8)
+        lengths = np.asarray(lengths, np.int32)
         B, L = codes.shape
-        lengths = jnp.asarray(lengths, jnp.int32)
-        off = jnp.asarray(self.offsets)
-        rlen = jnp.asarray(self.read_lengths)
-        isfwd = jnp.asarray(self.is_forward)
-        n_rm = max(self.num_entries, 1)
-
-        begin = jnp.zeros((B,), jnp.int64)
-        end = jnp.full((B,), self.seqset.n_entries, jnp.int64)
-        size = jnp.zeros((B,), jnp.int32)
-        starts = [jnp.zeros((B, L), jnp.int32), jnp.zeros((B, L), jnp.int32)]
-        ends = [jnp.zeros((B, L), jnp.int32), jnp.zeros((B, L), jnp.int32)]
-
-        for pos in range(L):
-            active = pos < lengths
-            base = codes[:, pos].astype(jnp.int32)
-            comp = 3 - base
-            r2 = ss.push_front_drop(SeqsetRanges(begin, end, size), comp)
-            begin = jnp.where(active, r2.begin, begin)
-            end = jnp.where(active, r2.end, end)
-            size = jnp.where(active, r2.size, size)
-            unique = active & (begin + 1 == end)
-            e = jnp.clip(begin, 0, self.seqset.n_entries - 1)
-            rs = jnp.take(off, e)
-            re = jnp.take(off, e + 1)
-            for kk in range(kmax):
-                ridx = rs + kk
-                ok = unique & (ridx < re)
-                ric = jnp.clip(ridx, 0, n_rm - 1)
-                m = jnp.take(rlen, ric)
-                start_pos = pos + 1 - m
-                match = ok & (m <= size) & (start_pos >= 0)
-                # complement walk => strand flips (readmap.cpp:389)
-                strand_rev = jnp.take(isfwd, ric)  # is_forward -> rev strand
-                for s_i, sel in ((0, ~strand_rev), (1, strand_rev)):
-                    hit = (match & sel).astype(jnp.int32)
-                    starts[s_i] = starts[s_i].at[
-                        jnp.arange(B), jnp.clip(start_pos, 0, L - 1)
-                    ].add(hit)
-                    ends[s_i] = ends[s_i].at[:, pos].add(hit)
-        covs = []
-        for s_i in range(2):
-            run = jnp.cumsum(starts[s_i], axis=1) - jnp.cumsum(
-                jnp.pad(ends[s_i], ((0, 0), (1, 0)))[:, :L], axis=1
-            )
-            covs.append(run)
-        return covs[0], covs[1]
+        # shape-bucket to limit recompiles: L -> multiple of 64, B -> pow2
+        Lp = max(64, -(-L // 64) * 64)
+        Bp = 1
+        while Bp < B:
+            Bp *= 2
+        cp = np.zeros((Bp, Lp), np.uint8)
+        cp[:B, :L] = codes
+        lp = np.zeros(Bp, np.int32)
+        lp[:B] = lengths
+        fwd, rev = _coverage_scan(
+            self.seqset.d,
+            jnp.asarray(self.offsets),
+            jnp.asarray(self.read_lengths),
+            jnp.asarray(self.is_forward),
+            jnp.asarray(cp),
+            jnp.asarray(lp),
+            kmax,
+        )
+        return fwd[:B, :L], rev[:B, :L]
 
     # ------------- persistence -------------
+
+    # (placeholder anchor; persistence methods below)
 
     def save(self, path: str):
         with container.ArtifactWriter(path, "readmap") as w:
@@ -193,3 +167,67 @@ class Readmap:
             read_ids=r.array("read_ids"),
             uuid=r.uuid,
         )
+
+
+from functools import partial
+import jax
+from jax import lax
+
+
+@partial(jax.jit, static_argnums=(6,))
+def _coverage_scan(d, offsets, rlen, isfwd, codes, lengths, kmax: int):
+    """Jitted coverage walk: lax.scan over positions, all lanes in lockstep.
+
+    Mirrors readmap::approx_strand_coverage_split (readmap.cpp:368-399).
+    """
+    from biograph_tpu.index.seqset import SeqsetRanges
+
+    B, L = codes.shape
+    n_entries = d.n_entries
+    n_rm = max(int(rlen.shape[0]), 1)
+
+    def step(carry, pos):
+        begin, end, size, starts, ends = carry
+        active = pos < lengths
+        base = codes[:, pos].astype(jnp.int32)
+        r2 = d.push_front_drop(SeqsetRanges(begin, end, size), 3 - base)
+        begin = jnp.where(active, r2.begin, begin)
+        end = jnp.where(active, r2.end, end)
+        size = jnp.where(active, r2.size, size)
+        unique = active & (begin + 1 == end)
+        e = jnp.clip(begin, 0, n_entries - 1)
+        rs = jnp.take(offsets, e)
+        re = jnp.take(offsets, e + 1)
+        lanes = jnp.arange(B)
+        for kk in range(kmax):
+            ridx = rs + kk
+            ok = unique & (ridx < re)
+            ric = jnp.clip(ridx, 0, n_rm - 1)
+            m = jnp.take(rlen, ric)
+            start_pos = pos + 1 - m
+            match = ok & (m <= size) & (start_pos >= 0)
+            strand_rev = jnp.take(isfwd, ric)  # complement walk flips strand
+            hit_f = (match & ~strand_rev).astype(jnp.int32)
+            hit_r = (match & strand_rev).astype(jnp.int32)
+            sp = jnp.clip(start_pos, 0, L - 1).astype(jnp.int64)
+            starts = starts.at[0, lanes, sp].add(hit_f)
+            starts = starts.at[1, lanes, sp].add(hit_r)
+            ends = ends.at[0, lanes, pos].add(hit_f)
+            ends = ends.at[1, lanes, pos].add(hit_r)
+        return (begin, end, size, starts, ends), None
+
+    init = (
+        jnp.zeros((B,), jnp.int64),
+        jnp.full((B,), n_entries, jnp.int64),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((2, B, L), jnp.int32),
+        jnp.zeros((2, B, L), jnp.int32),
+    )
+    (b_, e_, s_, starts, ends), _ = lax.scan(step, init, jnp.arange(L))
+    covs = []
+    for s_i in range(2):
+        run = jnp.cumsum(starts[s_i], axis=1) - jnp.cumsum(
+            jnp.pad(ends[s_i], ((0, 0), (1, 0)))[:, :L], axis=1
+        )
+        covs.append(run)
+    return covs[0], covs[1]

@@ -141,7 +141,10 @@ class Seqset:
 
 @dataclass(frozen=True)
 class _SeqsetDevice:
-    """Jit-friendly query engine over device-resident seqset arrays."""
+    """Jit-friendly query engine over device-resident seqset arrays.
+
+    Registered as a pytree so whole pipelines (reference walks, tracers) can
+    be jitted with the seqset as an argument."""
 
     fixed: jnp.ndarray
     prev_words: jnp.ndarray
@@ -151,6 +154,31 @@ class _SeqsetDevice:
     pop_sel: jnp.ndarray
     n_entries: int
     shared_lt: object = None  # LtSearch over shared (push_front_drop)
+
+    def tree_flatten(self):
+        children = (
+            self.fixed,
+            self.prev_words,
+            self.prev_cum,
+            self.entry_sizes,
+            self.shared,
+            self.pop_sel,
+            self.shared_lt,
+        )
+        return children, self.n_entries
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(
+            fixed=children[0],
+            prev_words=children[1],
+            prev_cum=children[2],
+            entry_sizes=children[3],
+            shared=children[4],
+            pop_sel=children[5],
+            n_entries=aux,
+            shared_lt=children[6],
+        )
 
     # -- primitive ops (all batched) --
 
@@ -392,6 +420,21 @@ class _SeqsetDevice:
         ne = jnp.where(empty, self.n_entries, ne)
         return SeqsetRanges(begin=nb, end=ne, size=jnp.maximum(new_size, 0))
 
+    def truncate_ranges(self, r: SeqsetRanges, new_size) -> SeqsetRanges:
+        """Batched seqset_range::truncate/pop_back (seqset.cpp:630-664):
+        shorten each lane's sequence to new_size bases, widening the range to
+        every entry sharing that prefix.  Lanes already <= new_size pass
+        through unchanged."""
+        new_size = jnp.broadcast_to(jnp.asarray(new_size, jnp.int32), r.size.shape)
+        need = r.size > new_size
+        tgt = jnp.where(need, new_size, r.size)
+        nb, ne = self._widen(r.begin, r.end, jnp.maximum(tgt, 1))
+        return SeqsetRanges(
+            begin=jnp.where(need, nb, r.begin),
+            end=jnp.where(need, ne, r.end),
+            size=tgt,
+        )
+
     def _widen(self, begin, end, size):
         """Expand [begin, end) to the maximal run where shared >= size.
 
@@ -430,3 +473,8 @@ class _SeqsetDevice:
         f = jnp.zeros(b0.shape, bool)
         b, e, _, _ = lax.while_loop(cond, body, (b0, e0, f, f))
         return b, e
+
+
+jax.tree_util.register_pytree_node(
+    _SeqsetDevice, _SeqsetDevice.tree_flatten, _SeqsetDevice.tree_unflatten
+)

@@ -25,6 +25,13 @@ class LtSearch:
     block_min: jnp.ndarray  # int32 [nb] (padded with +inf semantics)
     n: int
 
+    def tree_flatten(self):
+        return (self.values, self.block_min), self.n
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(values=children[0], block_min=children[1], n=aux)
+
     @staticmethod
     def build(values: np.ndarray) -> "LtSearch":
         values = np.asarray(values, np.int32)
@@ -126,3 +133,10 @@ class LtSearch:
         big = jnp.int64(1 << 62)
         best = jnp.min(jnp.where(ok, idx, big), axis=-1)
         return jnp.where(best == big, -1, best)
+
+
+import jax.tree_util as _tree_util
+
+_tree_util.register_pytree_node(
+    LtSearch, LtSearch.tree_flatten, LtSearch.tree_unflatten
+)

@@ -1,0 +1,678 @@
+"""Reference-guided wavefront assembly — the discovery engine.
+
+TPU-native reformulation of the reference's discovery stack
+(modules/variants/trace_ref.h:9 work scheduling, tracer.cpp push tracer,
+discovery/ bidirectional engine): instead of one pointer-chasing path walk at
+a time, a *beam of frontier lanes* advances through the seqset in lockstep —
+every step is a batch of rank queries.
+
+Coordinate convention: the walk runs left-to-right over the reference but the
+seqset prepends bases, so lanes hold ranges in reverse-complement space —
+pushing complement(b) appends b on the forward strand (same trick as
+readmap::approx_coverage, modules/bio_base/readmap.cpp:368).
+
+Stages (each one or two jitted device programs):
+  1. ref walk      — lax.scan of push_front_drop along the chunk, recording
+                     per-position ranges (the ref_map analog,
+                     modules/variants/ref_map.h:49)
+  2. anchors       — vectorized 4-base branch probe at every position
+  3. wavefront     — beam search: each step pushes 4 candidate bases per
+                     lane, scores children by read support, keeps the top
+                     beam, tests rejoin against a chunk k-mer index
+                     (tracer.cpp rejoin-to-ref search)
+  4. variants      — prefix/suffix alignment of assembly vs ref span ->
+                     SNP/ins/del records, left-normalized
+                     (modules/variants/normalize.h:7)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from biograph_tpu.core import dna
+from biograph_tpu.index.seqset import Seqset, SeqsetRanges
+from biograph_tpu.index.readmap import Readmap
+
+
+@dataclass
+class DiscoverOptions:
+    """Engine knobs (analog of assemble_options, modules/variants/assemble.h:475)."""
+
+    min_anchor_ctx: int = 20  # min ref context at a branch point
+    probe_ctx: int = 25  # context length for branch probing / extension
+    # Range widths count DISTINCT suffix continuations (entries are deduped),
+    # so validity (>=1) is the branch criterion; true read support is
+    # computed from the readmap after assembly (calc_coverage analog).
+    min_branch_width: int = 1
+    min_extend_width: int = 1
+    beam_width: int = 256  # frontier lanes per chunk batch
+    max_path: int = 240  # max assembled alt bases
+    rejoin_k: int = 23  # suffix k-mer size for rejoin detection
+    max_assemblies: int = 512
+    min_alt_support: int = 3
+    hom_frac: float = 0.8
+
+
+@dataclass
+class Assembly:
+    """One assembled alternate path (analog of the assembly record,
+    modules/variants/assemble.h:285)."""
+
+    chunk_start: int  # flat ref coord of chunk base
+    anchor: int  # last ref-matching position (flat coords)
+    rejoin: int  # first ref-matching position after the bubble (flat)
+    seq: np.ndarray  # alt bases between anchor and rejoin (uint8 codes)
+    support: int  # min read support along the path
+
+
+def reference_walk(
+    d, ref_codes, chunks, chunk_len: int, n_entries: int, probe_ctx: int = 25
+):
+    """Walk each chunk through the seqset with push_front_drop.
+
+    d: _SeqsetDevice pytree.  chunks: int64 [C] flat start positions.
+    Returns per-position arrays [C, chunk_len]: begin, end, size of the
+    *probe* range (walk range truncated to probe_ctx — branches probe from a
+    bounded context, since a full-read-length context has no extensions in
+    the seqset), plus the 4-base branch widths [C, chunk_len, 4].
+    """
+    C = chunks.shape[0]
+    ref = jnp.asarray(ref_codes)
+
+    def get_base(i):
+        # [C] bases at chunk offset i
+        idx = jnp.clip(chunks + i, 0, ref.shape[0] - 1)
+        return jnp.take(ref, idx).astype(jnp.int32)
+
+    def step(carry, i):
+        begin, end, size = carry
+        b = get_base(i)
+        r = d.push_front_drop(SeqsetRanges(begin, end, size), 3 - b)
+        probe = d.truncate_ranges(r, probe_ctx)
+        # branch probe: widths of pushing each complemented base
+        widths = []
+        for bb in range(4):
+            rb = d.push_front(probe, jnp.full((C,), 3 - bb, jnp.int32))
+            widths.append(rb.end - rb.begin)
+        w4 = jnp.stack(widths, axis=1)
+        return (r.begin, r.end, r.size), (probe.begin, probe.end, probe.size, w4)
+
+    init = (
+        jnp.zeros((C,), jnp.int64),
+        jnp.full((C,), n_entries, jnp.int64),
+        jnp.zeros((C,), jnp.int32),
+    )
+    _, (B, E, S, W4) = lax.scan(step, init, jnp.arange(chunk_len))
+    # scan stacks on axis 0 -> [chunk_len, C, ...]; transpose to [C, chunk_len]
+    return (
+        jnp.transpose(B),
+        jnp.transpose(E),
+        jnp.transpose(S),
+        jnp.transpose(W4, (1, 0, 2)),
+    )
+
+
+_walk_jit = jax.jit(reference_walk, static_argnums=(3, 4, 5))
+
+
+def find_anchors(
+    ref_codes: np.ndarray,
+    chunks: np.ndarray,
+    sizes: np.ndarray,
+    widths4: np.ndarray,
+    opt: DiscoverOptions,
+):
+    """Positions where a non-reference base has read support.
+
+    Returns flat arrays (chunk_idx, offset, alt_base).
+    """
+    C, Lc, _ = widths4.shape
+    ref = np.asarray(ref_codes)
+    # next ref base at each offset (the base the walk would push at i+1)
+    pos = np.asarray(chunks)[:, None] + np.arange(Lc)[None, :] + 1
+    nxt = ref[np.clip(pos, 0, len(ref) - 1)]
+    w = np.asarray(widths4)
+    s = np.asarray(sizes)
+    alt_mask = np.ones((C, Lc, 4), bool)
+    np.put_along_axis(alt_mask, nxt[:, :, None], False, axis=2)
+    good = (
+        (w >= opt.min_branch_width)
+        & alt_mask
+        & (s[:, :, None] >= opt.min_anchor_ctx)
+        & (pos[:, :, None] < len(ref))
+    )
+    ci, off, ab = np.nonzero(good)
+    return ci, off, ab
+
+
+def wavefront_assemble(
+    ss: Seqset,
+    ref_codes: np.ndarray,
+    chunks: np.ndarray,
+    walk: tuple,
+    anchors: tuple,
+    opt: DiscoverOptions,
+) -> List[Assembly]:
+    """Extend alt branches through the seqset; rejoin to reference.
+
+    Beam search with fixed lane count: lanes hold (range, path); each step
+    evaluates 4 children per lane and keeps the global top-beam by support.
+    Rejoin = the path's last rejoin_k bases match the reference ahead of the
+    anchor (within max_path distance).
+    """
+    d = ss.d
+    B_, E_, S_, _ = walk
+    ci, off, ab = anchors
+    n_anchor = len(ci)
+    if n_anchor == 0:
+        return []
+    ref = np.asarray(ref_codes)
+
+    out: List[Assembly] = []
+    F = opt.beam_width
+    for lo in range(0, n_anchor, F):
+        hi = min(n_anchor, lo + F)
+        out.extend(
+            _assemble_batch(
+                d,
+                ref,
+                np.asarray(chunks),
+                (np.asarray(B_), np.asarray(E_), np.asarray(S_)),
+                (ci[lo:hi], off[lo:hi], ab[lo:hi]),
+                opt,
+            )
+        )
+        if len(out) >= opt.max_assemblies:
+            break
+    return out[: opt.max_assemblies]
+
+
+N_POLICY = 4  # beam clones per anchor (2 junction choices x 2 ranks)
+
+
+def _assemble_batch(d, ref, chunks, walk, anchors, opt: DiscoverOptions):
+    """One beam batch: each anchor is explored by N_POLICY clone lanes.
+
+    Where several child bases are viable (repeat junctions), clone j of an
+    anchor takes the child ranked by bit (j >> n_junction) & 1 — exploring
+    best/second-best combinations at the first two junctions.  This is the
+    bounded-width analog of the reference tracer's branch search
+    (tracer.cpp path exploration with branch costs); per anchor the
+    best-supported, smallest assembly wins.
+    """
+    B_, E_, S_ = walk
+    ci, off, ab = anchors
+    A0 = len(ci)
+    if A0 == 0:
+        return []
+    MAXP = opt.max_path
+    k = opt.rejoin_k
+
+    # chunk-local ref kmer index for rejoin (bounded span)
+    anchor_flat0 = chunks[ci] + off
+    lo_flat = int(anchor_flat0.min())
+    hi_flat = int(min(anchor_flat0.max() + MAXP + k + 2, len(ref)))
+    if hi_flat - lo_flat >= (1 << POS_BITS):
+        order = np.argsort(anchor_flat0)
+        mid = A0 // 2
+        parts = []
+        for sel in (order[:mid], order[mid:]):
+            parts.extend(
+                _assemble_batch(
+                    d, ref, chunks, walk, (ci[sel], off[sel], ab[sel]), opt
+                )
+            )
+        return parts
+    span = ref[lo_flat : hi_flat + 1]
+    if len(span) < k:
+        return []
+    packed = _span_kmers(span, k)
+
+    # replicate each anchor into N_POLICY clone lanes
+    rep = np.repeat(np.arange(A0), N_POLICY)
+    policy = np.tile(np.arange(N_POLICY), A0)
+    A = A0 * N_POLICY
+    anchor_flat = anchor_flat0[rep]
+    abp = ab[rep]
+
+    begin = jnp.asarray(B_[ci, off])[jnp.asarray(rep)]
+    end = jnp.asarray(E_[ci, off])[jnp.asarray(rep)]
+    size = jnp.asarray(S_[ci, off])[jnp.asarray(rep)]
+    r = d.push_front(
+        SeqsetRanges(begin, end, size), 3 - jnp.asarray(abp, jnp.int32)
+    )
+    alive = np.asarray(r.begin < r.end)
+
+    path = np.zeros((A, MAXP), np.uint8)
+    path[:, 0] = abp
+    path_len = np.ones(A, np.int32)
+    support = np.where(alive, np.asarray(r.end - r.begin), 0).astype(np.int64)
+    n_junction = np.zeros(A, np.int32)
+    roll = np.asarray(abp, np.uint64)
+    kmask = np.uint64((1 << (2 * k)) - 1)
+
+    cur = r
+    results = {}  # anchor index -> best Assembly
+    done = ~alive
+    for step_i in range(1, MAXP):
+        if done.all():
+            break
+        cand_w = []
+        children = []
+        for bb in range(4):
+            c = d.push_front(cur, jnp.full((A,), 3 - bb, jnp.int32))
+            children.append(c)
+            cand_w.append(np.asarray(c.end - c.begin))
+        W = np.stack(cand_w, axis=1)  # [A, 4]
+        viable = W >= opt.min_extend_width
+        n_viable = viable.sum(axis=1)
+        order = np.argsort(-W, axis=1, kind="stable")  # children by width desc
+        # rank chosen by this lane's policy bit at its current junction count
+        rank_bit = ((policy >> np.minimum(n_junction, 30)) & 1).astype(np.int64)
+        take_rank = np.where(n_viable > 1, rank_bit, 0)
+        best = order[np.arange(A), take_rank]
+        bw = W[np.arange(A), best]
+        ext = (~done) & (bw >= opt.min_extend_width)
+        n_junction = n_junction + ((~done) & (n_viable > 1)).astype(np.int32)
+        nb = np.where(ext, best, 0).astype(np.int32)
+        nbj = jnp.asarray(nb)
+        new_begin = jnp.stack([c.begin for c in children], axis=1)[
+            jnp.arange(A), nbj
+        ]
+        new_end = jnp.stack([c.end for c in children], axis=1)[jnp.arange(A), nbj]
+        extj = jnp.asarray(ext)
+        cur = SeqsetRanges(
+            jnp.where(extj, new_begin, cur.begin),
+            jnp.where(extj, new_end, cur.end),
+            jnp.where(extj, cur.size + 1, cur.size),
+        )
+        cur = d.truncate_ranges(cur, opt.probe_ctx)
+        path[ext, step_i] = nb[ext]
+        path_len[ext] = step_i + 1
+        support = np.where(ext, np.minimum(support, bw), support)
+        roll = np.where(
+            ext, ((roll << np.uint64(2)) | nb.astype(np.uint64)) & kmask, roll
+        )
+        done = done | ~ext
+
+        can_rejoin = ext & (path_len > k)
+        if can_rejoin.any():
+            min_local = anchor_flat - lo_flat + 1
+            lookup = _span_lookup_after(packed, roll, min_local)
+            lookup = np.where(can_rejoin, lookup, -1)
+            for lane in np.nonzero(lookup >= 0)[0]:
+                j_flat = lo_flat + int(lookup[lane])
+                a_flat = int(anchor_flat[lane])
+                alt_len = int(path_len[lane]) - k
+                ref_len_bubble = j_flat - a_flat - 1
+                if ref_len_bubble < 0 or alt_len < 0 or j_flat <= a_flat:
+                    continue
+                asm = Assembly(
+                    chunk_start=int(chunks[ci[rep[lane]]]),
+                    anchor=a_flat,
+                    rejoin=j_flat,
+                    seq=path[lane, :alt_len].copy(),
+                    support=int(support[lane]),
+                )
+                key = rep[lane]
+                old = results.get(key)
+                if old is None or _asm_better(asm, old):
+                    results[key] = asm
+                done[lane] = True
+    return list(results.values())
+
+
+def _asm_better(a: Assembly, b: Assembly) -> bool:
+    """Prefer higher support, then the more parsimonious bubble."""
+    if a.support != b.support:
+        return a.support > b.support
+    da = abs((a.rejoin - a.anchor - 1) - len(a.seq)) + len(a.seq)
+    db = abs((b.rejoin - b.anchor - 1) - len(b.seq)) + len(b.seq)
+    return da < db
+
+
+POS_BITS = 18  # spans up to 256k bases
+
+
+def _span_kmers(span: np.ndarray, k: int):
+    """Sorted packed (kmer << POS_BITS | pos) table of a ref span.
+
+    Packing lets one binary search find the nearest occurrence of a k-mer at
+    or after a given local position (rejoin must land *after* the anchor).
+    Requires 2*k + POS_BITS <= 64 (k=23 -> 64 exactly).
+    """
+    assert 2 * k + POS_BITS <= 64
+    s = span.astype(np.uint64)
+    n = len(s) - k + 1
+    acc = np.zeros(n, np.uint64)
+    for i in range(k):
+        acc = (acc << np.uint64(2)) | s[i : i + n]
+    packed = (acc << np.uint64(POS_BITS)) | np.arange(n, dtype=np.uint64)
+    packed.sort()
+    return packed
+
+
+def _span_lookup_after(packed: np.ndarray, kmers: np.ndarray, min_pos: np.ndarray):
+    """For each kmer, smallest span position >= min_pos where it occurs; -1
+    if none."""
+    q = (kmers.astype(np.uint64) << np.uint64(POS_BITS)) | np.clip(
+        min_pos, 0, (1 << POS_BITS) - 1
+    ).astype(np.uint64)
+    li = np.searchsorted(packed, q)
+    lic = np.clip(li, 0, len(packed) - 1)
+    hit = packed[lic]
+    same_kmer = (hit >> np.uint64(POS_BITS)) == kmers.astype(np.uint64)
+    ok = (li < len(packed)) & same_kmer
+    pos = (hit & np.uint64((1 << POS_BITS) - 1)).astype(np.int64)
+    return np.where(ok, pos, -1)
+
+
+def discover_variants(
+    ss: Seqset,
+    reference,
+    region: tuple | None = None,
+    opt: DiscoverOptions | None = None,
+    chunk_len: int = 4096,
+    chunk_batch: int = 16,
+    readmap: Readmap | None = None,
+):
+    """Top-level driver: reference walk -> anchors -> wavefront -> variants.
+
+    region: (flat_start, flat_end) or None for the whole reference.
+    Chunks overlap by opt.max_path so bubbles crossing a boundary are seen by
+    the chunk that owns their anchor (the reference's scaffold_split_size
+    chunking + anchored rejoin, modules/variants/assemble.h:535).
+    """
+    opt = opt or DiscoverOptions()
+    ref = np.asarray(reference.flat)
+    lo, hi = region if region else (0, len(ref))
+    stride = chunk_len - (opt.max_path + opt.rejoin_k)
+    starts = np.arange(lo, max(hi - 1, lo + 1), stride, dtype=np.int64)
+    all_records = []
+    for b0 in range(0, len(starts), chunk_batch):
+        batch_starts = starts[b0 : b0 + chunk_batch]
+        # pad the batch so jit shapes stay constant
+        pad = chunk_batch - len(batch_starts)
+        chunks = np.concatenate(
+            [batch_starts, np.full(pad, batch_starts[-1], np.int64)]
+        )
+        walk = _walk_jit(
+            ss.d, jnp.asarray(ref), jnp.asarray(chunks), chunk_len,
+            ss.n_entries, opt.probe_ctx,
+        )
+        sizes = np.asarray(walk[2])
+        widths4 = np.asarray(walk[3])
+        ci, off, ab = find_anchors(ref, chunks, sizes, widths4, opt)
+        # drop anchors in the overlap tail (owned by the next chunk) and in
+        # padded duplicate chunks
+        own = (off < stride) & (ci < len(batch_starts))
+        # also drop anchors beyond the region end
+        own &= (chunks[ci] + off) < hi
+        ci, off, ab = ci[own], off[own], ab[own]
+        asms = wavefront_assemble(ss, ref, chunks, walk, (ci, off, ab), opt)
+        if readmap is not None:
+            asms = score_assemblies(readmap, ref, asms, opt)
+        all_records.extend(extract_variants(asms, ref, reference, opt))
+    # genotype from support vs local ref coverage
+    return _dedup_records(all_records)
+
+
+def score_assemblies(rm: Readmap, ref: np.ndarray, asms: List[Assembly], opt: DiscoverOptions):
+    """Replace range-width support with true read coverage of the alt path
+    (analog of calc_coverage / read_cov, modules/variants/calc_coverage.h:16,
+    read_cov.cpp): each assembly's alt sequence plus flanking context is run
+    through readmap.coverage; support = min depth across the bubble."""
+    if not asms:
+        return asms
+    # Flanks must cover a full read length: the coverage walk only counts a
+    # read once its END position is reached with enough context, so the
+    # first/last read_len positions of any window undercount.
+    C = int(rm.max_read_len) + 2
+    qlen = max(2 * C + max(len(a.seq) for a in asms), 2 * C + 1)
+    B = len(asms)
+    q = np.zeros((B, qlen), np.uint8)
+    ql = np.zeros(B, np.int32)
+    bub_lo = np.zeros(B, np.int32)
+    bub_hi = np.zeros(B, np.int32)
+    for i, a in enumerate(asms):
+        left = ref[max(a.anchor + 1 - C, 0) : a.anchor + 1]
+        right = ref[a.rejoin : a.rejoin + C]
+        seq = np.concatenate([left, np.asarray(a.seq, np.uint8), right])
+        q[i, : len(seq)] = seq
+        ql[i] = len(seq)
+        bub_lo[i] = max(len(left) - 1, 0)
+        bub_hi[i] = min(len(left) + len(a.seq) + 1, len(seq))
+    import jax.numpy as jnp
+
+    fwd, rev = rm.coverage(jnp.asarray(q), jnp.asarray(ql))
+    tot = np.asarray(fwd + rev)
+    for i, a in enumerate(asms):
+        win = tot[i, bub_lo[i] : bub_hi[i]]
+        a.support = int(win.min()) if len(win) else 0
+    return asms
+
+
+def _dedup_records(records):
+    seen = {}
+    for r in records:
+        key = (r["chrom"], r["pos"], r["ref"], r["alt"])
+        if key not in seen or seen[key]["support"] < r["support"]:
+            seen[key] = r
+    return sorted(seen.values(), key=lambda r: (r["chrom"], r["pos"]))
+
+
+def write_discovery_vcf(path: str, reference, records, sample="SAMPLE", opt=None):
+    """Emit discovery records as VCF (ploidless_vcf_export analog)."""
+    from biograph_tpu.io.vcf import VcfRecord, VcfWriter
+
+    opt = opt or DiscoverOptions()
+    headers = [
+        '##INFO=<ID=SUP,Number=1,Type=Integer,Description="Min read support along assembly">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read Depth">',
+    ]
+    with VcfWriter(
+        path,
+        sample=sample,
+        contigs=[(c.name, c.length) for c in reference.contigs],
+        extra_headers=headers,
+    ) as w:
+        for r in records:
+            if r["support"] < opt.min_alt_support:
+                continue
+            w.write(
+                VcfRecord(
+                    chrom=r["chrom"],
+                    pos=r["pos"],
+                    ref=r["ref"],
+                    alt=r["alt"],
+                    qual=3 * r["support"] + 27,
+                    info={"SUP": r["support"]},
+                    fmt={"GT": "1/1", "DP": r["support"]},
+                )
+            )
+
+
+def extract_variants(assemblies: List[Assembly], ref: np.ndarray, reference, opt: DiscoverOptions):
+    """Assemblies -> normalized variant records (chrom, pos, ref, alt, support).
+
+    Prefix/suffix trimming handles SNPs and clean indels; remaining block
+    substitutions are emitted verbatim (analog of the aligner + normalizer
+    steps, modules/variants/align.h:8, normalize.h:7)."""
+    out = []
+    for asm in assemblies:
+        a, j = asm.anchor, asm.rejoin
+        ref_seg = ref[a + 1 : j]
+        alt_seg = np.asarray(asm.seq, np.uint8)
+        # trim common prefix
+        p = 0
+        while p < min(len(ref_seg), len(alt_seg)) and ref_seg[p] == alt_seg[p]:
+            p += 1
+        rs, as_ = ref_seg[p:], alt_seg[p:]
+        q = 0
+        while q < min(len(rs), len(as_)) and rs[len(rs) - 1 - q] == as_[len(as_) - 1 - q]:
+            q += 1
+        rs = rs[: len(rs) - q]
+        as_ = as_[: len(as_) - q]
+        pos_flat = a + 1 + p  # first differing base (flat, 0-based)
+        if len(rs) == 0 and len(as_) == 0:
+            continue  # identical to reference
+        pieces = []
+        if len(rs) == len(as_):
+            # same-length block: split into primitive SNPs at mismatches
+            # (align_splitter analog, modules/variants/align.h:74)
+            for i in range(len(rs)):
+                if rs[i] != as_[i]:
+                    pieces.append(
+                        (
+                            pos_flat + i,
+                            dna.codes_to_seq(rs[i : i + 1]),
+                            dna.codes_to_seq(as_[i : i + 1]),
+                        )
+                    )
+        elif min(len(rs), len(as_)) == 0 or (
+            len(rs) <= 2 and len(as_) <= 2
+        ):
+            # clean indel / tiny block: left-anchor + left-shift
+            pieces.append(_left_normalize(ref, pos_flat, rs, as_))
+        else:
+            # complex block: decompose by global alignment into primitive
+            # SNPs and indels (aligner + align_splitter analog,
+            # modules/variants/align.h:8,74)
+            pieces.extend(_align_decompose(ref, pos_flat, rs, as_))
+        for vpos, ref_str, alt_str in pieces:
+            contig = _contig_of(reference, vpos)
+            if contig is None:
+                continue
+            out.append(
+                {
+                    "chrom": contig.name,
+                    "pos": vpos - contig.start + 1,
+                    "ref": ref_str,
+                    "alt": alt_str,
+                    "support": asm.support,
+                }
+            )
+    # dedup identical records, keep max support (exact_dedup analog)
+    seen = {}
+    for r in out:
+        key = (r["chrom"], r["pos"], r["ref"], r["alt"])
+        if key not in seen or seen[key]["support"] < r["support"]:
+            seen[key] = r
+    return sorted(seen.values(), key=lambda r: (r["chrom"], r["pos"]))
+
+
+def _align_decompose(ref, pos_flat, rs, as_):
+    """Global alignment (affine-ish) of ref block vs alt block; emit
+    primitive SNP / indel pieces.  Host-side NW on blocks <= max_path."""
+    n, m = len(rs), len(as_)
+    GAP_OPEN, GAP_EXT, MIS = 2.5, 0.5, 1.0
+    INF = 1e18
+    # three-state affine DP (M, Ix = gap in alt/deletion, Iy = insertion)
+    M = np.full((n + 1, m + 1), INF)
+    Ix = np.full((n + 1, m + 1), INF)
+    Iy = np.full((n + 1, m + 1), INF)
+    M[0, 0] = 0.0
+    for i in range(1, n + 1):
+        Ix[i, 0] = GAP_OPEN + GAP_EXT * (i - 1)
+    for j in range(1, m + 1):
+        Iy[0, j] = GAP_OPEN + GAP_EXT * (j - 1)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            sub = 0.0 if rs[i - 1] == as_[j - 1] else MIS
+            M[i, j] = sub + min(M[i - 1, j - 1], Ix[i - 1, j - 1], Iy[i - 1, j - 1])
+            Ix[i, j] = min(M[i - 1, j] + GAP_OPEN, Ix[i - 1, j] + GAP_EXT)
+            Iy[i, j] = min(M[i, j - 1] + GAP_OPEN, Iy[i, j - 1] + GAP_EXT)
+    # traceback
+    i, j = n, m
+    state = int(np.argmin([M[i, j], Ix[i, j], Iy[i, j]]))
+    ops = []  # (op, ref_idx, alt_idx): 'M' match/mismatch, 'D' del, 'I' ins
+    while i > 0 or j > 0:
+        if state == 0:
+            i, j = i - 1, j - 1
+            ops.append(("M", i, j))
+            state = int(np.argmin([M[i, j], Ix[i, j], Iy[i, j]])) if (i or j) else 0
+        elif state == 1:
+            prevM = M[i - 1, j] + GAP_OPEN
+            prevX = Ix[i - 1, j] + GAP_EXT
+            i -= 1
+            ops.append(("D", i, j))
+            state = 0 if prevM <= prevX else 1
+        else:
+            prevM = M[i, j - 1] + GAP_OPEN
+            prevY = Iy[i, j - 1] + GAP_EXT
+            j -= 1
+            ops.append(("I", i, j))
+            state = 0 if prevM <= prevY else 2
+    ops.reverse()
+    # group into variant pieces
+    pieces = []
+    run = None  # (kind, ref_lo, ref_hi, alt_lo, alt_hi)
+    for op, ri, aj in ops:
+        if op == "M":
+            if run is not None:
+                pieces.append(run)
+                run = None
+            if rs[ri] != as_[aj]:
+                pieces.append(("S", ri, ri + 1, aj, aj + 1))
+        else:
+            kind = op
+            if run is not None and run[0] == kind:
+                run = (kind, run[1], max(run[2], ri + (op == "D")), run[3], max(run[4], aj + (op == "I")))
+            else:
+                if run is not None:
+                    pieces.append(run)
+                lo_r, hi_r = (ri, ri + 1) if op == "D" else (ri, ri)
+                lo_a, hi_a = (aj, aj + 1) if op == "I" else (aj, aj)
+                run = (kind, lo_r, hi_r, lo_a, hi_a)
+    if run is not None:
+        pieces.append(run)
+    out = []
+    for kind, rlo, rhi, alo, ahi in pieces:
+        if kind == "S":
+            out.append(
+                (
+                    pos_flat + rlo,
+                    dna.codes_to_seq(rs[rlo:rhi]),
+                    dna.codes_to_seq(as_[alo:ahi]),
+                )
+            )
+        else:
+            out.append(
+                _left_normalize(ref, pos_flat + rlo, rs[rlo:rhi], as_[alo:ahi])
+            )
+    return out
+
+
+def _left_normalize(ref, pos, rs, as_):
+    """VCF-style left alignment of an indel/block at flat position pos."""
+    # shift left while the base before equals the last base of the longer arm
+    rs = list(rs)
+    as_ = list(as_)
+    while pos > 0:
+        prev = ref[pos - 1]
+        if len(rs) == 0 and len(as_) > 0 and as_[-1] == prev:
+            as_ = [prev] + as_[:-1]
+            pos -= 1
+        elif len(as_) == 0 and len(rs) > 0 and rs[-1] == prev:
+            rs = [prev] + rs[:-1]
+            pos -= 1
+        else:
+            break
+    anchor_base = ref[pos - 1] if pos > 0 else ref[pos]
+    ref_str = dna.codes_to_seq(np.array([anchor_base] + rs, np.uint8))
+    alt_str = dna.codes_to_seq(np.array([anchor_base] + as_, np.uint8))
+    return pos - 1, ref_str, alt_str
+
+
+def _contig_of(reference, flat_pos):
+    for c in reference.contigs:
+        if c.start <= flat_pos < c.start + c.length:
+            return c
+    return None

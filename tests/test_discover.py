@@ -1,0 +1,116 @@
+"""Discovery engine tests: simulated genome with SNPs + indels.
+
+Reads are drawn from a mutated donor genome; discovery runs against the
+original reference and must recover the planted variants.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from biograph_tpu.core import dna
+from biograph_tpu.build.seqset_build import build_seqset
+from biograph_tpu.build.readmap_build import build_readmap
+from biograph_tpu.variants.discover import (
+    DiscoverOptions,
+    discover_variants,
+)
+
+
+class FakeRef:
+    def __init__(self, codes, name="chr1"):
+        from biograph_tpu.index.reference import Contig
+
+        self.flat = np.asarray(codes, np.uint8)
+        self.is_n = np.zeros(len(codes), bool)
+        self.contigs = [Contig(name=name, start=0, length=len(codes))]
+
+
+def _sim(rng, G=6000, snps=(), insertions=(), deletions=()):
+    """Build ref + donor; returns (ref_codes, donor_codes, truth records)."""
+    ref = rng.integers(0, 4, size=G, dtype=np.uint8)
+    truth = []
+    donor_parts = []
+    edits = (
+        [("S", p, None) for p in snps]
+        + [("I", p, ln) for p, ln in insertions]
+        + [("D", p, ln) for p, ln in deletions]
+    )
+    edits.sort(key=lambda e: e[1])
+    prev = 0
+    for kind, p, ln in edits:
+        donor_parts.append(ref[prev:p])
+        if kind == "S":
+            alt = (ref[p] + 1 + rng.integers(0, 3)) % 4
+            while alt == ref[p]:
+                alt = rng.integers(0, 4)
+            donor_parts.append(np.array([alt], np.uint8))
+            truth.append(("S", p, int(ref[p]), int(alt)))
+            prev = p + 1
+        elif kind == "I":
+            ins = rng.integers(0, 4, size=ln, dtype=np.uint8)
+            donor_parts.append(np.array([ref[p]], np.uint8))
+            donor_parts.append(ins)
+            truth.append(("I", p, ln))
+            prev = p + 1
+        else:  # deletion of ln bases after p
+            donor_parts.append(np.array([ref[p]], np.uint8))
+            truth.append(("D", p, ln))
+            prev = p + 1 + ln
+    donor_parts.append(ref[prev:])
+    donor = np.concatenate(donor_parts)
+    return ref, donor, truth
+
+
+def _reads_from(donor, rng, L=40, coverage=30):
+    n = int(len(donor) * coverage / L)
+    starts = rng.integers(0, len(donor) - L, size=n)
+    codes = np.stack([donor[s : s + L] for s in starts])
+    return codes, np.full(n, L, np.int32)
+
+
+@pytest.fixture(scope="module")
+def rngm():
+    return np.random.default_rng(99)
+
+
+def test_discover_snps(rngm):
+    rng = rngm
+    ref, donor, truth = _sim(rng, G=5000, snps=[1200, 2500, 3700])
+    codes, lens = _reads_from(donor, rng)
+    ss = build_seqset(codes, lens)
+    rm = build_readmap(ss, codes, lens)
+    recs = discover_variants(ss, FakeRef(ref), chunk_len=2048, readmap=rm)
+    got = {(r["pos"] - 1, r["ref"], r["alt"]) for r in recs if len(r["ref"]) == 1 == len(r["alt"])}
+    for kind, p, rb, ab in [t for t in truth if t[0] == "S"]:
+        assert (p, "ACGT"[rb], "ACGT"[ab]) in got, f"SNP at {p} missed: {sorted(got)[:5]}"
+    # planted hom SNPs at ~25-30x must carry strong read support
+    for r in recs:
+        if (r["pos"] - 1, r["ref"], r["alt"]) in got:
+            assert r["support"] >= 10, r
+
+
+def test_discover_insertion_deletion(rngm):
+    rng = rngm
+    ref, donor, truth = _sim(
+        rng, G=5000, insertions=[(1500, 5)], deletions=[(3200, 7)]
+    )
+    codes, lens = _reads_from(donor, rng)
+    ss = build_seqset(codes, lens)
+    rm = build_readmap(ss, codes, lens)
+    recs = discover_variants(ss, FakeRef(ref), chunk_len=2048, readmap=rm)
+    indels = [r for r in recs if len(r["ref"]) != len(r["alt"]) and r["support"] >= 10]
+    # insertion: alt longer by 5; deletion: ref longer by 7
+    assert any(len(r["alt"]) - len(r["ref"]) == 5 for r in indels), indels
+    assert any(len(r["ref"]) - len(r["alt"]) == 7 for r in indels), indels
+
+
+def test_discover_clean_genome_no_calls(rngm):
+    rng = rngm
+    ref = rng.integers(0, 4, size=4000, dtype=np.uint8)
+    codes, lens = _reads_from(ref, rng)
+    ss = build_seqset(codes, lens)
+    rm = build_readmap(ss, codes, lens)
+    recs = discover_variants(ss, FakeRef(ref), chunk_len=2048, readmap=rm)
+    strong = [r for r in recs if r["support"] >= 3]
+    assert strong == [], strong[:3]

@@ -100,3 +100,47 @@ def test_cli_kmers_and_reference(tmp_path):
     assert open(out, "rb").read() == open(
         os.path.join(GOLDEN, "kmer_count.txt"), "rb"
     ).read()
+
+
+def test_assembly_discovery_concordance(ecoli_ref, tmp_path):
+    """The wavefront assembly engine must recover all golden final.vcf
+    records and all pileup.vcf SNPs within the tested region."""
+    from biograph_tpu.io.fastq import read_fastq
+    from biograph_tpu.build.seqset_build import build_seqset
+    from biograph_tpu.build.readmap_build import build_readmap
+    from biograph_tpu.variants.discover import (
+        DiscoverOptions,
+        discover_variants,
+        write_discovery_vcf,
+    )
+
+    batch = read_fastq(os.path.join(GOLDEN, "e_coli_10000snp.fq"))
+    ss = build_seqset(batch.codes, batch.lengths)
+    rm = build_readmap(ss, batch.codes, batch.lengths)
+    c = ecoli_ref.contig_by_name("Chromosome")
+    hi = 12000
+    opt = DiscoverOptions(min_alt_support=5)
+    recs = discover_variants(
+        ss,
+        ecoli_ref,
+        region=(c.start, c.start + hi),
+        opt=opt,
+        readmap=rm,
+    )
+    out = str(tmp_path / "asm.vcf")
+    write_discovery_vcf(out, ecoli_ref, recs, opt=opt)
+    ours = _vcf_records(out)
+
+    golden_final = {
+        r for r in _vcf_records(os.path.join(GOLDEN, "final.vcf")) if r[1] <= hi - 300
+    }
+    assert golden_final <= ours, sorted(golden_final - ours)[:5]
+    golden_pileup = {
+        r
+        for r in _vcf_records(os.path.join(GOLDEN, "pileup.vcf"))
+        if len(r[2]) == 1 == len(r[3]) and r[0] == "Chromosome" and r[1] <= hi - 300
+    }
+    common = golden_pileup & ours
+    assert len(common) >= 0.97 * len(golden_pileup), (
+        f"{len(common)}/{len(golden_pileup)}"
+    )
