@@ -27,20 +27,23 @@ def _load():
     return ref, batch
 
 
-def _bench_backend(platform: str, ref, batch, repeats: int = 5):
+def _bench_backend(platform: str, ref, batch, repeats: int = 5, dup: int = 8):
     import jax
 
     dev = jax.devices(platform)[0]
     import jax.numpy as jnp
+    import numpy as np
     from biograph_tpu.variants.align import RefKmerIndex, _place_jit
-    from biograph_tpu.variants import pileup as pu
 
     with jax.default_device(dev):
-        idx = RefKmerIndex.build(ref.flat, 16, ref.is_n)
-        R, L = batch.codes.shape
+        idx = RefKmerIndex.build(ref.flat, 13, ref.is_n)
+        # throughput batch: replicate the read set to steady-state size
+        codes_np = np.tile(batch.codes, (dup, 1))
+        lens_np = np.tile(batch.lengths, dup)
+        R, L = codes_np.shape
         fn = _place_jit(idx, L, 5, 3, 8)
-        codes = jax.device_put(jnp.asarray(batch.codes), dev)
-        lengths = jax.device_put(jnp.asarray(batch.lengths, jnp.int32), dev)
+        codes = jax.device_put(jnp.asarray(codes_np), dev)
+        lengths = jax.device_put(jnp.asarray(lens_np, jnp.int32), dev)
         # warmup/compile
         out = fn(codes, lengths)
         jax.block_until_ready(out)

@@ -211,6 +211,175 @@ def cmd_discovery(args):
     print(f"vcf -> {args.out}")
 
 
+def cmd_coverage(args):
+    """VCF + .bgt + reference -> coverage-annotated, genotyped VCF (pcmp).
+    (reference: biograph coverage, python/biograph/tools/coverage.py:739)"""
+    from biograph_tpu.api import BioGraph
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.variants.coverage_tool import run_coverage
+
+    ref = Reference.load(args.ref) if _is_artifact(args.ref) else (
+        Reference.from_reference_dir(args.ref)
+        if os.path.isdir(args.ref)
+        else Reference.from_fasta(args.ref)
+    )
+    bg = BioGraph(args.biograph)
+    if bg.readmap is None:
+        raise SystemExit(f"{args.biograph}: no readmap")
+    t0 = time.time()
+    ann = run_coverage(
+        args.vcf,
+        args.out,
+        bg,
+        ref,
+        sample=args.sample,
+        features_out=args.features,
+    )
+    n = len(ann.gt)
+    print(f"coverage: {n} records annotated ({time.time()-t0:.1f}s) -> {args.out}")
+
+
+def cmd_qual_classifier(args):
+    """Train or apply the variant quality classifier.
+    (reference: biograph qual_classifier, classifier/qual_classifier.py:271)"""
+    import numpy as np
+    from biograph_tpu.classifier.model import (
+        Classifier,
+        apply_to_vcf,
+        train_classifier,
+    )
+
+    feats = dict(np.load(args.features))
+    if args.train:
+        from biograph_tpu.io.vcf import read_vcf
+
+        # contig naming differs between pipelines ("Chromosome" vs the
+        # reference's supercontig "Chromosome:0"): match on the base name
+        def key(r):
+            return (r.chrom.split(":")[0], r.pos, r.ref, r.alt)
+
+        truth = {key(r) for r in read_vcf(args.truth_vcf)}
+        records = read_vcf(args.vcf)
+        labels = np.array([key(r) in truth for r in records], bool)
+        clf = train_classifier(feats, labels)
+        clf.save(args.model)
+        acc = ((clf.predict_proba(feats) > 0.5) == labels).mean()
+        print(f"qual_classifier: trained on {len(labels)} records "
+              f"({labels.sum()} true), train acc {acc:.3f} -> {args.model}")
+    else:
+        clf = Classifier.load(args.model)
+        prob = apply_to_vcf(
+            clf, args.vcf, args.out, feats, min_prob=args.min_prob,
+            sample=args.sample,
+        )
+        n_pass = int((prob >= args.min_prob).sum())
+        print(
+            f"qual_classifier: {n_pass}/{len(prob)} PASS -> {args.out}"
+        )
+
+
+def cmd_full_pipeline(args):
+    """reads + reference -> results VCF, end to end with stage resume.
+    (reference: biograph full_pipeline, python/biograph/tools/
+    bgbinary_cmds.py:332-372 — create | discovery | coverage |
+    qual_classifier, every stage an immutable artifact + timings entry)"""
+    import types
+
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+    analysis = os.path.join(out, "analysis")
+    os.makedirs(analysis, exist_ok=True)
+    qc_dir = os.path.join(out, "qc")
+    os.makedirs(qc_dir, exist_ok=True)
+    timings = {}
+    bgt = os.path.join(out, "sample.bgt")
+    disc_vcf = os.path.join(analysis, "discovery.vcf")
+    cov_vcf = os.path.join(analysis, "coverage.vcf")
+    feats = os.path.join(analysis, "features.npz")
+    results = os.path.join(analysis, "results.vcf")
+
+    def stage(name, done_path, fn):
+        if args.resume and os.path.exists(done_path):
+            print(f"[{name}] exists, skipping ({done_path})")
+            return
+        t0 = time.time()
+        fn()
+        timings[name] = time.time() - t0
+        with open(os.path.join(qc_dir, "timings.json"), "w") as f:
+            json.dump(timings, f, indent=1)
+        if args.stop == name:
+            print(f"--stop {name}: halting")
+            raise SystemExit(0)
+
+    stage(
+        "create",
+        os.path.join(bgt, "metadata.json"),
+        lambda: cmd_create(
+            types.SimpleNamespace(
+                reads=args.reads,
+                out=bgt,
+                kmer_size=args.kmer_size,
+                paired=args.paired,
+                correct=args.correct,
+                min_kmer_count=2,
+                max_corrections=8,
+                min_good_run=2,
+            )
+        ),
+    )
+    stage(
+        "discovery",
+        disc_vcf,
+        lambda: cmd_discovery(
+            types.SimpleNamespace(
+                mode="assemble",
+                biograph=bgt,
+                reads=None,
+                ref=args.ref,
+                out=disc_vcf,
+                sample=args.sample,
+                min_depth=args.min_depth,
+                region=args.region,
+            )
+        ),
+    )
+    stage(
+        "coverage",
+        cov_vcf,
+        lambda: cmd_coverage(
+            types.SimpleNamespace(
+                vcf=disc_vcf,
+                biograph=bgt,
+                ref=args.ref,
+                out=cov_vcf,
+                sample=args.sample,
+                features=feats,
+            )
+        ),
+    )
+    if args.classifier_model:
+        stage(
+            "qual_classifier",
+            results,
+            lambda: cmd_qual_classifier(
+                types.SimpleNamespace(
+                    train=False,
+                    vcf=cov_vcf,
+                    features=feats,
+                    model=args.classifier_model,
+                    out=results,
+                    min_prob=0.5,
+                    sample=args.sample,
+                )
+            ),
+        )
+    else:
+        import shutil
+
+        shutil.copyfile(cov_vcf, results)
+    print(f"full_pipeline: done -> {results}")
+
+
 def cmd_stats(args):
     """.bgt dir -> summary (reference: biograph stats)."""
     from biograph_tpu.api import BioGraph
@@ -272,6 +441,41 @@ def main(argv=None):
     pd.add_argument("--mode", choices=["pileup", "assemble"], default="pileup")
     pd.add_argument("--region", help="contig:lo-hi (0-based)")
     pd.set_defaults(fn=cmd_discovery)
+
+    pcov = sub.add_parser("coverage", help="annotate + genotype a VCF (pcmp)")
+    pcov.add_argument("--vcf", required=True)
+    pcov.add_argument("--biograph", required=True)
+    pcov.add_argument("--ref", required=True)
+    pcov.add_argument("--out", required=True)
+    pcov.add_argument("--sample", default="SAMPLE")
+    pcov.add_argument("--features", help="write classifier feature matrix (.npz)")
+    pcov.set_defaults(fn=cmd_coverage)
+
+    pf = sub.add_parser("full_pipeline", help="reads -> results VCF, all stages")
+    pf.add_argument("--reads", nargs="+", required=True)
+    pf.add_argument("--ref", required=True)
+    pf.add_argument("--out", required=True)
+    pf.add_argument("--sample", default="SAMPLE")
+    pf.add_argument("--kmer-size", type=int, default=23)
+    pf.add_argument("--paired", action="store_true")
+    pf.add_argument("--correct", action="store_true")
+    pf.add_argument("--min-depth", type=int, default=5)
+    pf.add_argument("--region")
+    pf.add_argument("--classifier-model", help="trained model .npz")
+    pf.add_argument("--resume", action="store_true")
+    pf.add_argument("--stop", help="halt after the named stage")
+    pf.set_defaults(fn=cmd_full_pipeline)
+
+    pq = sub.add_parser("qual_classifier", help="variant quality classifier")
+    pq.add_argument("--vcf", required=True)
+    pq.add_argument("--features", required=True)
+    pq.add_argument("--train", action="store_true")
+    pq.add_argument("--truth-vcf", help="truth VCF for --train labels")
+    pq.add_argument("--model", required=True, help="model .npz path")
+    pq.add_argument("--out", help="output VCF (apply mode)")
+    pq.add_argument("--min-prob", type=float, default=0.5)
+    pq.add_argument("--sample", default="SAMPLE")
+    pq.set_defaults(fn=cmd_qual_classifier)
 
     ps = sub.add_parser("stats", help="biograph dir stats")
     ps.add_argument("biograph")

@@ -1,0 +1,234 @@
+"""Coverage annotation + Bayesian genotyping of VCF variants (pcmp).
+
+Counterpart of the reference's `biograph coverage` tool
+(python/biograph/tools/coverage.py:458 PCMP workers chaining C++ generator
+steps) and its Bayesian genotyper (python/biograph/utils.py:532).
+
+For every VCF record, the alt haplotype window (ref-left-flank + alt +
+ref-right-flank) and the matching ref window are pushed through the
+readmap coverage walk in ONE batch; allele depths feed a binomial
+ref/het/hom genotyper; outputs an annotated VCF and a feature matrix for the
+quality classifier (the reference's joblib DataFrame, coverage.py:443-455).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from biograph_tpu.core import dna
+from biograph_tpu.io.vcf import VcfRecord, VcfWriter, read_vcf
+
+
+from scipy.special import gammaln
+
+
+def genotyper_log10(tot_cov: np.ndarray, alt_cov: np.ndarray, priors=(0.05, 0.5, 0.95)):
+    """Vectorized binomial genotype likelihoods (utils.py:532-573).
+
+    Returns log10-likelihoods [N, 3] for 0/1/2 alt copies.
+    """
+    tot = np.asarray(tot_cov, np.int64)
+    alt = np.minimum(np.asarray(alt_cov, np.int64), tot)
+    non = tot - alt
+    comb = (gammaln(tot + 1) - gammaln(alt + 1) - gammaln(non + 1)) / np.log(10)
+    out = np.zeros((len(tot), 3))
+    for g, p in enumerate(priors):
+        out[:, g] = comb + alt * np.log10(p) + non * np.log10(1 - p)
+    return out
+
+
+@dataclass
+class CoverageAnnotation:
+    alt_depth: np.ndarray  # int32 [N] min coverage across alt haplotype bubble
+    ref_depth: np.ndarray  # int32 [N] min coverage across ref allele span
+    gt: List[str]
+    gq: np.ndarray  # int32 [N]
+    pl: np.ndarray  # int32 [N, 3]
+
+
+def build_donor(ref_flat: np.ndarray, flat_records: List[tuple]):
+    """Apply variants to the reference -> (donor codes, donor_pos_of_ref).
+
+    flat_records: [(flat_p0, ref_codes, alt_codes)] sorted, non-overlapping
+    ones applied (overlaps are skipped).  Counterpart of the reference's
+    apply_block / vargraph construction (modules/variants/apply_block.*,
+    modules/vargraph/vargraph.h:13): genotyping must evaluate each allele in
+    the context of its *neighboring* variants, not raw reference flanks.
+    Returns the patched genome and a per-ref-position map into it.
+    """
+    G = len(ref_flat)
+    pieces = []
+    applied = np.zeros(len(flat_records), bool)
+    donor_of_ref = np.zeros(G + 1, np.int64)
+    prev = 0
+    offset = 0
+    last_end = 0
+    for i, (p0, ra, aa) in enumerate(flat_records):
+        if p0 < last_end or p0 + len(ra) > G:
+            continue  # overlapping/out of range: skip in donor
+        pieces.append(ref_flat[prev:p0])
+        pieces.append(aa)
+        donor_of_ref[prev:p0] = np.arange(prev, p0) + offset
+        # positions inside the replaced span map to its start
+        donor_of_ref[p0 : p0 + len(ra)] = p0 + offset
+        applied[i] = True
+        offset += len(aa) - len(ra)
+        prev = p0 + len(ra)
+        last_end = prev
+    pieces.append(ref_flat[prev:])
+    donor_of_ref[prev : G + 1] = np.arange(prev, G + 1) + offset
+    donor = np.concatenate(pieces) if pieces else ref_flat.copy()
+    return donor, donor_of_ref, applied
+
+
+def annotate_coverage(
+    readmap,
+    reference,
+    records: List[VcfRecord],
+    batch: int = 128,
+) -> CoverageAnnotation:
+    """Compute allele depths + genotypes for VCF records.
+
+    Alleles are evaluated on the *donor-patched* genome: all (sorted,
+    non-overlapping) VCF variants are applied, and each record's alt/ref
+    windows take their flanks from the patched sequence so neighboring
+    variants don't destroy read support (vargraph-style joint evaluation)."""
+    if not records:
+        return CoverageAnnotation(
+            np.zeros(0, np.int32), np.zeros(0, np.int32), [], np.zeros(0, np.int32), np.zeros((0, 3), np.int32)
+        )
+    ref_flat = np.asarray(reference.flat)
+    C = int(readmap.max_read_len) + 2
+    N = len(records)
+    alt_depth = np.zeros(N, np.int32)
+    ref_depth = np.zeros(N, np.int32)
+
+    flat_records = []
+    for rec in records:
+        contig = reference.contig_by_name(rec.chrom)
+        flat_records.append(
+            (
+                contig.start + rec.pos - 1,
+                dna.seq_to_codes(rec.ref),
+                dna.seq_to_codes(rec.alt),
+            )
+        )
+    order = sorted(range(N), key=lambda i: flat_records[i][0])
+    donor, donor_of_ref, _ = build_donor(
+        ref_flat, [flat_records[i] for i in order]
+    )
+    D = len(donor)
+
+    for lo in range(0, N, batch):
+        chunk = records[lo : lo + batch]
+        queries = []
+        spans = []
+        for idx_in_chunk, rec in enumerate(chunk):
+            p0, ref_allele, alt_allele = flat_records[lo + idx_in_chunk]
+            dp0 = int(donor_of_ref[p0])
+            left = donor[max(dp0 - C, 0) : dp0]
+            dright_start = int(donor_of_ref[min(p0 + len(ref_allele), len(ref_flat))])
+            right = donor[dright_start : dright_start + C]
+            alt_q = np.concatenate([left, alt_allele, right])
+            ref_q = np.concatenate([left, ref_allele, right])
+            queries.append(alt_q)
+            queries.append(ref_q)
+            lo_b = max(len(left) - 1, 0)
+            spans.append((lo_b, lo_b + len(alt_allele) + 1, lo_b + len(ref_allele) + 1))
+        L = max(len(q) for q in queries)
+        qc = np.zeros((len(queries), L), np.uint8)
+        ql = np.zeros(len(queries), np.int32)
+        for i, q in enumerate(queries):
+            qc[i, : len(q)] = q
+            ql[i] = len(q)
+        fwd, rev = readmap.coverage(jnp.asarray(qc), jnp.asarray(ql))
+        tot = np.asarray(fwd + rev)
+        for i, rec in enumerate(chunk):
+            lo_b, alt_hi, ref_hi = spans[i]
+            aw = tot[2 * i, lo_b : min(alt_hi, ql[2 * i])]
+            rw = tot[2 * i + 1, lo_b : min(ref_hi, ql[2 * i + 1])]
+            alt_depth[lo + i] = aw.min() if len(aw) else 0
+            ref_depth[lo + i] = rw.min() if len(rw) else 0
+
+    tot_cov = alt_depth + ref_depth
+    gl = genotyper_log10(np.maximum(tot_cov, 1), alt_depth)
+    order = np.argsort(-gl, axis=1)
+    best = order[:, 0]
+    second = order[:, 1]
+    pl = np.round(-10 * (gl - gl[np.arange(N), best][:, None])).astype(np.int32)
+    gq = np.round(10 * (gl[np.arange(N), best] - gl[np.arange(N), second])).astype(
+        np.int32
+    )
+    gt_names = {0: "0/0", 1: "0/1", 2: "1/1"}
+    gt = [gt_names[int(b)] if tot_cov[i] > 0 else "./." for i, b in enumerate(best)]
+    return CoverageAnnotation(
+        alt_depth=alt_depth, ref_depth=ref_depth, gt=gt, gq=gq, pl=pl
+    )
+
+
+def run_coverage(
+    vcf_in: str,
+    vcf_out: str,
+    biograph,
+    reference,
+    sample: str = "SAMPLE",
+    features_out: str | None = None,
+):
+    """Annotate a VCF with coverage evidence + genotypes (pcmp output)."""
+    records = read_vcf(vcf_in)
+    ann = annotate_coverage(biograph.readmap, reference, records)
+    headers = [
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Total allele depth">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">',
+        '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allelic depths (ref,alt)">',
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred genotype likelihoods">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth">',
+    ]
+    with VcfWriter(
+        vcf_out,
+        sample=sample,
+        contigs=[(c.name, c.length) for c in reference.contigs],
+        extra_headers=headers,
+    ) as w:
+        for i, rec in enumerate(records):
+            dp = int(ann.alt_depth[i] + ann.ref_depth[i])
+            rec.info["DP"] = dp
+            rec.fmt = {
+                "GT": ann.gt[i],
+                "GQ": int(ann.gq[i]),
+                "AD": f"{int(ann.ref_depth[i])},{int(ann.alt_depth[i])}",
+                "PL": ",".join(str(int(x)) for x in ann.pl[i]),
+                "DP": dp,
+            }
+            w.write(rec)
+    if features_out:
+        feats = feature_matrix(records, ann)
+        np.savez(features_out, **feats)
+    return ann
+
+
+def feature_matrix(records: List[VcfRecord], ann: CoverageAnnotation):
+    """Per-variant feature vectors for the quality classifier
+    (reference: coverage.py DataFrame -> classifier/build_classifier.py)."""
+    n = len(records)
+    var_len = np.array(
+        [len(r.alt) - len(r.ref) for r in records], np.int32
+    )
+    is_snp = np.array(
+        [len(r.alt) == 1 == len(r.ref) for r in records], bool
+    )
+    frac = ann.alt_depth / np.maximum(ann.alt_depth + ann.ref_depth, 1)
+    return {
+        "alt_depth": ann.alt_depth,
+        "ref_depth": ann.ref_depth,
+        "alt_frac": frac.astype(np.float32),
+        "var_len": var_len,
+        "is_snp": is_snp.astype(np.int8),
+        "gq": ann.gq,
+        "qual": np.array([r.qual or 0 for r in records], np.float32),
+    }

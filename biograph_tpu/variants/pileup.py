@@ -170,7 +170,7 @@ def run_pileup_pipeline(
     reference: Reference,
     codes: np.ndarray,
     lengths: np.ndarray,
-    k: int = 16,
+    k: int = 13,
     min_depth: int = 8,
     max_mismatches: int = 5,
 ):

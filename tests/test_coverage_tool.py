@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+
+from biograph_tpu.core import dna
+from biograph_tpu.build.seqset_build import build_seqset
+from biograph_tpu.build.readmap_build import build_readmap
+from biograph_tpu.io.vcf import VcfRecord, VcfWriter, read_vcf
+from biograph_tpu.variants.coverage_tool import annotate_coverage, genotyper_log10
+
+
+class FakeRef:
+    def __init__(self, codes, name="chr1"):
+        from biograph_tpu.index.reference import Contig
+
+        self.flat = np.asarray(codes, np.uint8)
+        self.contigs = [Contig(name=name, start=0, length=len(codes))]
+
+    def contig_by_name(self, name):
+        return self.contigs[0]
+
+
+def _mk(rng, G=4000, L=40, coverage=30, donor=None):
+    genome = rng.integers(0, 4, size=G, dtype=np.uint8)
+    src = donor(genome) if donor else genome
+    n = int(len(src) * coverage / L)
+    starts = rng.integers(0, len(src) - L, size=n)
+    codes = np.stack([src[s : s + L] for s in starts])
+    lens = np.full(n, L, np.int32)
+    ss = build_seqset(codes, lens)
+    rm = build_readmap(ss, codes, lens)
+    return genome, src, ss, rm
+
+
+def test_genotyper_log10_behaviour():
+    gl = genotyper_log10(np.array([30, 30, 30]), np.array([0, 15, 30]))
+    assert gl[0].argmax() == 0  # all ref
+    assert gl[1].argmax() == 1  # het
+    assert gl[2].argmax() == 2  # hom alt
+
+
+def test_annotate_hom_and_absent(rng):
+    # donor has a hom SNP at 1000
+    def donor(g):
+        d = g.copy()
+        d[1000] = (d[1000] + 1) % 4
+        return d
+
+    genome, src, ss, rm = _mk(rng, donor=donor)
+    ref = FakeRef(genome)
+    alt_base = "ACGT"[(genome[1000] + 1) % 4]
+    ref_base = "ACGT"[genome[1000]]
+    other = "ACGT"[(genome[1000] + 2) % 4]
+    recs = [
+        VcfRecord(chrom="chr1", pos=1001, ref=ref_base, alt=alt_base),
+        VcfRecord(chrom="chr1", pos=1001, ref=ref_base, alt=other),
+        VcfRecord(chrom="chr1", pos=2001, ref="ACGT"[genome[2000]], alt="ACGT"[(genome[2000] + 1) % 4]),
+    ]
+    ann = annotate_coverage(rm, ref, recs)
+    # hom SNP: strong alt, ~no ref
+    assert ann.gt[0] == "1/1", (ann.alt_depth, ann.ref_depth, ann.gt)
+    assert ann.alt_depth[0] >= 10
+    # wrong alt allele at a hom-SNP site: neither allele has read support
+    # (the donor haplotype carries the *other* alt) -> no-call
+    assert ann.alt_depth[1] == 0
+    assert ann.gt[1] == "./."
+    # absent variant elsewhere: ref-only
+    assert ann.gt[2] == "0/0"
+    assert ann.ref_depth[2] >= 10
+
+
+def test_annotate_het(rng):
+    # half the reads carry the SNP: build donor reads from two haplotypes
+    G, L = 4000, 40
+    genome = rng.integers(0, 4, size=G, dtype=np.uint8)
+    hap2 = genome.copy()
+    hap2[1500] = (hap2[1500] + 1) % 4
+    n = G * 15 // L
+    r1 = np.stack([genome[s : s + L] for s in rng.integers(0, G - L, size=n)])
+    r2 = np.stack([hap2[s : s + L] for s in rng.integers(0, G - L, size=n)])
+    codes = np.concatenate([r1, r2])
+    lens = np.full(len(codes), L, np.int32)
+    ss = build_seqset(codes, lens)
+    rm = build_readmap(ss, codes, lens)
+    ref = FakeRef(genome)
+    rec = VcfRecord(
+        chrom="chr1", pos=1501, ref="ACGT"[genome[1500]], alt="ACGT"[hap2[1500]]
+    )
+    ann = annotate_coverage(rm, ref, [rec])
+    assert ann.gt[0] == "0/1", (ann.alt_depth, ann.ref_depth)
