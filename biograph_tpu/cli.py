@@ -55,13 +55,21 @@ def cmd_create(args):
     os.makedirs(args.out, exist_ok=True)
 
     t0 = time.time()
-    batches = [read_fastq(p) for p in args.reads]
-    batch = batches[0] if len(batches) == 1 else pad_batches(batches)
+    mate_of = None
+    if len(args.reads) == 1 and args.reads[0].endswith((".bam", ".sam")):
+        from biograph_tpu.io.bam import mate_pairs_from_names, read_bam, read_sam
+
+        rd = read_bam if args.reads[0].endswith(".bam") else read_sam
+        batch, _hdr = rd(args.reads[0])
+        if batch.names is not None:
+            mate_of = mate_pairs_from_names(batch.names, batch.flags)
+    else:
+        batches = [read_fastq(p) for p in args.reads]
+        batch = batches[0] if len(batches) == 1 else pad_batches(batches)
     timings["import"] = time.time() - t0
     print(f"import: {batch.num_reads} reads x <={batch.max_len}bp")
 
-    mate_of = None
-    if args.paired:
+    if args.paired and mate_of is None:
         # interleaved pairing: read 2i <-> 2i+1 (reference read_importer
         # pair association, build_seqset/read_importer.h:43-48)
         R = batch.num_reads
@@ -237,6 +245,72 @@ def cmd_coverage(args):
     )
     n = len(ann.gt)
     print(f"coverage: {n} records annotated ({time.time()-t0:.1f}s) -> {args.out}")
+
+
+def cmd_merge(args):
+    """Merge sample .bgt dirs into one merged seqset + migrated readmaps.
+    (reference: bgbinary merge, modules/biograph/biograph_merge.cpp:33)"""
+    from biograph_tpu.api import BioGraph
+    from biograph_tpu.build.merge import merge_seqsets, migrate_readmap
+
+    t0 = time.time()
+    samples = [BioGraph(p) for p in args.biographs]
+    merged, mergemaps = merge_seqsets([s.seqset for s in samples])
+    os.makedirs(args.out, exist_ok=True)
+    merged.save(os.path.join(args.out, "seqset"))
+    names = []
+    for s, mm in zip(samples, mergemaps):
+        name = s.metadata.get("accession_id") or os.path.basename(
+            s.path.rstrip("/")
+        )
+        names.append(name)
+        if s.readmap is not None:
+            rm2 = migrate_readmap(s.readmap, merged, mm)
+            rm2.save(os.path.join(args.out, f"readmap_{name}"))
+    with open(os.path.join(args.out, "metadata.json"), "w") as f:
+        json.dump(
+            {
+                "biograph_version": "biograph_tpu-0.1",
+                "merged_samples": names,
+                "num_seqset_entries": int(merged.n_entries),
+            },
+            f,
+            indent=1,
+        )
+    print(
+        f"merge: {len(samples)} samples -> {merged.n_entries} entries "
+        f"({time.time()-t0:.1f}s) -> {args.out}"
+    )
+
+
+def cmd_export_fastq(args):
+    """Reconstruct reads from seqset+readmap -> FASTQ.
+    (reference: bgbinary export_fastq)"""
+    import jax.numpy as jnp
+    from biograph_tpu.api import BioGraph
+    from biograph_tpu.core import dna as _dna
+
+    bg = BioGraph(args.biograph)
+    rm = bg.readmap
+    if rm is None:
+        raise SystemExit(f"{args.biograph}: no readmap")
+    fwd_ids = np.nonzero(np.asarray(rm.is_forward))[0]
+    entries = rm.entry_of_rm[fwd_ids]
+    lens = np.asarray(rm.read_lengths)[fwd_ids]
+    L = int(lens.max(initial=0))
+    n = 0
+    with open(args.out, "w") as f:
+        for lo in range(0, len(fwd_ids), 1 << 14):
+            hi = min(len(fwd_ids), lo + (1 << 14))
+            seqs = np.asarray(
+                bg.seqset.d.sequences(jnp.asarray(entries[lo:hi]), L)
+            )
+            for i in range(hi - lo):
+                m = int(lens[lo + i])
+                s = _dna.codes_to_seq(seqs[i, :m])
+                f.write(f"@r{int(rm.read_ids[fwd_ids[lo+i]])}\n{s}\n+\n{'I'*m}\n")
+                n += 1
+    print(f"export_fastq: {n} reads -> {args.out}")
 
 
 def cmd_qual_classifier(args):
@@ -465,6 +539,16 @@ def main(argv=None):
     pf.add_argument("--resume", action="store_true")
     pf.add_argument("--stop", help="halt after the named stage")
     pf.set_defaults(fn=cmd_full_pipeline)
+
+    pm = sub.add_parser("merge", help="merge sample .bgt dirs")
+    pm.add_argument("--biographs", nargs="+", required=True)
+    pm.add_argument("--out", required=True)
+    pm.set_defaults(fn=cmd_merge)
+
+    pe = sub.add_parser("export_fastq", help="reconstruct reads -> FASTQ")
+    pe.add_argument("--biograph", required=True)
+    pe.add_argument("--out", required=True)
+    pe.set_defaults(fn=cmd_export_fastq)
 
     pq = sub.add_parser("qual_classifier", help="variant quality classifier")
     pq.add_argument("--vcf", required=True)

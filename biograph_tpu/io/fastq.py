@@ -81,10 +81,29 @@ def _gather_rows(
 
 
 def read_fastq(
-    path: str, with_quals: bool = True, with_names: bool = False
+    path: str,
+    with_quals: bool = True,
+    with_names: bool = False,
+    use_native: bool = True,
 ) -> ReadBatch:
-    """Parse a (possibly gzipped) FASTQ file into a ReadBatch."""
+    """Parse a (possibly gzipped) FASTQ file into a ReadBatch.
+
+    Uses the native C++ scanner (biograph_tpu.native) when available and
+    names aren't needed; falls back to the vectorized numpy parser.
+    """
     buf = _read_maybe_gz(path)
+    if use_native and not with_names:
+        try:
+            from biograph_tpu.native import fastq_scan_native
+
+            out = fastq_scan_native(buf, with_quals=with_quals)
+        except ValueError:
+            raise ValueError(f"{path}: malformed FASTQ")
+        except Exception:
+            out = None
+        if out is not None:
+            codes, quals, lengths = out
+            return ReadBatch(codes=codes, lengths=lengths, quals=quals)
     arr = np.frombuffer(buf, dtype=np.uint8)
     starts, ends = _split_lines(buf)
     n_lines = len(starts) - (1 if len(starts) and starts[-1] >= len(buf) else 0)
@@ -104,7 +123,9 @@ def read_fastq(
         qrows, qlens = _gather_rows(
             arr, starts[3:n_lines:4], ends[3:n_lines:4], pad_to=seq_rows.shape[1]
         )
-        quals = qrows[:, : seq_rows.shape[1]]
+        qraw = qrows[:, : seq_rows.shape[1]]
+        # store phred (ASCII-33), matching the native scanner
+        quals = np.where(qraw >= 33, qraw - 33, 0).astype(np.uint8)
     names = None
     if with_names:
         names = [

@@ -1,0 +1,120 @@
+"""Native (C++) host-side components, loaded via ctypes.
+
+The reference implements its runtime hot loops (read import, kv sort,
+parsing) in C++ (modules/io/, modules/build_seqset/read_importer.cpp); the
+TPU build keeps the device compute in JAX/XLA but the host-side IO spine is
+native too.  The shared library builds on first use with g++ (no pybind11 —
+plain C ABI + ctypes) and is cached next to the sources.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def _build_lib() -> str:
+    src = os.path.join(_HERE, "fastq_scan.cpp")
+    out = os.path.join(_HERE, "_native.so")
+    if os.path.isfile(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        src,
+        "-o",
+        out + ".tmp",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(out + ".tmp", out)
+    return out
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if no toolchain."""
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        try:
+            path = _build_lib()
+        except Exception:
+            return None
+        lib = ctypes.CDLL(path)
+        lib.fastq_scan.restype = ctypes.c_longlong
+        lib.fastq_scan.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_int,
+        ]
+        lib.fastq_dims.restype = ctypes.c_int
+        lib.fastq_dims.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.pack_codes_2bit.restype = None
+        lib.pack_codes_2bit.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+        ]
+        _LIB = lib
+        return lib
+
+
+def fastq_scan_native(buf: bytes, with_quals: bool = True):
+    """Parse FASTQ bytes with the native scanner.
+
+    Returns (codes [R, L], quals [R, L] | None, lengths [R]) or None if the
+    native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(buf, np.uint8)
+    n_reads = ctypes.c_longlong(0)
+    max_len = ctypes.c_longlong(0)
+    rc = lib.fastq_dims(
+        arr.ctypes.data, len(arr), ctypes.byref(n_reads), ctypes.byref(max_len)
+    )
+    if rc != 0:
+        raise ValueError("malformed FASTQ (native scanner)")
+    R, L = n_reads.value, max(max_len.value, 1)
+    codes = np.zeros((R, L), np.uint8)
+    quals = np.zeros((R, L), np.uint8) if with_quals else np.zeros((1, 1), np.uint8)
+    lengths = np.zeros(R, np.int32)
+    got = lib.fastq_scan(
+        arr.ctypes.data,
+        len(arr),
+        codes.ctypes.data,
+        quals.ctypes.data,
+        lengths.ctypes.data,
+        R,
+        L,
+        1 if with_quals else 0,
+    )
+    if got != R:
+        raise ValueError(f"native FASTQ scan parsed {got}/{R} reads")
+    return codes, (quals if with_quals else None), lengths

@@ -1,0 +1,42 @@
+import os
+
+import numpy as np
+import pytest
+
+from biograph_tpu.io.bam import mate_pairs_from_names, read_bam, read_sam
+
+GOLDEN = "/root/reference/golden"
+
+
+def test_read_bam_golden():
+    batch, hdr = read_bam(os.path.join(GOLDEN, "ERR091571.bam"))
+    assert batch.num_reads > 1000
+    assert len(hdr["refs"]) >= 1
+    assert (batch.lengths > 0).all()
+    # sane base composition (no systematic N/A bias)
+    frac_a = (batch.codes[batch.codes.shape[0] // 2] == 0).mean()
+    assert 0.05 < frac_a < 0.6
+
+
+def test_bam_matches_sam():
+    """ERR091571.bam and .sam are the same alignments; importers must agree."""
+    bam, _ = read_bam(os.path.join(GOLDEN, "ERR091571.bam"))
+    sam, _ = read_sam(os.path.join(GOLDEN, "ERR091571.sam"))
+    assert bam.num_reads == sam.num_reads
+    assert (bam.lengths == sam.lengths).all()
+    assert (bam.codes == sam.codes).all()
+    assert bam.names == sam.names
+
+
+def test_sam_reverse_strand_restored():
+    sam, _ = read_sam(os.path.join(GOLDEN, "ecoli.sam"))
+    assert sam.num_reads > 100
+
+
+def test_mate_pairing():
+    names = [b"a", b"b", b"a", b"c", b"b"]
+    flags = np.array([0x41, 0x41, 0x81, 0x0, 0x81], np.int32)
+    mate_of = mate_pairs_from_names(names, flags)
+    assert mate_of[0] == 2 and mate_of[2] == 0
+    assert mate_of[1] == 4 and mate_of[4] == 1
+    assert mate_of[3] == -1
