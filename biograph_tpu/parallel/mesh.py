@@ -72,14 +72,13 @@ def sharded_pileup_step(mesh: Mesh, ref_kmers, ref_positions, ref_codes, k: int)
         # combine partial pileups across the data axis
         return lax.psum(counts, "data")
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), P(), P(), P("data"), P("data")),
         out_specs=P(),
-        check_rep=False,
     )
     return jax.jit(fn)
 

@@ -52,7 +52,7 @@ class DiscoverOptions:
     min_branch_width: int = 1
     min_extend_width: int = 1
     beam_width: int = 256  # frontier lanes per chunk batch
-    max_path: int = 240  # max assembled alt bases
+    max_path: int = 420  # max assembled alt bases (300bp-class insertions fit)
     rejoin_k: int = 23  # suffix k-mer size for rejoin detection
     max_assemblies: int = 512
     min_alt_support: int = 3

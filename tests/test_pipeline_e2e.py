@@ -144,3 +144,58 @@ def test_assembly_discovery_concordance(ecoli_ref, tmp_path):
     assert len(common) >= 0.97 * len(golden_pileup), (
         f"{len(common)}/{len(golden_pileup)}"
     )
+
+
+def test_bg_import_lambda_discovery(tmp_path):
+    """Import the reference's own lambda .bg (spiral_file format) and
+    reproduce its variant calls exactly."""
+    import gzip
+
+    from biograph_tpu.io.bgimport import open_bg_dir
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.variants.discover import (
+        DiscoverOptions,
+        discover_variants,
+    )
+
+    base = "/root/reference/datasets/lambdaToyData/benchmark"
+    ss, rm, meta = open_bg_dir(os.path.join(base, "father_lambda.bg"))
+    assert ss.n_entries == 98006
+    assert meta["accession_id"] == "father"
+    assert rm is not None and rm.read_count == 48930
+    ref = Reference.from_reference_dir(os.path.join(base, "ref_lambda"))
+    opt = DiscoverOptions(min_alt_support=3)
+    recs = discover_variants(ss, ref, opt=opt, readmap=rm, chunk_len=4096)
+    ours = {
+        (r["chrom"], r["pos"], r["ref"], r["alt"])
+        for r in recs
+        if r["support"] >= 3
+    }
+    exp = set()
+    with gzip.open(
+        os.path.join(base, "father_lambda.bg", "variants.vcf.gz"), "rt"
+    ) as f:
+        for ln in f:
+            if ln.startswith("#"):
+                continue
+            p = ln.split("\t")
+            exp.add((p[0].split(":")[0], int(p[1]), p[3], p[4]))
+    assert exp == ours, (sorted(exp - ours)[:3], sorted(ours - exp)[:3])
+
+
+def test_bg_import_hiv_seqset():
+    """The HIV divergent-sample .bg seqsets open and answer queries."""
+    from biograph_tpu.io.bgimport import open_bg_dir
+    import jax.numpy as jnp
+    from biograph_tpu.core import dna
+
+    ss, rm, meta = open_bg_dir(
+        "/root/reference/datasets/hiv/biograph/ERR381524.bg"
+    )
+    assert ss.n_entries > 1000
+    ids = jnp.asarray([0, ss.n_entries // 3, ss.n_entries - 1], jnp.int64)
+    seqs = np.asarray(ss.d.sequences(ids, 30))
+    for i, e in enumerate(np.asarray(ids)):
+        n = min(int(ss.entry_sizes[e]), 30)
+        b, en, sz = ss.find_str(dna.codes_to_seq(seqs[i, :n]))
+        assert b <= int(e) < en
