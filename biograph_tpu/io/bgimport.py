@@ -121,12 +121,19 @@ def import_bg_seqset(path: str) -> Seqset:
     meta = z.json("seqset.json")
     n = meta["num_entries"]
     fixed = np.frombuffer(z.read("fixed"), np.uint64).astype(np.int64)
-    entry_sizes = decode_varbit(
-        z.read("entry_sizes/elements"), z.json("entry_sizes/packed_varbit_vector.json")
-    ).astype(np.int32)
-    shared = decode_varbit(
-        z.read("shared/elements"), z.json("shared/packed_varbit_vector.json")
-    ).astype(np.int32)
+
+    def int_array(name):
+        # seqset v1.0 stores plain uint8 membufs; v1.1+ packed_varbit
+        # subparts (seqset.cpp:58 detect_subpart_or_uint8_membuf)
+        if f"{name}/elements" in z:
+            return decode_varbit(
+                z.read(f"{name}/elements"),
+                z.json(f"{name}/packed_varbit_vector.json"),
+            ).astype(np.int32)
+        return np.frombuffer(z.read(name), np.uint8).astype(np.int32)
+
+    entry_sizes = int_array("entry_sizes")[:n]
+    shared = int_array("shared")[:n]
 
     nw = n // 32 + 1
     prev_words = np.zeros((4, nw), np.uint32)
@@ -180,14 +187,28 @@ def import_bg_readmap(path: str, seqset: Seqset) -> Readmap:
     offsets = np.zeros(n_src + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])
 
-    read_lengths = decode_varbit(
-        z.read("read_lengths/elements"),
-        z.json("read_lengths/packed_varbit_vector.json"),
-    ).astype(np.int32)
-    mate_loop = decode_varbit(
-        z.read("mate_loop_ptr/elements"),
-        z.json("mate_loop_ptr/packed_varbit_vector.json"),
-    ).astype(np.int64)
+    def int_array(name):
+        # readmap v1.0: plain uint8 membuf (read_lengths) or
+        # packed_vector (mate_loop_ptr, 32-bit); v1.1+: packed_varbit
+        if f"{name}/elements" in z:
+            return decode_varbit(
+                z.read(f"{name}/elements"),
+                z.json(f"{name}/packed_varbit_vector.json"),
+            )
+        if f"{name}/packed_data" in z:
+            bits = z.json(f"{name}/packed_vector.json").get("value_width_bits", 32)
+            data = z.read(f"{name}/packed_data")
+            if bits == 32:
+                return np.frombuffer(data, np.uint32).astype(np.int64)
+            if bits == 1:
+                return np.unpackbits(
+                    np.frombuffer(data, np.uint8), bitorder="little"
+                ).astype(np.int64)
+            raise ValueError(f"{path}:{name}: packed_vector bits={bits}")
+        return np.frombuffer(z.read(name), np.uint8).astype(np.int64)
+
+    read_lengths = int_array("read_lengths").astype(np.int32)
+    mate_loop = int_array("mate_loop_ptr").astype(np.int64)
     isfwd_bits = np.frombuffer(z.read("is_forward/packed_data"), np.uint8)
     is_forward = (
         np.unpackbits(isfwd_bits, bitorder="little")[:n_dest].astype(bool)

@@ -199,3 +199,34 @@ def test_bg_import_hiv_seqset():
         n = min(int(ss.entry_sizes[e]), 30)
         b, en, sz = ss.find_str(dna.codes_to_seq(seqs[i, :n]))
         assert b <= int(e) < en
+
+
+def test_golden_bg_structural_equivalence():
+    """SURVEY §7 gate: rebuild the golden e_coli_10000snp.bg's seqset from
+    its own reads with OUR builder — every structure array must be
+    bit-identical to the reference-built original."""
+    import jax.numpy as jnp
+
+    from biograph_tpu.io.bgimport import open_bg_dir
+    from biograph_tpu.build.seqset_build import build_seqset
+
+    ss, rm, _ = open_bg_dir(os.path.join(GOLDEN, "e_coli_10000snp.bg"))
+    fwd = np.nonzero(np.asarray(rm.is_forward))[0]
+    entries = rm.entry_of_rm[fwd]
+    lens = np.asarray(rm.read_lengths)[fwd]
+    L = int(lens.max())
+    codes = np.zeros((len(fwd), L), np.uint8)
+    for lo in range(0, len(fwd), 1 << 14):
+        hi = min(len(fwd), lo + (1 << 14))
+        codes[lo:hi] = np.asarray(
+            ss.d.sequences(jnp.asarray(entries[lo:hi]), L)
+        )
+    codes = np.where(np.arange(L)[None, :] < lens[:, None], codes, 0).astype(
+        np.uint8
+    )
+    ss2 = build_seqset(codes, lens)
+    assert ss2.n_entries == ss.n_entries
+    for name in ("entry_sizes", "shared", "fixed", "prev_words", "pop_sel"):
+        a = np.asarray(getattr(ss, name))
+        b = np.asarray(getattr(ss2, name))
+        assert (a == b).all(), f"{name} differs"
