@@ -257,75 +257,171 @@ def _assemble_batch(d, ref, chunks, walk, anchors, opt: DiscoverOptions):
     roll = np.asarray(abp, np.uint64)
     kmask = np.uint64((1 << (2 * k)) - 1)
 
-    cur = r
-    results = {}  # anchor index -> best Assembly
     done = ~alive
-    for step_i in range(1, MAXP):
-        if done.all():
-            break
-        cand_w = []
-        children = []
+    # pad lanes and the span table to pow2 buckets for jit shape reuse
+    Ap = 1
+    while Ap < A:
+        Ap *= 2
+    packed_pad = np.full(
+        _next_pow2(len(packed)), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64
+    )
+    packed_pad[: len(packed)] = packed
+
+    def pad(x, fill=0, dtype=None):
+        out = np.full(Ap, fill, dtype or x.dtype)
+        out[:A] = x
+        return jnp.asarray(out)
+
+    state0 = dict(
+        begin=pad(np.asarray(r.begin), 0, np.int64),
+        end=pad(np.asarray(r.end), 0, np.int64),
+        size=pad(np.asarray(r.size), 0, np.int32),
+        path=jnp.asarray(
+            np.concatenate([path, np.zeros((Ap - A, MAXP), np.uint8)])
+        ),
+        path_len=pad(path_len),
+        support=pad(support),
+        n_junction=pad(n_junction),
+        roll=pad(roll),
+        done=pad(done, True, bool),
+        policy=pad(policy.astype(np.int32)),
+        min_local=pad((anchor_flat - lo_flat + 1).astype(np.int64)),
+        rejoin=pad(np.full(A, -1, np.int64), -1, np.int64),
+        out_len=pad(np.zeros(A, np.int32)),
+        out_support=pad(np.zeros(A, np.int64)),
+    )
+    out = _wavefront_jit(
+        d,
+        jnp.asarray(packed_pad),
+        state0,
+        MAXP,
+        k,
+        opt.min_extend_width,
+        opt.probe_ctx,
+    )
+    rejoin = np.asarray(out["rejoin"])[:A]
+    out_len = np.asarray(out["out_len"])[:A]
+    out_support = np.asarray(out["out_support"])[:A]
+    out_path = np.asarray(out["path"])[:A]
+
+    results = {}
+    for lane in np.nonzero(rejoin >= 0)[0]:
+        j_flat = lo_flat + int(rejoin[lane])
+        a_flat = int(anchor_flat[lane])
+        alt_len = int(out_len[lane]) - k
+        if alt_len < 0 or j_flat <= a_flat:
+            continue
+        asm = Assembly(
+            chunk_start=int(chunks[ci[rep[lane]]]),
+            anchor=a_flat,
+            rejoin=j_flat,
+            seq=out_path[lane, :alt_len].copy(),
+            support=int(out_support[lane]),
+        )
+        key = rep[lane]
+        old = results.get(key)
+        if old is None or _asm_better(asm, old):
+            results[key] = asm
+    return list(results.values())
+
+
+def _next_pow2(n):
+    p = 1
+    while p < max(n, 1):
+        p *= 2
+    return p
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _wavefront_jit(d, packed, st, MAXP: int, k: int, min_w: int, probe_ctx: int):
+    """The whole beam extension as one device program (fori over steps)."""
+    A = st["begin"].shape[0]
+    kmask = jnp.uint64((1 << (2 * k)) - 1)
+    pos_mask = jnp.uint64((1 << POS_BITS) - 1)
+    npk = packed.shape[0]
+
+    def body(step_i, st):
+        done = st["done"]
+        cur = SeqsetRanges(st["begin"], st["end"], st["size"])
+        widths = []
+        begins = []
+        ends = []
         for bb in range(4):
             c = d.push_front(cur, jnp.full((A,), 3 - bb, jnp.int32))
-            children.append(c)
-            cand_w.append(np.asarray(c.end - c.begin))
-        W = np.stack(cand_w, axis=1)  # [A, 4]
-        viable = W >= opt.min_extend_width
+            widths.append(c.end - c.begin)
+            begins.append(c.begin)
+            ends.append(c.end)
+        W = jnp.stack(widths, axis=1)  # [A, 4]
+        Bc = jnp.stack(begins, axis=1)
+        Ec = jnp.stack(ends, axis=1)
+        viable = W >= min_w
         n_viable = viable.sum(axis=1)
-        order = np.argsort(-W, axis=1, kind="stable")  # children by width desc
-        # rank chosen by this lane's policy bit at its current junction count
-        rank_bit = ((policy >> np.minimum(n_junction, 30)) & 1).astype(np.int64)
-        take_rank = np.where(n_viable > 1, rank_bit, 0)
-        best = order[np.arange(A), take_rank]
-        bw = W[np.arange(A), best]
-        ext = (~done) & (bw >= opt.min_extend_width)
-        n_junction = n_junction + ((~done) & (n_viable > 1)).astype(np.int32)
-        nb = np.where(ext, best, 0).astype(np.int32)
-        nbj = jnp.asarray(nb)
-        new_begin = jnp.stack([c.begin for c in children], axis=1)[
-            jnp.arange(A), nbj
-        ]
-        new_end = jnp.stack([c.end for c in children], axis=1)[jnp.arange(A), nbj]
-        extj = jnp.asarray(ext)
-        cur = SeqsetRanges(
-            jnp.where(extj, new_begin, cur.begin),
-            jnp.where(extj, new_end, cur.end),
-            jnp.where(extj, cur.size + 1, cur.size),
+        order = jnp.argsort(-W, axis=1, stable=True)
+        rank_bit = ((st["policy"] >> jnp.minimum(st["n_junction"], 30)) & 1).astype(
+            jnp.int64
         )
-        cur = d.truncate_ranges(cur, opt.probe_ctx)
-        path[ext, step_i] = nb[ext]
-        path_len[ext] = step_i + 1
-        support = np.where(ext, np.minimum(support, bw), support)
-        roll = np.where(
-            ext, ((roll << np.uint64(2)) | nb.astype(np.uint64)) & kmask, roll
+        take_rank = jnp.where(n_viable > 1, rank_bit, 0)
+        best = jnp.take_along_axis(order, take_rank[:, None], axis=1)[:, 0]
+        bw = jnp.take_along_axis(W, best[:, None], axis=1)[:, 0]
+        ext = (~done) & (bw >= min_w)
+        n_junction = st["n_junction"] + ((~done) & (n_viable > 1)).astype(jnp.int32)
+        nb = jnp.where(ext, best, 0).astype(jnp.int32)
+        new_begin = jnp.take_along_axis(Bc, nb[:, None].astype(jnp.int64), axis=1)[:, 0]
+        new_end = jnp.take_along_axis(Ec, nb[:, None].astype(jnp.int64), axis=1)[:, 0]
+        cur2 = SeqsetRanges(
+            jnp.where(ext, new_begin, cur.begin),
+            jnp.where(ext, new_end, cur.end),
+            jnp.where(ext, cur.size + 1, cur.size),
+        )
+        cur2 = d.truncate_ranges(cur2, probe_ctx)
+        path = st["path"].at[:, step_i].set(
+            jnp.where(ext, nb.astype(jnp.uint8), st["path"][:, step_i])
+        )
+        path_len = jnp.where(ext, step_i + 1, st["path_len"])
+        support = jnp.where(ext, jnp.minimum(st["support"], bw), st["support"])
+        roll = jnp.where(
+            ext,
+            ((st["roll"] << jnp.uint64(2)) | nb.astype(jnp.uint64)) & kmask,
+            st["roll"],
         )
         done = done | ~ext
 
-        can_rejoin = ext & (path_len > k)
-        if can_rejoin.any():
-            min_local = anchor_flat - lo_flat + 1
-            lookup = _span_lookup_after(packed, roll, min_local)
-            lookup = np.where(can_rejoin, lookup, -1)
-            for lane in np.nonzero(lookup >= 0)[0]:
-                j_flat = lo_flat + int(lookup[lane])
-                a_flat = int(anchor_flat[lane])
-                alt_len = int(path_len[lane]) - k
-                ref_len_bubble = j_flat - a_flat - 1
-                if ref_len_bubble < 0 or alt_len < 0 or j_flat <= a_flat:
-                    continue
-                asm = Assembly(
-                    chunk_start=int(chunks[ci[rep[lane]]]),
-                    anchor=a_flat,
-                    rejoin=j_flat,
-                    seq=path[lane, :alt_len].copy(),
-                    support=int(support[lane]),
-                )
-                key = rep[lane]
-                old = results.get(key)
-                if old is None or _asm_better(asm, old):
-                    results[key] = asm
-                done[lane] = True
-    return list(results.values())
+        # rejoin: nearest span occurrence of the rolling kmer after the anchor
+        can = ext & (path_len > k)
+        q = (roll << jnp.uint64(POS_BITS)) | jnp.clip(
+            st["min_local"], 0, (1 << POS_BITS) - 1
+        ).astype(jnp.uint64)
+        li = jnp.searchsorted(packed, q)
+        lic = jnp.clip(li, 0, npk - 1)
+        hit = packed[lic]
+        found = can & (li < npk) & ((hit >> jnp.uint64(POS_BITS)) == roll)
+        jpos = (hit & pos_mask).astype(jnp.int64)
+        newly = found & (st["rejoin"] < 0)
+        rejoin = jnp.where(newly, jpos, st["rejoin"])
+        out_len = jnp.where(newly, path_len, st["out_len"])
+        out_support = jnp.where(newly, support, st["out_support"])
+        done = done | newly
+        return dict(
+            begin=cur2.begin,
+            end=cur2.end,
+            size=cur2.size,
+            path=path,
+            path_len=path_len,
+            support=support,
+            n_junction=n_junction,
+            roll=roll,
+            done=done,
+            policy=st["policy"],
+            min_local=st["min_local"],
+            rejoin=rejoin,
+            out_len=out_len,
+            out_support=out_support,
+        )
+
+    return lax.fori_loop(1, MAXP, body, st)
 
 
 def _asm_better(a: Assembly, b: Assembly) -> bool:
