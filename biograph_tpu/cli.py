@@ -139,8 +139,19 @@ def cmd_create(args):
     }
     with open(os.path.join(args.out, "metadata.json"), "w") as f:
         json.dump(meta, f, indent=1)
-    qc = {"timings": timings, "total_s": time.time() - t_start}
     os.makedirs(os.path.join(args.out, "qc"), exist_ok=True)
+    from biograph_tpu.tools.qc import write_kmer_quality_report
+
+    kq = write_kmer_quality_report(
+        os.path.join(args.out, "qc", "kmer_quality_report.html"),
+        kc.total,
+        args.kmer_size,
+    )
+    qc = {
+        "timings": timings,
+        "total_s": time.time() - t_start,
+        "kmer_quality": kq,
+    }
     with open(os.path.join(args.out, "qc", "create_stats.json"), "w") as f:
         json.dump(qc, f, indent=1)
     print(f"create: done in {qc['total_s']:.1f}s -> {args.out}")
@@ -454,6 +465,51 @@ def cmd_full_pipeline(args):
     print(f"full_pipeline: done -> {results}")
 
 
+def cmd_vdb(args):
+    """Local variant warehouse (reference: biograph vdb, python/biograph/vdb/)."""
+    from biograph_tpu.tools import vdb
+
+    if args.vdb_cmd == "ingest":
+        n = vdb.ingest(args.db, args.vcf, args.sample)
+        print(f"vdb ingest: {n} records from {args.vcf} as {args.sample!r}")
+    elif args.vdb_cmd == "list":
+        meta = vdb.list_samples(args.db)
+        for s, info in sorted(meta.items()):
+            print(f"{s}\t{info['records']} records\t{info['ingested']}")
+    elif args.vdb_cmd == "query":
+        rows = vdb.query(
+            args.db,
+            sample=args.sample,
+            chrom=args.chrom,
+            pos_min=args.pos_min,
+            pos_max=args.pos_max,
+            min_qual=args.min_qual,
+            passing=args.passing,
+        )
+        for r in rows[: args.limit]:
+            print(
+                f"{r['sample']}\t{r['chrom']}\t{r['pos']}\t{r['ref']}\t"
+                f"{r['alt']}\t{r['qual']:.0f}\t{r['filter']}\t{r['gt']}"
+            )
+        print(f"# {len(rows)} rows")
+    elif args.vdb_cmd == "export":
+        n = vdb.export(args.db, args.sample, args.out)
+        print(f"vdb export: {n} records -> {args.out}")
+
+
+def cmd_refhash(args):
+    """Reference fingerprint (reference: tools/refhash.py)."""
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.tools.qc import refhash
+
+    ref = Reference.load(args.ref) if _is_artifact(args.ref) else (
+        Reference.from_reference_dir(args.ref)
+        if os.path.isdir(args.ref)
+        else Reference.from_fasta(args.ref)
+    )
+    print(refhash(ref))
+
+
 def cmd_stats(args):
     """.bgt dir -> summary (reference: biograph stats)."""
     from biograph_tpu.api import BioGraph
@@ -564,6 +620,33 @@ def main(argv=None):
     ps = sub.add_parser("stats", help="biograph dir stats")
     ps.add_argument("biograph")
     ps.set_defaults(fn=cmd_stats)
+
+    ph = sub.add_parser("refhash", help="reference fingerprint")
+    ph.add_argument("--ref", required=True)
+    ph.set_defaults(fn=cmd_refhash)
+
+    pv = sub.add_parser("vdb", help="local variant warehouse")
+    vsub = pv.add_subparsers(dest="vdb_cmd", required=True)
+    vi = vsub.add_parser("ingest")
+    vi.add_argument("--db", required=True)
+    vi.add_argument("--vcf", required=True)
+    vi.add_argument("--sample", required=True)
+    vl = vsub.add_parser("list")
+    vl.add_argument("--db", required=True)
+    vq = vsub.add_parser("query")
+    vq.add_argument("--db", required=True)
+    vq.add_argument("--sample")
+    vq.add_argument("--chrom")
+    vq.add_argument("--pos-min", type=int)
+    vq.add_argument("--pos-max", type=int)
+    vq.add_argument("--min-qual", type=float)
+    vq.add_argument("--passing", action="store_true")
+    vq.add_argument("--limit", type=int, default=50)
+    ve = vsub.add_parser("export")
+    ve.add_argument("--db", required=True)
+    ve.add_argument("--sample", required=True)
+    ve.add_argument("--out", required=True)
+    pv.set_defaults(fn=cmd_vdb)
 
     args = p.parse_args(argv)
     _force_platform(args)

@@ -602,6 +602,8 @@ def extract_variants(assemblies: List[Assembly], ref: np.ndarray, reference, opt
     substitutions are emitted verbatim (analog of the aligner + normalizer
     steps, modules/variants/align.h:8, normalize.h:7)."""
     out = []
+    trimmed = []  # (asm, pos_flat, rs, as_)
+    complex_ids = []
     for asm in assemblies:
         a, j = asm.anchor, asm.rejoin
         ref_seg = ref[a + 1 : j]
@@ -619,6 +621,26 @@ def extract_variants(assemblies: List[Assembly], ref: np.ndarray, reference, opt
         pos_flat = a + 1 + p  # first differing base (flat, 0-based)
         if len(rs) == 0 and len(as_) == 0:
             continue  # identical to reference
+        idx = len(trimmed)
+        trimmed.append((asm, pos_flat, rs, as_))
+        if (
+            len(rs) != len(as_)
+            and min(len(rs), len(as_)) > 0
+            and (len(rs) > 2 or len(as_) > 2)
+        ):
+            complex_ids.append(idx)
+    # batch-align all complex blocks on device (aligner step,
+    # modules/variants/align.h:8; ops/align_dp.py)
+    from biograph_tpu.ops.align_dp import align_blocks_batch
+
+    ops_by_id = {}
+    if complex_ids:
+        all_ops = align_blocks_batch(
+            [trimmed[i][2] for i in complex_ids],
+            [trimmed[i][3] for i in complex_ids],
+        )
+        ops_by_id = dict(zip(complex_ids, all_ops))
+    for idx, (asm, pos_flat, rs, as_) in enumerate(trimmed):
         pieces = []
         if len(rs) == len(as_):
             # same-length block: split into primitive SNPs at mismatches
@@ -632,16 +654,13 @@ def extract_variants(assemblies: List[Assembly], ref: np.ndarray, reference, opt
                             dna.codes_to_seq(as_[i : i + 1]),
                         )
                     )
-        elif min(len(rs), len(as_)) == 0 or (
-            len(rs) <= 2 and len(as_) <= 2
-        ):
+        elif idx in ops_by_id:
+            pieces.extend(
+                _align_decompose(ref, pos_flat, rs, as_, ops=ops_by_id[idx])
+            )
+        else:
             # clean indel / tiny block: left-anchor + left-shift
             pieces.append(_left_normalize(ref, pos_flat, rs, as_))
-        else:
-            # complex block: decompose by global alignment into primitive
-            # SNPs and indels (aligner + align_splitter analog,
-            # modules/variants/align.h:8,74)
-            pieces.extend(_align_decompose(ref, pos_flat, rs, as_))
         for vpos, ref_str, alt_str in pieces:
             contig = _contig_of(reference, vpos)
             if contig is None:
@@ -664,9 +683,13 @@ def extract_variants(assemblies: List[Assembly], ref: np.ndarray, reference, opt
     return sorted(seen.values(), key=lambda r: (r["chrom"], r["pos"]))
 
 
-def _align_decompose(ref, pos_flat, rs, as_):
+def _align_decompose(ref, pos_flat, rs, as_, ops=None):
     """Global alignment (affine-ish) of ref block vs alt block; emit
-    primitive SNP / indel pieces.  Host-side NW on blocks <= max_path."""
+    primitive SNP / indel pieces.  With ops precomputed (the batched device
+    aligner, ops/align_dp.py), only grouping runs here; the scalar NW below
+    is the fallback for direct calls."""
+    if ops is not None:
+        return _ops_to_pieces(ref, pos_flat, rs, as_, ops)
     n, m = len(rs), len(as_)
     GAP_OPEN, GAP_EXT, MIS = 2.5, 0.5, 1.0
     INF = 1e18
@@ -707,6 +730,11 @@ def _align_decompose(ref, pos_flat, rs, as_):
             ops.append(("I", i, j))
             state = 0 if prevM <= prevY else 2
     ops.reverse()
+    return _ops_to_pieces(ref, pos_flat, rs, as_, ops)
+
+
+def _ops_to_pieces(ref, pos_flat, rs, as_, ops):
+    """Group alignment ops into primitive SNP / indel pieces."""
     # group into variant pieces
     pieces = []
     run = None  # (kind, ref_lo, ref_hi, alt_lo, alt_hi)
