@@ -1,9 +1,10 @@
 """User-facing SDK objects.
 
 Counterpart of the reference Python SDK (python/biograph/__init__.py:33-47:
-BioGraph, Seqset, Readmap, Reference, Sequence).  A ``.bgt`` directory holds
-the artifact set for one sample: seqset/, readmap/, metadata.json — the
-analog of the reference's ``.bg`` biograph_dir layout.
+BioGraph, Seqset, Readmap, Reference, Sequence; SeqsetEntry generators).
+``BioGraph(path)`` opens either this package's ``.bgt`` artifact dirs or the
+reference's original ``.bg`` spiral_file dirs (auto-detected), so existing
+BioGraph archives work unmodified.
 """
 
 from __future__ import annotations
@@ -53,26 +54,141 @@ class Sequence:
         return Sequence(self._codes[sl])
 
 
+class SeqsetEntry:
+    """A seqset range with navigation — the SDK analog of seqset_range
+    (modules/bio_base/seqset.h:207; python/biograph SeqsetEntry)."""
+
+    def __init__(self, seqset, begin: int, end: int, size: int):
+        self._ss = seqset
+        self.begin = int(begin)
+        self.end = int(end)
+        self.size = int(size)
+
+    @property
+    def valid(self) -> bool:
+        return self.begin < self.end
+
+    def sequence(self, length: int | None = None) -> Sequence:
+        n = self.size if length is None else min(length, self.size)
+        import jax.numpy as jnp
+
+        codes = self._ss.d.sequences(jnp.asarray([self.begin]), max(n, 1))
+        return Sequence(np.asarray(codes[0, :n]))
+
+    def push_front(self, base: str) -> "SeqsetEntry":
+        import jax.numpy as jnp
+        from biograph_tpu.index.seqset import SeqsetRanges
+
+        b = int(dna.seq_to_codes(base)[0])
+        r = self._ss.d.push_front(
+            SeqsetRanges(
+                jnp.asarray([self.begin]),
+                jnp.asarray([self.end]),
+                jnp.asarray([self.size], jnp.int32),
+            ),
+            jnp.asarray([b], jnp.int32),
+        )
+        return SeqsetEntry(self._ss, int(r.begin[0]), int(r.end[0]), int(r.size[0]))
+
+    def pop_front(self) -> "SeqsetEntry":
+        import jax.numpy as jnp
+        from biograph_tpu.index.seqset import SeqsetRanges
+
+        r = self._ss.d.pop_front_ranges(
+            SeqsetRanges(
+                jnp.asarray([self.begin]),
+                jnp.asarray([self.end]),
+                jnp.asarray([self.size], jnp.int32),
+            )
+        )
+        return SeqsetEntry(self._ss, int(r.begin[0]), int(r.end[0]), int(r.size[0]))
+
+    def truncate(self, new_size: int) -> "SeqsetEntry":
+        import jax.numpy as jnp
+        from biograph_tpu.index.seqset import SeqsetRanges
+
+        r = self._ss.d.truncate_ranges(
+            SeqsetRanges(
+                jnp.asarray([self.begin]),
+                jnp.asarray([self.end]),
+                jnp.asarray([self.size], jnp.int32),
+            ),
+            new_size,
+        )
+        return SeqsetEntry(self._ss, int(r.begin[0]), int(r.end[0]), int(r.size[0]))
+
+    def __repr__(self):
+        return f"SeqsetEntry([{self.begin},{self.end}), size={self.size})"
+
+
 class BioGraph:
-    """Open a .bgt sample directory: seqset + readmap + metadata."""
+    """Open a sample archive: .bgt (this package) or .bg (reference format)."""
 
     def __init__(self, path: str):
         from biograph_tpu.index.seqset import Seqset
         from biograph_tpu.index.readmap import Readmap
+        from biograph_tpu.core import container
 
         self.path = path
-        meta_path = os.path.join(path, "metadata.json")
         self.metadata = {}
-        if os.path.isfile(meta_path):
-            with open(meta_path) as f:
-                self.metadata = json.load(f)
-        self.seqset = Seqset.load(os.path.join(path, "seqset"))
-        rm_path = os.path.join(path, "readmap")
         self.readmap: Optional[Readmap] = None
-        if os.path.isdir(rm_path):
-            self.readmap = Readmap.load(rm_path, self.seqset)
 
-    def find(self, seq) -> tuple:
+        bgt_seqset = os.path.join(path, "seqset")
+        if container.exists(bgt_seqset):
+            # native .bgt layout
+            meta_path = os.path.join(path, "metadata.json")
+            if os.path.isfile(meta_path):
+                self.metadata = json.load(open(meta_path))
+            self.seqset = Seqset.load(bgt_seqset)
+            rm_path = os.path.join(path, "readmap")
+            if os.path.isdir(rm_path):
+                self.readmap = Readmap.load(rm_path, self.seqset)
+        elif os.path.isfile(bgt_seqset):
+            # reference .bg layout (spiral_file ZIP members)
+            from biograph_tpu.io.bgimport import open_bg_dir
+
+            self.seqset, self.readmap, self.metadata = open_bg_dir(path)
+        else:
+            raise FileNotFoundError(f"{path}: no seqset found (.bgt or .bg)")
+
+    # ----- queries (reference python/biograph/__init__.py API surface) -----
+
+    def find(self, seq) -> SeqsetEntry:
+        """Find a sequence; returns a (possibly invalid) SeqsetEntry."""
         if isinstance(seq, Sequence):
             seq = str(seq)
-        return self.seqset.find_str(seq)
+        b, e, s = self.seqset.find_str(seq)
+        return SeqsetEntry(self.seqset, b, e, s)
+
+    def entry(self, entry_id: int) -> SeqsetEntry:
+        """ctx_entry analog: the range of one full seqset entry."""
+        return SeqsetEntry(
+            self.seqset, entry_id, entry_id + 1, int(self.seqset.entry_sizes[entry_id])
+        )
+
+    def seq_coverage(self, seq):
+        """Per-base read coverage of a sequence (fwd+rev), via the readmap."""
+        if self.readmap is None:
+            raise ValueError("no readmap")
+        import jax.numpy as jnp
+
+        if isinstance(seq, Sequence):
+            codes = seq.codes
+        elif isinstance(seq, str):
+            codes = dna.seq_to_codes(seq)
+        else:
+            codes = np.asarray(seq, np.uint8)
+        f, r = self.readmap.coverage(
+            jnp.asarray(codes[None, :]), jnp.asarray([len(codes)], jnp.int32)
+        )
+        return np.asarray(f + r)[0]
+
+    @property
+    def num_reads(self) -> int:
+        return self.readmap.read_count if self.readmap else 0
+
+    def __repr__(self):
+        return (
+            f"BioGraph({self.path!r}: {self.seqset.n_entries} entries, "
+            f"{self.num_reads} reads)"
+        )

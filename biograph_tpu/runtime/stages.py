@@ -1,0 +1,100 @@
+"""Resumable stage runner — the control plane of the pipeline.
+
+Replaces the reference's task framework + taskdb + worker fleet
+(modules/mapred/task.h:45 resumable JSON task state, taskdb.h:18 HTTP task
+database, main/manager.cpp worker supervision, main/resurrect.cpp job
+resurrection) with the design the TPU build actually needs:
+
+  * each stage is a pure function from input artifacts to one immutable
+    output artifact (the spiral_file property kept from the reference);
+  * a JSON run manifest records per-stage status / timings / attempts —
+    the analog of taskdb's persisted task map (taskdb.h:95);
+  * `resume` skips completed stages (bgbinary resurrect / full_pipeline
+    --resume); failed stages are retried up to `max_attempts`
+    (worker.cpp:67 max_errors);
+  * device-level parallelism comes from jax meshes inside the stage
+    functions, not from forked worker processes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import traceback
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[["StageRunner"], None]
+    outputs: List[str] = field(default_factory=list)  # artifact paths
+    max_attempts: int = 2
+
+
+class StageError(RuntimeError):
+    pass
+
+
+class StageRunner:
+    def __init__(self, run_dir: str, resume: bool = True):
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self.manifest_path = os.path.join(run_dir, "run_manifest.json")
+        self.resume = resume
+        self.manifest: Dict = {"stages": {}, "created": _now()}
+        if resume and os.path.isfile(self.manifest_path):
+            self.manifest = json.load(open(self.manifest_path))
+        self.context: Dict = {}
+
+    def _save(self):
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path)
+
+    def _stage_done(self, stage: Stage) -> bool:
+        rec = self.manifest["stages"].get(stage.name)
+        if not rec or rec.get("status") != "done":
+            return False
+        return all(os.path.exists(p) for p in stage.outputs)
+
+    def run(self, stages: List[Stage], stop_after: str | None = None):
+        """Run stages in order with resume + bounded retries."""
+        for stage in stages:
+            if self.resume and self._stage_done(stage):
+                continue
+            rec = self.manifest["stages"].setdefault(
+                stage.name, {"attempts": 0}
+            )
+            ok = False
+            while rec["attempts"] < stage.max_attempts and not ok:
+                rec["attempts"] += 1
+                rec["status"] = "running"
+                rec["started"] = _now()
+                self._save()
+                t0 = time.time()
+                try:
+                    stage.fn(self)
+                    ok = True
+                except Exception:
+                    rec["status"] = "failed"
+                    rec["error"] = traceback.format_exc().splitlines()[-1]
+                    self._save()
+            if not ok:
+                raise StageError(
+                    f"stage {stage.name!r} failed after "
+                    f"{rec['attempts']} attempts: {rec.get('error')}"
+                )
+            rec["status"] = "done"
+            rec["wall_s"] = round(time.time() - t0, 3)
+            rec["finished"] = _now()
+            self._save()
+            if stop_after == stage.name:
+                return
+
+
+def _now():
+    return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())

@@ -1,0 +1,67 @@
+import os
+
+import pytest
+
+from biograph_tpu.runtime.stages import Stage, StageError, StageRunner
+
+
+def test_stages_run_and_resume(tmp_path):
+    run = str(tmp_path / "run")
+    calls = []
+
+    def mk(name):
+        out = os.path.join(run, name + ".out")
+
+        def fn(r):
+            calls.append(name)
+            open(out, "w").write(name)
+
+        return Stage(name=name, fn=fn, outputs=[out])
+
+    stages = [mk("a"), mk("b"), mk("c")]
+    StageRunner(run).run(stages)
+    assert calls == ["a", "b", "c"]
+
+    # resume: nothing re-runs
+    calls.clear()
+    StageRunner(run).run(stages)
+    assert calls == []
+
+    # delete one output: only that stage re-runs
+    os.remove(os.path.join(run, "b.out"))
+    calls.clear()
+    StageRunner(run).run(stages)
+    assert calls == ["b"]
+
+
+def test_stage_retry_and_failure(tmp_path):
+    run = str(tmp_path / "run")
+    attempts = {"n": 0}
+
+    def flaky(r):
+        attempts["n"] += 1
+        if attempts["n"] < 2:
+            raise RuntimeError("transient")
+        open(os.path.join(run, "f.out"), "w").write("ok")
+
+    s = Stage("flaky", flaky, outputs=[os.path.join(run, "f.out")], max_attempts=3)
+    StageRunner(run).run([s])
+    assert attempts["n"] == 2
+
+    def always_fails(r):
+        raise RuntimeError("boom")
+
+    with pytest.raises(StageError):
+        StageRunner(str(tmp_path / "run2")).run(
+            [Stage("bad", always_fails, max_attempts=2)]
+        )
+
+
+def test_stop_after(tmp_path):
+    run = str(tmp_path / "run")
+    calls = []
+    stages = [
+        Stage(n, (lambda n: lambda r: calls.append(n))(n)) for n in ("x", "y", "z")
+    ]
+    StageRunner(run).run(stages, stop_after="y")
+    assert calls == ["x", "y"]
