@@ -170,6 +170,95 @@ def annotate_coverage(
     )
 
 
+def annotate_pair_coverage(
+    readmap,
+    reference,
+    records: List[VcfRecord],
+    max_frag: int = 1000,
+) -> np.ndarray:
+    """Per-variant mate-pair support (pair_cov / pair_edge_cov analog,
+    modules/variants/pair_cov.cpp): reconstruct the sample's reads from the
+    readmap, place them on the donor-patched genome, and count read PAIRS
+    that straddle or cover each variant with both mates placed within
+    max_frag in proper orientation.
+
+    Returns int32 [N] pair counts.
+    """
+    import jax.numpy as jnp
+
+    from biograph_tpu.variants.align import RefKmerIndex, place_reads
+
+    N = len(records)
+    if N == 0 or readmap is None:
+        return np.zeros(N, np.int32)
+    rm = readmap
+    loop = np.asarray(rm.mate_pair_ptr)
+    fwd_ids = np.nonzero(np.asarray(rm.is_forward))[0]
+    # mate (forward-entry) of each forward rm entry; self if unpaired
+    mate2 = loop[loop]  # rm-entry of mate's forward (fwd->rc->mate_fwd)
+    # reconstruct forward-oriented reads
+    entries = rm.entry_of_rm[fwd_ids]
+    lens = np.asarray(rm.read_lengths)[fwd_ids]
+    L = int(lens.max(initial=1))
+    codes = np.zeros((len(fwd_ids), L), np.uint8)
+    ss = rm.seqset
+    for lo in range(0, len(fwd_ids), 1 << 14):
+        hi = min(len(fwd_ids), lo + (1 << 14))
+        codes[lo:hi] = np.asarray(
+            ss.d.sequences(jnp.asarray(entries[lo:hi]), L)
+        )
+    codes = np.where(np.arange(L)[None, :] < lens[:, None], codes, 0).astype(
+        np.uint8
+    )
+    # donor genome with all variants applied
+    ref_flat = np.asarray(reference.flat)
+    flat_records = []
+    for rec in records:
+        contig = reference.contig_by_name(rec.chrom)
+        flat_records.append(
+            (
+                contig.start + rec.pos - 1,
+                dna.seq_to_codes(rec.ref),
+                dna.seq_to_codes(rec.alt),
+            )
+        )
+    order = sorted(range(N), key=lambda i: flat_records[i][0])
+    donor, donor_of_ref, _ = build_donor(ref_flat, [flat_records[i] for i in order])
+    idx = RefKmerIndex.build(donor, 13)
+    pl = place_reads(idx, codes, lens, max_mismatches=3)
+
+    # map rm forward entry -> index in fwd_ids
+    pos_of_fwd = np.full(rm.num_entries, -1, np.int64)
+    pos_of_fwd[fwd_ids] = np.arange(len(fwd_ids))
+    mate_idx = pos_of_fwd[mate2[fwd_ids]]  # index into fwd arrays, or self
+    placed = pl.pos >= 0
+    paired = (mate_idx != np.arange(len(fwd_ids))) & (mate_idx >= 0)
+    both = placed & paired & placed[np.clip(mate_idx, 0, len(fwd_ids) - 1)]
+    frag_ok = both & (
+        np.abs(pl.pos - pl.pos[np.clip(mate_idx, 0, len(fwd_ids) - 1)])
+        <= max_frag
+    )
+    # proper orientation: mates on opposite strands
+    frag_ok &= pl.is_rc != pl.is_rc[np.clip(mate_idx, 0, len(fwd_ids) - 1)]
+
+    # pair span on donor
+    a = np.minimum(pl.pos, pl.pos[np.clip(mate_idx, 0, len(fwd_ids) - 1)])
+    b = np.maximum(
+        pl.pos + lens, pl.pos[np.clip(mate_idx, 0, len(fwd_ids) - 1)] + lens
+    )
+    sel = np.nonzero(frag_ok)[0]
+    a, b = a[sel], b[sel]
+    pc = np.zeros(N, np.int32)
+    for i, rec in enumerate(records):
+        p0, ra, aa = flat_records[i]
+        dlo = int(donor_of_ref[p0])
+        dhi = dlo + len(aa)
+        # pairs whose span covers the variant
+        cover = (a <= dlo) & (b >= dhi)
+        pc[i] = int(cover.sum()) // 2  # each pair counted from both mates
+    return pc
+
+
 def run_coverage(
     vcf_in: str,
     vcf_out: str,
@@ -198,6 +287,7 @@ def run_coverage(
         for i, rec in enumerate(records):
             dp = int(ann.alt_depth[i] + ann.ref_depth[i])
             rec.info["DP"] = dp
+            rec.info["PC"] = int(pc[i])
             rec.fmt = {
                 "GT": ann.gt[i],
                 "GQ": int(ann.gq[i]),

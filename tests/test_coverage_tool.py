@@ -87,3 +87,44 @@ def test_annotate_het(rng):
     )
     ann = annotate_coverage(rm, ref, [rec])
     assert ann.gt[0] == "0/1", (ann.alt_depth, ann.ref_depth)
+
+
+def test_pair_coverage(rng):
+    """Paired reads spanning a variant produce PC support."""
+    from biograph_tpu.io.vcf import VcfRecord
+    from biograph_tpu.variants.coverage_tool import annotate_pair_coverage
+
+    G, L, FRAG = 4000, 40, 200
+    genome = rng.integers(0, 4, size=G, dtype=np.uint8)
+    donor = genome.copy()
+    donor[2000] = (donor[2000] + 1) % 4  # hom SNP
+    # paired reads: mate2 = revcomp of fragment end
+    n = 600
+    starts = rng.integers(0, G - FRAG, size=n)
+    r1 = np.stack([donor[s : s + L] for s in starts])
+    r2 = np.stack(
+        [
+            np.asarray(dna.revcomp_codes(donor[s + FRAG - L : s + FRAG]))
+            for s in starts
+        ]
+    )
+    codes = np.empty((2 * n, L), np.uint8)
+    codes[0::2] = r1
+    codes[1::2] = r2
+    lens = np.full(2 * n, L, np.int32)
+    mate_of = np.arange(2 * n, dtype=np.int64)
+    mate_of[0::2] += 1
+    mate_of[1::2] -= 1
+    ss = build_seqset(codes, lens)
+    rm = build_readmap(ss, codes, lens, mate_of)
+    ref = FakeRef(genome)
+    rec = VcfRecord(
+        chrom="chr1", pos=2001, ref="ACGT"[genome[2000]], alt="ACGT"[donor[2000]]
+    )
+    pc = annotate_pair_coverage(rm, ref, [rec])
+    # expected spanning pairs ~ coverage*frag/... just assert healthy support
+    assert pc[0] >= 10, pc
+    # a variant in an uncovered region of a second contig-less area: none
+    rec2 = VcfRecord(chrom="chr1", pos=1, ref="ACGT"[genome[0]], alt="ACGT"[(genome[0]+1)%4])
+    pc2 = annotate_pair_coverage(rm, ref, [rec2])
+    assert pc2[0] <= 2
