@@ -465,6 +465,35 @@ def cmd_full_pipeline(args):
     print(f"full_pipeline: done -> {results}")
 
 
+def cmd_upgrade(args):
+    """Convert a reference-format .bg archive to a native .bgt dir.
+    (reference: bgbinary upgrade, modules/biograph/main.cpp command list)"""
+    from biograph_tpu.io.bgimport import open_bg_dir
+
+    t0 = time.time()
+    ss, rm, meta = open_bg_dir(args.input)
+    os.makedirs(args.out, exist_ok=True)
+    ss.save(os.path.join(args.out, "seqset"))
+    if rm is not None:
+        rm.save(os.path.join(args.out, "readmap"))
+    with open(os.path.join(args.out, "metadata.json"), "w") as f:
+        json.dump(
+            {
+                "biograph_version": "biograph_tpu-0.1",
+                "upgraded_from": os.path.abspath(args.input),
+                "accession_id": meta.get("accession_id", ""),
+                "num_seqset_entries": int(ss.n_entries),
+            },
+            f,
+            indent=1,
+        )
+    print(
+        f"upgrade: {ss.n_entries} entries"
+        + (f", {rm.read_count} reads" if rm else "")
+        + f" -> {args.out} ({time.time()-t0:.1f}s)"
+    )
+
+
 def cmd_vdb(args):
     """Local variant warehouse (reference: biograph vdb, python/biograph/vdb/)."""
     from biograph_tpu.tools import vdb
@@ -620,6 +649,11 @@ def main(argv=None):
     ps = sub.add_parser("stats", help="biograph dir stats")
     ps.add_argument("biograph")
     ps.set_defaults(fn=cmd_stats)
+
+    pu = sub.add_parser("upgrade", help="convert reference .bg to native .bgt")
+    pu.add_argument("--in", dest="input", required=True)
+    pu.add_argument("--out", required=True)
+    pu.set_defaults(fn=cmd_upgrade)
 
     ph = sub.add_parser("refhash", help="reference fingerprint")
     ph.add_argument("--ref", required=True)
