@@ -230,3 +230,46 @@ def test_golden_bg_structural_equivalence():
         a = np.asarray(getattr(ss, name))
         b = np.asarray(getattr(ss2, name))
         assert (a == b).all(), f"{name} differs"
+
+
+@pytest.mark.parametrize("sample", ["father", "mother", "proband"])
+def test_lambda_trio_pcmp_genotypes(sample):
+    """Coverage-tool genotypes must agree with the reference's own pcmp
+    output (<sample>_single_pcmp.vcf) on the lambda trio — includes 100bp
+    and 300bp SV deletions and a 100bp insertion."""
+    from biograph_tpu.api import BioGraph
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.io.vcf import VcfRecord
+    from biograph_tpu.variants.coverage_tool import annotate_coverage
+
+    base = "/root/reference/datasets/lambdaToyData/benchmark"
+    bg = BioGraph(os.path.join(base, f"{sample}_lambda.bg"))
+    ref = Reference.from_reference_dir(os.path.join(base, "ref_lambda"))
+    exp = []
+    for ln in open(os.path.join(base, f"{sample}_single_pcmp.vcf")):
+        if ln.startswith("#"):
+            continue
+        f = ln.rstrip().split("\t")
+        d = dict(zip(f[8].split(":"), f[9].split(":")))
+        want = d.get("GT", ".")
+        if want == ".":
+            want = d.get("PGT", ".")
+        exp.append((f[0], int(f[1]), f[3], f[4], want))
+    records = [
+        VcfRecord(chrom=c, pos=p, ref=r, alt=a) for c, p, r, a, _ in exp
+    ]
+    ann = annotate_coverage(bg.readmap, ref, records)
+    agree = tot = 0
+    mism = []
+    for i, (c, p, r, a, want) in enumerate(exp):
+        if want == ".":
+            continue
+        tot += 1
+        got = ann.gt[i]
+        ok = got.replace("|", "/") == want.replace("|", "/") or (
+            want == "0/0" and got == "./."
+        )
+        agree += ok
+        if not ok:
+            mism.append((c, p, want, got))
+    assert agree >= 0.9 * tot, (agree, tot, mism[:4])
