@@ -112,9 +112,25 @@ def main():
         except Exception as e:
             p.kill()
             print(f"bench: {platform} leg failed: {e}", file=sys.stderr)
-    tpu = rates.get("tpu") or rates.get("cpu") or 0.0
+    tpu = rates.get("tpu")
     cpu = rates.get("cpu")
-    vs = round(tpu / cpu, 2) if cpu else 1.0
+    if tpu is None:
+        # TPU leg failed: say so rather than reporting the CPU rate as a
+        # chip number with vs_baseline pinned to 1.0
+        print(
+            json.dumps(
+                {
+                    "metric": "discovery_bases_per_s",
+                    "value": round(cpu or 0.0, 1),
+                    "unit": "bases/s",
+                    "vs_baseline": 0.0,
+                    "platform": "cpu-fallback",
+                    "error": "tpu leg produced no rate",
+                }
+            )
+        )
+        return
+    vs = round(tpu / cpu, 2) if cpu else 0.0
     print(
         json.dumps(
             {
@@ -122,6 +138,7 @@ def main():
                 "value": round(tpu, 1),
                 "unit": "bases/s",
                 "vs_baseline": vs,
+                "platform": "tpu",
             }
         )
     )

@@ -19,14 +19,21 @@ import jax
 import jax.numpy as jnp
 import optax
 
-FEATURES = ["alt_depth", "ref_depth", "alt_frac", "var_len", "is_snp", "gq", "qual"]
+FEATURES = [
+    "alt_depth", "ref_depth", "alt_frac", "var_len", "is_snp", "gq", "qual",
+    "pair_cov",
+]
 
 
 def stack_features(feats: Dict[str, np.ndarray]) -> np.ndarray:
+    n = len(np.asarray(next(iter(feats.values()))))
     cols = []
     for name in FEATURES:
-        col = np.asarray(feats[name], np.float32)
-        if name in ("alt_depth", "ref_depth", "gq", "qual"):
+        if name in feats:
+            col = np.asarray(feats[name], np.float32)
+        else:
+            col = np.zeros(n, np.float32)  # older feature files lack pair_cov
+        if name in ("alt_depth", "ref_depth", "gq", "qual", "pair_cov"):
             col = np.log1p(np.maximum(col, 0))
         if name == "var_len":
             col = np.sign(col) * np.log1p(np.abs(col))

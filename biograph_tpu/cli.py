@@ -205,7 +205,28 @@ def cmd_discovery(args):
         recs = discover_variants(
             bg.seqset, ref, region=region, opt=opt, readmap=bg.readmap
         )
-        print(f"discovery: {len(recs)} assembled records ({time.time()-t0:.1f}s)")
+        n_wave = len(recs)
+        if bg.readmap is not None and not getattr(args, "no_sv", False):
+            # pair/split-evidence SV pass (pop_tracer analog): events beyond
+            # the wavefront's path cap, merged into the same record stream
+            from biograph_tpu.variants.pop_tracer import (
+                discover_structural,
+                reads_from_readmap,
+            )
+
+            codes, lens, mate = reads_from_readmap(bg.readmap)
+            seen = {(r["chrom"], r["pos"], r["ref"], r["alt"]) for r in recs}
+            sv = [
+                r
+                for r in discover_structural(ref, codes, lens, mate_of=mate)
+                if (r["chrom"], r["pos"], r["ref"], r["alt"]) not in seen
+                and (region is None or _rec_in_region(ref, r, region))
+            ]
+            recs = sorted(recs + sv, key=lambda r: (r["chrom"], r["pos"]))
+        print(
+            f"discovery: {n_wave} assembled + {len(recs)-n_wave} SV records "
+            f"({time.time()-t0:.1f}s)"
+        )
         write_discovery_vcf(args.out, ref, recs, sample=args.sample, opt=opt)
     else:
         from biograph_tpu.io.fastq import read_fastq
@@ -228,6 +249,12 @@ def cmd_discovery(args):
         )
         write_pileup_vcf(args.out, ref, counts, calls, sample=args.sample)
     print(f"vcf -> {args.out}")
+
+
+def _rec_in_region(ref, rec, region):
+    c = ref.contig_by_name(rec["chrom"])
+    flat = c.start + rec["pos"] - 1
+    return region[0] <= flat < region[1]
 
 
 def cmd_coverage(args):
@@ -599,6 +626,11 @@ def main(argv=None):
     pd.add_argument("--min-depth", type=int, default=8)
     pd.add_argument("--mode", choices=["pileup", "assemble"], default="pileup")
     pd.add_argument("--region", help="contig:lo-hi (0-based)")
+    pd.add_argument(
+        "--no-sv",
+        action="store_true",
+        help="skip the pair/split-evidence SV pass (assemble mode)",
+    )
     pd.set_defaults(fn=cmd_discovery)
 
     pcov = sub.add_parser("coverage", help="annotate + genotype a VCF (pcmp)")

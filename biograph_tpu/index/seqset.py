@@ -438,41 +438,21 @@ class _SeqsetDevice:
     def _widen(self, begin, end, size):
         """Expand [begin, end) to the maximal run where shared >= size.
 
-        shared[j] >= size for all j in (begin', end'); done with a geometric
-        gather scan (max_entry_len iterations worst case is unnecessary:
-        widening by power-of-two probes against a min-scan would be O(log);
-        for now step widening is capped by max run length via doubling probe).
-        """
-        # Doubling widening: check blocks of increasing size using gathered
-        # minima computed on the fly.  Simple version: step-by-1 widening with
-        # while_loop, vectorized over lanes (each iteration widens every
-        # unfinished lane by one).
-        n = self.n_entries
-        size = jnp.asarray(size)
-
-        def cond(state):
-            b, e, bdone, edone = state
-            return jnp.any(~bdone) | jnp.any(~edone)
-
-        def body(state):
-            b, e, bdone, edone = state
-            can_b = (~bdone) & (b > 0)
-            sh_b = jnp.take(self.shared, jnp.maximum(b, 1))
-            grow_b = can_b & (sh_b >= size)
-            b = jnp.where(grow_b, b - 1, b)
-            bdone = bdone | ~grow_b
-            can_e = (~edone) & (e < n)
-            sh_e = jnp.take(self.shared, jnp.minimum(e, n - 1))
-            grow_e = can_e & (sh_e >= size)
-            e = jnp.where(grow_e, e + 1, e)
-            edone = edone | ~grow_e
-            return b, e, bdone, edone
-
-        b0 = jnp.asarray(begin)
-        e0 = jnp.asarray(end)
-        f = jnp.zeros(b0.shape, bool)
-        b, e, _, _ = lax.while_loop(cond, body, (b0, e0, f, f))
-        return b, e
+        Invariant: shared[j] >= size for all j in (begin', end') exclusive.
+        Both boundaries are nearest-shared-below-size queries, answered in
+        O(block walk) by the two-level LtSearch structure (the reference does
+        the equivalent jumps through its shared-prefix array,
+        seqset.cpp:630-664) — not a step-by-1 widening loop, which gated every
+        lane on the slowest lane's run length."""
+        begin = jnp.asarray(begin)
+        end = jnp.asarray(end)
+        size = jnp.asarray(size, jnp.int32)
+        # largest j <= begin with shared[j] < size  (run start boundary)
+        nb = self.shared_lt.next_backward_lt(begin + 1, size)
+        nb = jnp.maximum(nb, 0)
+        # smallest j >= end with shared[j] < size   (run end boundary; n if none)
+        ne = self.shared_lt.next_forward_lt(end - 1, size)
+        return nb, ne
 
 
 jax.tree_util.register_pytree_node(

@@ -94,17 +94,24 @@ def decode_varbit(data: bytes, meta: dict) -> np.ndarray:
     if bits % 8 == 0 and bits in (8, 16, 32, 64):
         dt = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}[bits]
         return np.frombuffer(data, dt)[:n].astype(np.int64)
-    # general bit-packed little-endian: read 8 bytes from start_bit//8
+    # general bit-packed little-endian: read 8 bytes from start_bit//8, plus
+    # an explicit 9th byte for fields crossing 64 bits from the start byte
+    # (bits 58-63 with shift > 0 — a shift of 64 would wrap to 0 in numpy)
     start_bits = np.arange(n, dtype=np.int64) * bits
     byte0 = start_bits >> 3
-    shift = (start_bits & 7).astype(np.int64)
+    shift = (start_bits & 7).astype(np.uint64)
     pad = np.zeros(len(arr) + 16, np.uint8)
     pad[: len(arr)] = arr
-    # gather 9 bytes to cover shift+bits <= 7+57
-    vals = np.zeros(n, np.uint64)
-    for i in range(9):
-        vals |= pad[byte0 + i].astype(np.uint64) << np.uint64(8 * i) >> np.uint64(0)
-    vals = (vals >> shift.astype(np.uint64)) & np.uint64((1 << bits) - 1)
+    low = np.zeros(n, np.uint64)
+    for i in range(8):
+        low |= pad[byte0 + i].astype(np.uint64) << np.uint64(8 * i)
+    vals = low >> shift
+    byte8 = pad[byte0 + 8].astype(np.uint64)
+    # clamp the shift so the discarded (shift==0) lanes never shift by 64
+    hi_shift = np.uint64(64) - np.maximum(shift, np.uint64(1))
+    hi = np.where(shift > 0, byte8 << hi_shift, np.uint64(0))
+    vals |= hi
+    vals &= np.uint64((1 << bits) - 1) if bits < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
     return vals.astype(np.int64)
 
 

@@ -103,6 +103,9 @@ def read_fastq(
             out = None
         if out is not None:
             codes, quals, lengths = out
+            if codes.shape[0] == 0 and buf.strip():
+                # non-empty file that parsed to zero reads = truncated record
+                raise ValueError(f"{path}: malformed FASTQ (truncated record)")
             return ReadBatch(codes=codes, lengths=lengths, quals=quals)
     arr = np.frombuffer(buf, dtype=np.uint8)
     starts, ends = _split_lines(buf)

