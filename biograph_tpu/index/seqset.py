@@ -70,7 +70,16 @@ class Seqset:
     def d(self):
         """Device-resident arrays bundle (jnp)."""
         from biograph_tpu.ops.ltsearch import LtSearch
+        from biograph_tpu.ops.rank4 import build_rank4_table
 
+        # The MXU rank4 kernel needs a real TPU backend (Pallas on the CPU
+        # backend only runs interpreted) and a VMEM-resident structure
+        table = None
+        try:
+            if jax.devices()[0].platform != "cpu":
+                table = build_rank4_table(self.prev_words, self.prev_cum)
+        except Exception:
+            table = None
         return _SeqsetDevice(
             fixed=jnp.asarray(self.fixed),
             prev_words=jnp.asarray(self.prev_words),
@@ -80,6 +89,7 @@ class Seqset:
             pop_sel=jnp.asarray(np.asarray(self.pop_sel)),
             n_entries=self.n_entries,
             shared_lt=LtSearch.build(np.asarray(self.shared)),
+            rank4_table=table,
         )
 
     # ---------------- convenience (host-side, small queries) -------------
@@ -154,6 +164,7 @@ class _SeqsetDevice:
     pop_sel: jnp.ndarray
     n_entries: int
     shared_lt: object = None  # LtSearch over shared (push_front_drop)
+    rank4_table: jnp.ndarray | None = None  # MXU rank kernel table (ops/rank4)
 
     def tree_flatten(self):
         children = (
@@ -164,6 +175,7 @@ class _SeqsetDevice:
             self.shared,
             self.pop_sel,
             self.shared_lt,
+            self.rank4_table,
         )
         return children, self.n_entries
 
@@ -178,6 +190,7 @@ class _SeqsetDevice:
             pop_sel=children[5],
             n_entries=aux,
             shared_lt=children[6],
+            rank4_table=children[7],
         )
 
     # -- primitive ops (all batched) --
@@ -189,9 +202,14 @@ class _SeqsetDevice:
         nw = self.prev_words.shape[1]
         w = (pos >> 5).astype(jnp.int64)
         rem = (pos & 31).astype(jnp.uint32)
-        flat = b.astype(jnp.int64) * nw + w
+        # pos == 32*nw (an end position when n_entries % 32 == 0) must count
+        # the last word fully, not index past the structure
+        over = w >= nw
+        wc = jnp.minimum(w, nw - 1)
+        flat = b.astype(jnp.int64) * nw + wc
         word = jnp.take(self.prev_words.reshape(-1), flat)
         mask = jnp.where(rem > 0, (jnp.uint32(1) << rem) - jnp.uint32(1), jnp.uint32(0))
+        mask = jnp.where(over, jnp.uint32(0xFFFFFFFF), mask)
         part = lax.population_count(word & mask).astype(jnp.int64)
         return jnp.take(self.prev_cum.reshape(-1), flat) + part
 
@@ -237,6 +255,39 @@ class _SeqsetDevice:
         nb = jnp.where(was_valid, nb, r.begin)
         ne = jnp.where(was_valid, ne, r.begin)
         return SeqsetRanges(begin=nb, end=ne, size=jnp.where(was_valid, new_size, r.size))
+
+    def rank4(self, pos):
+        """All-4-bases rank at each position: int32 [B, 4].
+
+        Uses the MXU one-hot-matmul kernel (ops/rank4.py) when the structure
+        fits VMEM, a TPU backend is active, and the batch is wide enough to
+        fill the kernel's query block (narrow batches pad to Q_BLOCK lanes
+        and pay Mosaic compile time for nothing); else fused XLA gathers."""
+        from biograph_tpu.ops.rank4 import rank4_pallas, rank4_xla
+
+        if self.rank4_table is not None and pos.shape[0] >= 256:
+            return rank4_pallas(self.rank4_table, pos)
+        return rank4_xla(self.prev_words, self.prev_cum, pos)
+
+    def push4(self, r: SeqsetRanges):
+        """Children of each range for ALL four pushed bases at once.
+
+        Returns (begin4, end4) int64 [B, 4] indexed by the pushed base —
+        column b equals push_front(r, b).(begin, end).  Costs two rank4
+        evaluations instead of eight rank chains; the wavefront's 4-base
+        probe is built on this."""
+        r4b = self.rank4(r.begin).astype(jnp.int64)
+        r4e = self.rank4(r.end).astype(jnp.int64)
+        nb = self.fixed[None, :4] + r4b
+        ne = self.fixed[None, :4] + r4e
+        new_size = (r.size + 1)[:, None]
+        sizes_nb = jnp.take(self.entry_sizes, jnp.minimum(nb, self.n_entries - 1))
+        kick = (nb < ne) & (sizes_nb < new_size)
+        nb = nb + kick.astype(nb.dtype)
+        was_valid = (r.begin < r.end)[:, None]
+        nb = jnp.where(was_valid, nb, r.begin[:, None])
+        ne = jnp.where(was_valid, ne, r.begin[:, None])
+        return nb, ne
 
     def push_front_drop(self, r: SeqsetRanges, b, min_ctx=0) -> SeqsetRanges:
         """Batched seqset_range::push_front_drop (seqset.cpp:350-427).

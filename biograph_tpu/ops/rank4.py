@@ -1,0 +1,173 @@
+"""Fused 4-way rank queries on the MXU (the seqset's hot kernel).
+
+The reference answers one rank query at a time by pointer-chasing its
+bitcount accel tables (modules/io/bitcount.h:13 count(), used by
+seqset_range::push_front at modules/bio_base/seqset.cpp:319-338).  On TPU,
+random gathers are the enemy; this kernel reformulates a *batch* of rank
+queries as one-hot matmuls so the MXU does the "gather":
+
+    rank_b(pos) = cum[b, pos>>5] + popcount(words[b, pos>>5] & mask(pos&31))
+
+The per-word cum table and the two 16-bit halves of each word are packed into
+one f32 matrix T [12, nw] (f32 is exact below 2^24, so n_entries < 16.7M
+keeps cum exact).  A query block builds EQ[nw, Q] = onehot(pos>>5) on the
+VPU, and ONE matmul T @ EQ -> [12, Q] selects cum/lo/hi for all four bases of
+every query simultaneously; the masked-word popcount finishes on the VPU.
+All four base ranks per position come out of a single MXU pass — the
+wavefront's 4-base probe costs 2 kernel calls (begin + end) instead of 8
+gather-chain rank evaluations.
+
+Scope: the structure matrix must live in VMEM, bounding nw <= MAX_NW words
+(n_entries <= 32*MAX_NW).  Bigger seqsets fall back to the XLA gather path
+(biograph_tpu.index.seqset.rank) — the DMA-per-superblock variant is the
+planned extension.
+
+Mosaic gotchas honored (see ops/pallas_rank.py): i32 index_map literals,
+bitcast instead of uint<->int astype, no 64-bit types in-kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+Q_BLOCK = 1024  # queries per grid step (lanes; best measured on v5e)
+MAX_NW = 4096  # structure words held in VMEM (=> n_entries <= 131072)
+
+
+def build_rank4_table(prev_words: np.ndarray, prev_cum: np.ndarray):
+    """Pack the rank structure for the kernel as byte limbs.
+
+    prev_words: uint32 [4, nw]; prev_cum: int64 [4, nw] (exclusive prefix
+    popcounts).  Returns bf16 [28, nwp] or None when the structure exceeds
+    the kernel's VMEM budget or 24-bit cum range.
+
+    Every limb is a byte (<= 255), exact in bf16, so the MXU's native
+    single-pass bf16 matmul reconstructs cum (3 limbs) and the word (4
+    limbs) exactly after f32 accumulation — no multi-pass f32 emulation.
+    Row layout: cum byte j rows 4j..4j+3 (j=0..2), word byte j rows
+    12+4j..12+4j+3 (j = LSB first)."""
+    words = np.asarray(prev_words, np.uint32)
+    cum = np.asarray(prev_cum)
+    nw = words.shape[1]
+    if nw == 0 or nw > MAX_NW or cum.max(initial=0) >= (1 << 24):
+        return None
+    nwp = 512
+    while nwp < nw + 1:
+        nwp *= 2
+    if nwp > MAX_NW:
+        return None
+    out = np.zeros((28, nwp), np.float32)
+    # positions past the real structure select total counts with a zero word
+    # (an end position == n_entries on a word boundary lands here)
+    totals = cum[:, -1] + np.array(
+        [int(bin(int(w)).count("1")) for w in words[:, -1]], np.int64
+    )
+    cum_pad = np.concatenate(
+        [cum, np.repeat(totals[:, None], nwp - nw, axis=1)], axis=1
+    ).astype(np.int64)
+    words_pad = np.zeros((4, nwp), np.uint32)
+    words_pad[:, :nw] = words
+    for j in range(3):
+        out[4 * j : 4 * j + 4] = ((cum_pad >> (8 * j)) & 0xFF).astype(np.float32)
+    for j in range(4):
+        out[12 + 4 * j : 16 + 4 * j] = (
+            (words_pad >> np.uint32(8 * j)) & np.uint32(0xFF)
+        ).astype(np.float32)
+    return jnp.asarray(out, jnp.bfloat16)
+
+
+def _rank4_kernel(pos_ref, table_ref, out_ref):
+    """One grid step: Q_BLOCK query positions -> [4, Q_BLOCK] ranks."""
+    pos = pos_ref[...]  # i32 [1, Q]
+    nwp = table_ref.shape[1]
+    W = lax.shift_right_logical(pos, jnp.int32(5))  # word index [1, Q]
+    rem = lax.bitwise_and(pos, jnp.int32(31))
+    iota = lax.broadcasted_iota(jnp.int32, (nwp, Q_BLOCK), 0)
+    eq = (iota == W).astype(jnp.bfloat16)  # [nwp, Q] one-hot
+    sel = jnp.dot(
+        table_ref[...], eq, preferred_element_type=jnp.float32
+    )  # [28, Q]: native bf16 MXU pass, f32 accumulate — exact byte limbs
+    limbs = sel.astype(jnp.int32)
+    cum = (
+        limbs[0:4, :]
+        + lax.shift_left(limbs[4:8, :], jnp.int32(8))
+        + lax.shift_left(limbs[8:12, :], jnp.int32(16))
+    )
+    word = limbs[12:16, :]
+    for j in range(1, 4):
+        word = lax.bitwise_or(
+            word, lax.shift_left(limbs[12 + 4 * j : 16 + 4 * j, :], jnp.int32(8 * j))
+        )
+    mask = lax.shift_left(jnp.int32(1), rem) - jnp.int32(1)
+    mask = jnp.where(rem > jnp.int32(0), mask, jnp.int32(0))
+    wu = lax.bitcast_convert_type(word, jnp.uint32)
+    mu = lax.bitcast_convert_type(jnp.broadcast_to(mask, word.shape), jnp.uint32)
+    part = lax.population_count(lax.bitwise_and(wu, mu))
+    part = lax.bitcast_convert_type(part, jnp.int32)
+    out_ref[...] = cum + part
+
+
+@partial(jax.jit, static_argnums=(2,))
+def rank4_pallas(table: jnp.ndarray, pos: jnp.ndarray, interpret: bool = False):
+    """All-4-bases rank at each position.
+
+    table: f32 [12, nwp] from build_rank4_table; pos: int [B] (any int dtype).
+    Returns int32 [B, 4] = rank_b(pos) for b in 0..3."""
+    B = pos.shape[0]
+    Bp = -(-B // Q_BLOCK) * Q_BLOCK
+    p32 = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(pos.astype(jnp.int32))
+    grid = Bp // Q_BLOCK
+    out = pl.pallas_call(
+        _rank4_kernel,
+        grid=(grid,),
+        in_specs=[
+            # leading dims of size 1 must equal the full array dim; the grid
+            # walks column blocks of Q_BLOCK lanes
+            pl.BlockSpec((1, Q_BLOCK), lambda i: (jnp.int32(0), i)),
+            pl.BlockSpec(
+                (table.shape[0], table.shape[1]),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+            ),
+        ],
+        out_specs=pl.BlockSpec((4, Q_BLOCK), lambda i: (jnp.int32(0), i)),
+        out_shape=jax.ShapeDtypeStruct((4, Bp), jnp.int32),
+        interpret=interpret,
+    )(p32, table)
+    return out.T[:B]
+
+
+def rank4_xla(prev_words, prev_cum, pos):
+    """XLA gather fallback with the same [B, 4] contract."""
+    pos = jnp.asarray(pos)
+    nw = prev_words.shape[1]
+    w = (pos >> 5).astype(jnp.int64)
+    rem = (pos & 31).astype(jnp.uint32)
+    # pos == 32*nw (an end position when n_entries % 32 == 0) reads the last
+    # word fully instead of indexing past the structure
+    over = w >= nw
+    wc = jnp.minimum(w, nw - 1)
+    mask = jnp.where(
+        rem > 0, (jnp.uint32(1) << rem) - jnp.uint32(1), jnp.uint32(0)
+    )
+    mask = jnp.where(over, jnp.uint32(0xFFFFFFFF), mask)
+    outs = []
+    flat_w = prev_words.reshape(-1)
+    flat_c = prev_cum.reshape(-1)
+    for b in range(4):
+        word = jnp.take(flat_w, b * nw + wc)
+        part = lax.population_count(word & mask).astype(jnp.int64)
+        outs.append(jnp.take(flat_c, b * nw + wc) + part)
+    return jnp.stack(outs, axis=1).astype(jnp.int32)

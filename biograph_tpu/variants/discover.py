@@ -54,7 +54,7 @@ class DiscoverOptions:
     beam_width: int = 256  # frontier lanes per chunk batch
     max_path: int = 420  # max assembled alt bases (300bp-class insertions fit)
     rejoin_k: int = 23  # suffix k-mer size for rejoin detection
-    max_assemblies: int = 512
+    max_assemblies: int = 4096  # per chunk batch; truncation is counted
     min_alt_support: int = 3
     hom_frac: float = 0.8
 
@@ -96,12 +96,11 @@ def reference_walk(
         b = get_base(i)
         r = d.push_front_drop(SeqsetRanges(begin, end, size), 3 - b)
         probe = d.truncate_ranges(r, probe_ctx)
-        # branch probe: widths of pushing each complemented base
-        widths = []
-        for bb in range(4):
-            rb = d.push_front(probe, jnp.full((C,), 3 - bb, jnp.int32))
-            widths.append(rb.end - rb.begin)
-        w4 = jnp.stack(widths, axis=1)
+        # branch probe: widths of pushing each complemented base, all four
+        # children from one fused rank4 pass (column p = pushed base p, so
+        # candidate alt base bb pushes 3-bb -> flip columns)
+        nb4, ne4 = d.push4(probe)
+        w4 = (ne4 - nb4)[:, ::-1]
         return (r.begin, r.end, r.size), (probe.begin, probe.end, probe.size, w4)
 
     init = (
@@ -122,7 +121,7 @@ def reference_walk(
 _walk_jit = jax.jit(reference_walk, static_argnums=(3, 4, 5))
 
 
-MAXA = 2048  # max anchors returned per chunk batch
+MAXA = 8192  # max anchors returned per chunk batch (truncation is counted)
 
 
 def walk_and_anchor(
@@ -164,7 +163,8 @@ def walk_and_anchor(
         & (jnp.arange(C)[:, None, None] < n_real_chunks)
     )
     flat = good.reshape(-1)
-    n_anchors = jnp.minimum(jnp.sum(flat), MAXA)
+    n_raw = jnp.sum(flat)
+    n_anchors = jnp.minimum(n_raw, MAXA)
     # compact indices of set mask bits to the front
     key = (~flat).astype(jnp.int32)
     idx = jnp.arange(flat.shape[0], dtype=jnp.int64)
@@ -177,7 +177,7 @@ def walk_and_anchor(
     begin = jnp.take(B.reshape(-1), lin)
     end = jnp.take(E.reshape(-1), lin)
     size = jnp.take(S.reshape(-1), lin)
-    return ci, off, ab, begin, end, size, n_anchors
+    return ci, off, ab, begin, end, size, n_anchors, n_raw
 
 
 _walk_anchor_jit = jax.jit(walk_and_anchor, static_argnums=(5, 6, 7, 8, 9, 10))
@@ -219,6 +219,7 @@ def wavefront_assemble(
     chunks: np.ndarray,
     anchors: tuple,
     opt: DiscoverOptions,
+    stats: dict | None = None,
 ) -> List[Assembly]:
     """Extend alt branches through the seqset; rejoin to reference.
 
@@ -247,6 +248,14 @@ def wavefront_assemble(
             )
         )
         if len(out) >= opt.max_assemblies:
+            if stats is not None and hi < n_anchor:
+                stats["assemblies_truncated"] += n_anchor - hi
+                import warnings
+
+                warnings.warn(
+                    f"discovery: assembly cap {opt.max_assemblies} hit;"
+                    f" {n_anchor - hi} anchors unexplored in this batch"
+                )
             break
     return out[: opt.max_assemblies]
 
@@ -436,17 +445,12 @@ def _wavefront_jit(d, packed, n_packed, st, MAXP: int, k: int, min_w: int, probe
     def body(step_i, st):
         done = st["done"]
         cur = SeqsetRanges(st["begin"], st["end"], st["size"])
-        widths = []
-        begins = []
-        ends = []
-        for bb in range(4):
-            c = d.push_front(cur, jnp.full((A,), 3 - bb, jnp.int32))
-            widths.append(c.end - c.begin)
-            begins.append(c.begin)
-            ends.append(c.end)
-        W = jnp.stack(widths, axis=1)  # [A, 4]
-        Bc = jnp.stack(begins, axis=1)
-        Ec = jnp.stack(ends, axis=1)
+        # all 4 children per lane from one fused rank4 pass; candidate alt
+        # base bb pushes complement 3-bb -> flip columns into bb order
+        nb4, ne4 = d.push4(cur)
+        Bc = nb4[:, ::-1]
+        Ec = ne4[:, ::-1]
+        W = Ec - Bc  # [A, 4]
         viable = W >= min_w
         n_viable = viable.sum(axis=1)
         order = jnp.argsort(-W, axis=1, stable=True)
@@ -567,8 +571,9 @@ def discover_variants(
     region: tuple | None = None,
     opt: DiscoverOptions | None = None,
     chunk_len: int = 4096,
-    chunk_batch: int = 16,
+    chunk_batch: int | None = None,
     readmap: Readmap | None = None,
+    stats: dict | None = None,
 ):
     """Top-level driver: reference walk -> anchors -> wavefront -> variants.
 
@@ -576,12 +581,25 @@ def discover_variants(
     Chunks overlap by opt.max_path so bubbles crossing a boundary are seen by
     the chunk that owns their anchor (the reference's scaffold_split_size
     chunking + anchored rejoin, modules/variants/assemble.h:535).
+
+    chunk_batch auto-scales to the region (pow2 up to 256 chunk lanes per
+    device program) — the walk is sequential in position, so wide batches are
+    what keeps the chip busy.  `stats` (optional dict, filled in place)
+    reports anchor/assembly truncation so dense regions can't drop candidates
+    silently (assemble_stats counters analog, modules/io/autostats.h:25).
     """
     opt = opt or DiscoverOptions()
     ref = np.asarray(reference.flat)
     lo, hi = region if region else (0, len(ref))
     stride = chunk_len - (opt.max_path + opt.rejoin_k)
     starts = np.arange(lo, max(hi - 1, lo + 1), stride, dtype=np.int64)
+    if chunk_batch is None:
+        chunk_batch = max(min(_next_pow2(len(starts)), 256), 16)
+    if stats is None:
+        stats = {}
+    stats.setdefault("anchors_found", 0)
+    stats.setdefault("anchors_truncated", 0)
+    stats.setdefault("assemblies_truncated", 0)
     all_records = []
     for b0 in range(0, len(starts), chunk_batch):
         batch_starts = starts[b0 : b0 + chunk_batch]
@@ -603,10 +621,19 @@ def discover_variants(
             opt.min_branch_width,
             stride,
         )
-        ci, off, ab, a_begin, a_end, a_size, n_anchors = (
+        ci, off, ab, a_begin, a_end, a_size, n_anchors, n_raw = (
             np.asarray(x) for x in out
         )
         n = int(n_anchors)
+        stats["anchors_found"] += int(n_raw)
+        if int(n_raw) > n:
+            stats["anchors_truncated"] += int(n_raw) - n
+            import warnings
+
+            warnings.warn(
+                f"discovery: {int(n_raw) - n} anchors over the {MAXA}-per-batch"
+                " cap were dropped; shrink chunk_batch or raise MAXA"
+            )
         anchors = (
             ci[:n].astype(np.int64),
             off[:n].astype(np.int64),
@@ -615,7 +642,7 @@ def discover_variants(
             a_end[:n],
             a_size[:n],
         )
-        asms = wavefront_assemble(ss, ref, chunks, anchors, opt)
+        asms = wavefront_assemble(ss, ref, chunks, anchors, opt, stats=stats)
         if readmap is not None:
             asms = score_assemblies(readmap, ref, asms, opt)
         all_records.extend(extract_variants(asms, ref, reference, opt))
