@@ -39,10 +39,17 @@ def build_seqset(
     codes: np.ndarray,
     lengths: np.ndarray,
     include_rc: bool = True,
+    budget: "MemoryBudget | int | None" = None,
 ) -> Seqset:
     """Build a seqset from a padded read matrix.
 
     codes: uint8 [R, L] zero-padded; lengths: [R].
+
+    `budget` (a runtime.resources.MemoryBudget or raw byte count) bounds the
+    device-resident suffix sort: when the full suffix set would exceed it,
+    construction switches to the prefix-partitioned multi-pass path
+    (_entries_partitioned — part_repo.h:9's 4^d bucketing over device passes
+    instead of files), which produces the identical entry list.
     """
     codes = np.asarray(codes, np.uint8)
     lengths = np.asarray(lengths, np.int32)
@@ -61,14 +68,137 @@ def build_seqset(
         seqs = np.concatenate([codes, rc], axis=0)
         seq_lens = np.concatenate([lengths, lengths])
 
-    words, wlens = _suffix_words(jnp.asarray(seqs), jnp.asarray(seq_lens), W)
-
-    # --- sort + dedup + maximality (device) ---
-    e_words, e_lens, n_entries = _entries_from_suffixes(words, wlens)
-    e_words = np.asarray(e_words[:n_entries])
-    e_lens = np.asarray(e_lens[:n_entries])
+    budget_bytes = getattr(budget, "bytes", budget)
+    total_suffixes = int(seq_lens.sum())
+    # sort working set: operand columns + sorted copies (~4x)
+    sort_bytes = total_suffixes * (W * 4 + 8) * 4
+    if budget_bytes is not None and sort_bytes > budget_bytes:
+        e_words, e_lens = _entries_partitioned(
+            jnp.asarray(seqs), jnp.asarray(seq_lens), W, budget_bytes
+        )
+    else:
+        words, wlens = _suffix_words(jnp.asarray(seqs), jnp.asarray(seq_lens), W)
+        # --- sort + dedup + maximality (device) ---
+        ew, el, n_entries = _entries_from_suffixes(words, wlens)
+        e_words = np.asarray(ew[:n_entries])
+        e_lens = np.asarray(el[:n_entries])
 
     return seqset_from_entries(jnp.asarray(e_words), jnp.asarray(e_lens))
+
+
+def _suffix_prefix_values(seqs: jnp.ndarray, seq_lens: jnp.ndarray, d: int):
+    """Partition value (first d bases, zero-padded) of every suffix, yielded
+    per suffix-offset j as ([S] values, [S] lens) — the same bucketing as the
+    reference's part_repo partitions (part_repo.h:9: 4^d prefix buckets).
+    A suffix shorter than d bases pads with code 0, which places it exactly
+    before every longer string it prefixes (prefix-first order preserved)."""
+    S, L = seqs.shape
+    for j in range(L):
+        ln = seq_lens - j
+        if int(jnp.max(ln)) <= 0:
+            return
+        window = lax.dynamic_slice_in_dim(
+            jnp.concatenate([seqs, jnp.zeros((S, d), jnp.uint8)], axis=1), j, d, 1
+        )
+        val = jnp.zeros((S,), jnp.int64)
+        for i in range(d):
+            val = (val << 2) | window[:, i].astype(jnp.int64)
+        yield j, val, ln
+
+
+def _entries_partitioned(
+    seqs: jnp.ndarray, seq_lens: jnp.ndarray, W: int, budget_bytes: int
+):
+    """Prefix-partitioned entry construction under a device-memory budget.
+
+    Multi-pass: partitions (4^d buckets by leading bases) are grouped into
+    passes whose suffix rows fit the budget; each pass sorts/dedups its own
+    rows; prefix-maximality across a pass boundary is stitched by appending
+    the FIRST sorted suffix of the following pass (the global successor of
+    the pass's last row) as a sentinel.  Passes run in reverse order so the
+    successor is always known.  Output is bit-identical to the one-shot sort.
+    """
+    total = int(seq_lens.sum())
+    row_bytes = (W * 4 + 8) * 4
+    per_pass_rows = max(budget_bytes // row_bytes, 1 << 12)
+    d = 1
+    while total / (4**d) > per_pass_rows / 4 and d < 12:
+        d += 1
+    P = 4**d
+
+    # histogram of suffixes per partition (streamed, nothing materialized)
+    counts = np.zeros(P + 1, np.int64)
+    for j, val, ln in _suffix_prefix_values(seqs, seq_lens, d):
+        v = np.asarray(val)
+        keep = np.asarray(ln) > 0
+        counts[:P] += np.bincount(v[keep], minlength=P)
+
+    # group contiguous partitions into passes under the row budget
+    ranges = []
+    lo = 0
+    acc = 0
+    for p in range(P):
+        if acc and acc + counts[p] > per_pass_rows:
+            ranges.append((lo, p))
+            lo = p
+            acc = 0
+        acc += counts[p]
+    ranges.append((lo, P))
+
+    out_words: list = []
+    out_lens: list = []
+    next_head = None  # (words [W] u32, len) — first sorted suffix of the following pass
+    for plo, phi in reversed(ranges):
+        sw, sl = _suffix_words_range(seqs, seq_lens, W, d, plo, phi)
+        if sw.shape[0] == 0:
+            continue
+        sw, sl, _ = sortutil.sort_sequences_device(sw, sl)
+        head = (np.asarray(sw[0]), int(sl[0]))
+        if next_head is not None:
+            sw = jnp.concatenate([sw, jnp.asarray(next_head[0])[None]], axis=0)
+            sl = jnp.concatenate(
+                [sl, jnp.asarray([next_head[1]], sl.dtype)], axis=0
+            )
+        keep = ~sortutil.is_prefix_of_next(sw, sl)
+        keep_np = np.asarray(keep)
+        if next_head is not None:
+            keep_np = keep_np[:-1]
+            sw = sw[:-1]
+            sl = sl[:-1]
+        idx = np.nonzero(keep_np)[0]
+        out_words.append(np.asarray(sw)[idx])
+        out_lens.append(np.asarray(sl)[idx])
+        next_head = head
+    out_words.reverse()
+    out_lens.reverse()
+    return np.concatenate(out_words, axis=0), np.concatenate(out_lens, axis=0)
+
+
+def _suffix_words_range(
+    seqs: jnp.ndarray, seq_lens: jnp.ndarray, W: int, d: int, plo: int, phi: int
+):
+    """Packed suffixes whose partition value falls in [plo, phi)."""
+    S, L = seqs.shape
+    parts_w = []
+    parts_l = []
+    for j, val, ln in _suffix_prefix_values(seqs, seq_lens, d):
+        keep = (ln > 0) & (val >= plo) & (val < phi)
+        n_keep = int(jnp.sum(keep))
+        if n_keep == 0:
+            continue
+        shifted = jnp.concatenate(
+            [seqs[:, j:], jnp.zeros((S, j), jnp.uint8)], axis=1
+        )
+        w = dna.pack_codes(shifted, jnp.maximum(ln, 0))
+        kn = np.nonzero(np.asarray(keep))[0]
+        parts_w.append(np.asarray(w)[kn])
+        parts_l.append(np.asarray(jnp.maximum(ln, 0).astype(jnp.int32))[kn])
+    if not parts_w:
+        return jnp.zeros((0, W), jnp.uint32), jnp.zeros((0,), jnp.int32)
+    return (
+        jnp.asarray(np.concatenate(parts_w, axis=0)),
+        jnp.asarray(np.concatenate(parts_l, axis=0)),
+    )
 
 
 def _suffix_words(seqs: jnp.ndarray, seq_lens: jnp.ndarray, W: int):
