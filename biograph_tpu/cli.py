@@ -157,6 +157,46 @@ def cmd_create(args):
     print(f"create: done in {qc['total_s']:.1f}s -> {args.out}")
 
 
+def cmd_ref2bwt(args):
+    """Build the reference BWT / FM-index artifact.
+    (reference: bgbinary ref2bwt / make_bwt, modules/bio_mapred/make_bwt.cpp)"""
+    from biograph_tpu.index.bwt import RefBwt
+    from biograph_tpu.index.reference import Reference
+
+    ref = _load_reference(args.ref)
+    t0 = time.time()
+    bwt = RefBwt.build(np.asarray(ref.flat))
+    bwt.save(args.out)
+    print(
+        f"ref2bwt: {bwt.length} bases indexed -> {args.out} "
+        f"({time.time()-t0:.1f}s)"
+    )
+
+
+def cmd_bwtquery(args):
+    """Exact arbitrary-length reference lookups.
+    (reference: bgbinary bwtquery, modules/biograph/ dev command)"""
+    from biograph_tpu.index.bwt import RefBwt
+
+    bwt = RefBwt.load(args.bwt)
+    lo, hi = bwt.find(args.seq)
+    n = int(hi[0] - lo[0])
+    print(f"{args.seq}: {n} occurrence(s), SA range [{int(lo[0])}, {int(hi[0])})")
+    if n:
+        pos = bwt.locate(int(lo[0]), int(hi[0]), max_hits=args.max_hits)
+        print("positions:", " ".join(str(int(p)) for p in pos))
+
+
+def _load_reference(path):
+    from biograph_tpu.index.reference import Reference
+
+    return Reference.load(path) if _is_artifact(path) else (
+        Reference.from_reference_dir(path)
+        if os.path.isdir(path)
+        else Reference.from_fasta(path)
+    )
+
+
 def cmd_kmers(args):
     """reads -> kmer count text (reference: kmerize_reads + kmer_count
     exporter, golden/kmer_count.txt format)."""
@@ -610,6 +650,17 @@ def main(argv=None):
     pc.add_argument("--max-corrections", type=int, default=8)
     pc.add_argument("--min-good-run", type=int, default=2)
     pc.set_defaults(fn=cmd_create)
+
+    pb = sub.add_parser("ref2bwt", help="build reference BWT/FM-index")
+    pb.add_argument("--ref", required=True)
+    pb.add_argument("--out", required=True)
+    pb.set_defaults(fn=cmd_ref2bwt)
+
+    pbq = sub.add_parser("bwtquery", help="exact reference lookups via BWT")
+    pbq.add_argument("--bwt", required=True, help="ref2bwt artifact")
+    pbq.add_argument("--seq", required=True)
+    pbq.add_argument("--max-hits", type=int, default=64)
+    pbq.set_defaults(fn=cmd_bwtquery)
 
     pk = sub.add_parser("kmers", help="reads -> kmer count text")
     pk.add_argument("--reads", required=True)
