@@ -118,6 +118,22 @@ class Readmap:
 
         Returns (fwd_cov, rev_cov): int32 [B, L].
         """
+        fwd, rev, _, _ = self._coverage_full(codes, lengths, kmax)
+        return fwd, rev
+
+    def coverage_events(self, codes, lengths, kmax: int = 16):
+        """Raw read start/end events under each query window.
+
+        Returns (starts, ends): int32 [B, L] counts of reads (both strands
+        summed) starting / ending at each window position whose full body
+        matches the window there.  `sum(starts[:a+1]) - sum(ends[:b])`
+        counts reads spanning [a, b] entirely — the linkage statistic
+        phasing needs (a context-dropped coverage min cannot distinguish
+        one-sided support)."""
+        _, _, starts, ends = self._coverage_full(codes, lengths, kmax)
+        return starts, ends
+
+    def _coverage_full(self, codes, lengths, kmax: int = 16):
         codes = np.asarray(codes, np.uint8)
         lengths = np.asarray(lengths, np.int32)
         B, L = codes.shape
@@ -130,7 +146,7 @@ class Readmap:
         cp[:B, :L] = codes
         lp = np.zeros(Bp, np.int32)
         lp[:B] = lengths
-        fwd, rev = _coverage_scan(
+        fwd, rev, starts, ends = _coverage_scan(
             self.seqset.d,
             jnp.asarray(self.offsets),
             jnp.asarray(self.read_lengths),
@@ -139,7 +155,7 @@ class Readmap:
             jnp.asarray(lp),
             kmax,
         )
-        return fwd[:B, :L], rev[:B, :L]
+        return fwd[:B, :L], rev[:B, :L], starts[:B, :L], ends[:B, :L]
 
     # ------------- persistence -------------
 
@@ -230,4 +246,4 @@ def _coverage_scan(d, offsets, rlen, isfwd, codes, lengths, kmax: int):
             jnp.pad(ends[s_i], ((0, 0), (1, 0)))[:, :L], axis=1
         )
         covs.append(run)
-    return covs[0], covs[1]
+    return covs[0], covs[1], starts.sum(axis=0), ends.sum(axis=0)

@@ -350,18 +350,27 @@ def run_coverage(
     sample: str = "SAMPLE",
     features_out: str | None = None,
     pair_cov: bool = True,
+    phase: bool = True,
 ):
     """Annotate a VCF with coverage evidence + genotypes (pcmp output).
 
     pair_cov adds the PC INFO field (mate-pair spanning support,
     pair_cov analog); the readmap needs mate-loop pairing for it to be
-    non-zero."""
+    non-zero.  phase links read-spanned het pairs into '|'-phased blocks
+    with PS tags (modules/variants/phase.h analog)."""
     records = read_vcf(vcf_in)
     ann = annotate_coverage(biograph.readmap, reference, records)
     if pair_cov:
         pc = annotate_pair_coverage(biograph.readmap, reference, records)
     else:
         pc = np.zeros(len(records), np.int32)
+    gt = ann.gt
+    ps = [None] * len(records)
+    if phase:
+        from biograph_tpu.variants.phase import phase_records
+
+        pr = phase_records(biograph.readmap, reference, records, gt)
+        gt, ps = pr.gt, pr.ps
     headers = [
         '##INFO=<ID=DP,Number=1,Type=Integer,Description="Total allele depth">',
         '##INFO=<ID=PC,Number=1,Type=Integer,Description="Read pairs spanning the variant in proper orientation">',
@@ -370,6 +379,7 @@ def run_coverage(
         '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allelic depths (ref,alt)">',
         '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred genotype likelihoods">',
         '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth">',
+        '##FORMAT=<ID=PS,Number=1,Type=Integer,Description="Phase set">',
     ]
     with VcfWriter(
         vcf_out,
@@ -382,12 +392,14 @@ def run_coverage(
             rec.info["DP"] = dp
             rec.info["PC"] = int(pc[i])
             rec.fmt = {
-                "GT": ann.gt[i],
+                "GT": gt[i],
                 "GQ": int(ann.gq[i]),
                 "AD": ann.ad[i],
                 "PL": ",".join(str(int(x)) for x in ann.pl[i]),
                 "DP": dp,
             }
+            if ps[i] is not None:
+                rec.fmt["PS"] = int(ps[i])
             w.write(rec)
     if features_out:
         feats = feature_matrix(records, ann, pc)
