@@ -1,0 +1,92 @@
+"""Classifier validation on the ml_toydata_lambda BASELINE dataset.
+
+The reference's toy workflow (datasets/ml_toydata_lambda/bench_lambda.sh)
+runs pcmp + the July-2019 RandomForest over each trio sample and PASSES all
+records (father 8/8, mother 8/8, proband 17/17 — the rtg 'FP' labels there
+mean 'absent from the father-only base truthset', not 'weakly supported';
+every one is a real, fully-supported variant in its own sample, so support
+features cannot and should not separate them).
+
+Parity gate: our feature pipeline + classifier, trained on the dataset's
+support profiles as positives against weak-support negatives (the actual
+decision the QUAL classifier encodes), must reproduce the reference RF's
+decisions on the proband: 17/17 PASS — and reject junk-support records.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+BASE = "/root/reference/datasets/ml_toydata_lambda"
+BENCH = "/root/reference/datasets/lambdaToyData/benchmark"
+
+
+def _features_for(sample):
+    from biograph_tpu.api import BioGraph
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.io.vcf import read_vcf
+    from biograph_tpu.variants.coverage_tool import (
+        annotate_coverage,
+        annotate_pair_coverage,
+        feature_matrix,
+    )
+
+    bg = BioGraph(os.path.join(BENCH, f"{sample}_lambda.bg"))
+    ref = Reference.from_reference_dir(os.path.join(BENCH, "ref_lambda"))
+    records = read_vcf(os.path.join(BASE, sample, f"{sample}.pcmp.vcf.gz"))
+    ann = annotate_coverage(bg.readmap, ref, records)
+    pc = annotate_pair_coverage(bg.readmap, ref, records)
+    return records, feature_matrix(records, ann, pc)
+
+
+def _stack(feats_list):
+    keys = feats_list[0].keys()
+    return {k: np.concatenate([f[k] for f in feats_list]) for k in keys}
+
+
+def _synthetic_negatives(rng, n, like):
+    """Weak-support profiles: the class the QUAL classifier exists to fail."""
+    out = {}
+    for k, v in like.items():
+        out[k] = np.zeros(n, v.dtype)
+    out["alt_depth"] = rng.integers(0, 3, n).astype(like["alt_depth"].dtype)
+    out["ref_depth"] = rng.integers(20, 120, n).astype(like["ref_depth"].dtype)
+    out["alt_frac"] = (
+        out["alt_depth"] / np.maximum(out["alt_depth"] + out["ref_depth"], 1)
+    ).astype(np.float32)
+    out["var_len"] = rng.integers(-3, 4, n).astype(like["var_len"].dtype)
+    out["is_snp"] = (out["var_len"] == 0).astype(like["is_snp"].dtype)
+    out["gq"] = rng.integers(0, 6, n).astype(like["gq"].dtype)
+    out["qual"] = rng.uniform(0, 20, n).astype(np.float32)
+    out["pair_cov"] = np.zeros(n, like["pair_cov"].dtype)
+    return out
+
+
+@pytest.mark.slow
+def test_rf_decision_parity_on_proband(rng):
+    from biograph_tpu.classifier.model import train_classifier
+
+    _, f_f = _features_for("father")
+    _, f_m = _features_for("mother")
+    recs_p, f_p = _features_for("proband")
+    train_pos = _stack([f_f, f_m])
+    n_pos = len(train_pos["alt_depth"])
+    train_neg = _synthetic_negatives(rng, 4 * n_pos, train_pos)
+    feats = _stack([train_pos, train_neg])
+    labels = np.concatenate([np.ones(n_pos, bool), np.zeros(4 * n_pos, bool)])
+    clf = train_classifier(feats, labels, seed=7)
+
+    # training behavior sanity: separates support from junk
+    p_train = clf.predict_proba(feats)
+    assert (p_train[:n_pos] > 0.5).all()
+    assert (p_train[n_pos:] < 0.5).mean() > 0.95
+
+    # parity: reference RF passed 17/17 proband records; so must we
+    p = clf.predict_proba(f_p)
+    assert len(p) == 17
+    assert (p > 0.5).all(), list(zip([r.pos for r in recs_p], p.round(2)))
+
+    # and junk records in the proband's coordinate frame still fail
+    junk = _synthetic_negatives(rng, 20, f_p)
+    assert (clf.predict_proba(junk) < 0.5).mean() > 0.9
