@@ -32,13 +32,21 @@ from jax import shard_map
 
 @dataclass
 class ShardedRankArrays:
-    """Host-side container of the sharded rank structure (stacked [S, ...])."""
+    """Host-side container of the sharded seqset structure (stacked [S, ...]).
+
+    Beyond the rank bitvectors, the per-entry arrays the query engine needs
+    (shared-prefix lengths, entry sizes, pop/select table) shard by the same
+    entry ranges so push_front_drop / truncate run fully collective."""
 
     words: np.ndarray  # uint32 [S, 4, R]
     cum: np.ndarray  # int64 [S, 4, R] — exclusive prefix popcounts per shard
     lo: np.ndarray  # int64 [S] — first bit position owned by each shard
     fixed: np.ndarray  # int64 [5] (replicated)
     n_entries: int
+    shared: np.ndarray = None  # int32 [S, Re] (pad -1 past n_entries)
+    sizes: np.ndarray = None  # int32 [S, Re] (pad 0)
+    pop_sel: np.ndarray = None  # int64 [S, Re] (pad 0)
+    elo: np.ndarray = None  # int64 [S] first entry id per shard
 
     @staticmethod
     def build(seqset, n_shards: int) -> "ShardedRankArrays":
@@ -55,12 +63,36 @@ class ShardedRankArrays:
         cum = np.zeros((n_shards, 4, R), np.int64)
         cum[:, :, 1:] = np.cumsum(pcs[:, :, :-1], axis=2)
         lo = (np.arange(n_shards, dtype=np.int64) * R) * 32
+
+        n = seqset.n_entries
+        Re = -(-n // n_shards)
+
+        def shard_arr(a, pad, dtype):
+            out = np.full(Re * n_shards, pad, dtype)
+            out[:n] = np.asarray(a, dtype)
+            return out.reshape(n_shards, Re)
+
         return ShardedRankArrays(
             words=shard_words.astype(np.uint32),
             cum=cum,
             lo=lo,
             fixed=np.asarray(seqset.fixed, np.int64),
-            n_entries=seqset.n_entries,
+            n_entries=n,
+            shared=shard_arr(seqset.shared, -1, np.int32),
+            sizes=shard_arr(seqset.entry_sizes, 0, np.int32),
+            pop_sel=shard_arr(seqset.pop_sel, 0, np.int64),
+            elo=np.arange(n_shards, dtype=np.int64) * Re,
+        )
+
+    def device_args(self):
+        return (
+            jnp.asarray(self.words),
+            jnp.asarray(self.cum),
+            jnp.asarray(self.lo),
+            jnp.asarray(self.shared),
+            jnp.asarray(self.sizes),
+            jnp.asarray(self.pop_sel),
+            jnp.asarray(self.elo),
         )
 
 
@@ -121,3 +153,334 @@ def sharded_entry_push_front(rank_fn, arrays: ShardedRankArrays, entries, b):
         jnp.asarray(entries),
     )
     return jnp.take(fixed, jnp.asarray(b).astype(jnp.int64)) + r
+
+
+# ---------------------------------------------------------------------------
+# Collective query engine: the full seqset op set (push_front /
+# push_front_drop / truncate) over the entry-sharded structure, and the
+# wavefront step built on it.  Each function is a faithful mirror of the
+# single-device logic in index/seqset.py (same update rules, same
+# tie-breaking) with gathers/searches replaced by one-owner psum gathers and
+# pmax/pmin boundary searches — outputs are bit-identical to the local
+# engine, which dryrun_multichip asserts.
+# ---------------------------------------------------------------------------
+
+
+def _local_env(words, cum, lo, shared, sizes, pop_sel, elo, fixed, n, axis):
+    """Per-shard helper closures under shard_map (leading shard dim squeezed)."""
+    words = words[0]
+    cum = cum[0]
+    lo = lo[0]
+    shared = shared[0]
+    sizes = sizes[0]
+    pop_sel = pop_sel[0]
+    elo = elo[0]
+    R = words.shape[1]
+    Re = shared.shape[0]
+    gidx = elo + jnp.arange(Re, dtype=jnp.int64)
+
+    def rank(b, pos):
+        rel = pos - lo
+        w = (rel >> 5).astype(jnp.int64)
+        inside = (w >= 0) & (w < R)
+        after = w >= R
+        wc = jnp.clip(w, 0, R - 1)
+        bidx = b.astype(jnp.int64)
+        flat = bidx * R + wc
+        word = jnp.take(words.reshape(-1), flat)
+        rem = (rel & 31).astype(jnp.uint32)
+        mask = jnp.where(
+            rem > 0, (jnp.uint32(1) << rem) - jnp.uint32(1), jnp.uint32(0)
+        )
+        part = lax.population_count(word & mask).astype(jnp.int64)
+        local_cum = jnp.take(cum.reshape(-1), flat)
+        shard_total = jnp.take(cum[:, -1], bidx) + jnp.take(
+            lax.population_count(words[:, -1]).astype(jnp.int64), bidx
+        )
+        contrib = jnp.where(inside, local_cum + part, jnp.where(after, shard_total, 0))
+        return lax.psum(contrib, axis)
+
+    def gather(arr, idx):
+        """Entry-array gather: exactly one shard owns each (clipped) index."""
+        rel = idx - elo
+        own = (rel >= 0) & (rel < Re)
+        v = jnp.take(arr, jnp.clip(rel, 0, Re - 1)).astype(jnp.int64)
+        return lax.psum(jnp.where(own, v, 0), axis)
+
+    def lt_back(pos, c):
+        """Largest j < pos with shared[j] < c; -1 if none (collective)."""
+        ok = (shared[None, :] < c[:, None]) & (gidx[None, :] < pos[:, None])
+        best = jnp.max(jnp.where(ok, gidx[None, :], -1), axis=1)
+        return lax.pmax(best, axis)
+
+    def lt_fwd(pos, c):
+        """Smallest j > pos with shared[j] < c; n if none (pad rows carry
+        shared == -1, so the first pad position IS n)."""
+        big = jnp.int64(1 << 62)
+        ok = (shared[None, :] < c[:, None]) & (gidx[None, :] > pos[:, None])
+        best = jnp.min(jnp.where(ok, gidx[None, :], big), axis=1)
+        return jnp.minimum(lax.pmin(best, axis), n)
+
+    def push_front(begin, end, size, b):
+        """Mirror of _SeqsetDevice.push_front (index/seqset.py)."""
+        fixed_b = jnp.take(fixed, b.astype(jnp.int64))
+        nb = fixed_b + rank(b, begin)
+        ne = fixed_b + rank(b, end)
+        new_size = size + 1
+        sizes_nb = gather(sizes, jnp.minimum(nb, n - 1)).astype(jnp.int32)
+        kick = (nb < ne) & (sizes_nb < new_size)
+        nb = nb + kick.astype(nb.dtype)
+        was_valid = begin < end
+        nb = jnp.where(was_valid, nb, begin)
+        ne = jnp.where(was_valid, ne, begin)
+        return nb, ne, jnp.where(was_valid, new_size, size)
+
+    def widen(begin, end, size):
+        """Mirror of _SeqsetDevice._widen."""
+        nb = jnp.maximum(lt_back(begin + 1, size), 0)
+        ne = lt_fwd(end - 1, size)
+        return nb, ne
+
+    def truncate(begin, end, size, new_size):
+        """Mirror of _SeqsetDevice.truncate_ranges."""
+        new_size = jnp.broadcast_to(jnp.asarray(new_size, jnp.int32), size.shape)
+        need = size > new_size
+        tgt = jnp.where(need, new_size, size)
+        nb, ne = widen(begin, end, jnp.maximum(tgt, 1))
+        return (
+            jnp.where(need, nb, begin),
+            jnp.where(need, ne, end),
+            tgt,
+        )
+
+    def push_front_drop(begin, end, size, b, min_ctx=0):
+        """Mirror of _SeqsetDevice.push_front_drop (same loop + dead rules)."""
+        fixed_b = jnp.take(fixed, b.astype(jnp.int64))
+        o_begin = begin
+        o_end = end
+        o_ctx = size.astype(jnp.int32)
+        sub_b = rank(b, o_begin)
+        sub_e = rank(b, o_end)
+        dead = (o_ctx < jnp.asarray(min_ctx, jnp.int32)) | (o_begin >= o_end)
+
+        def need_drop(sub_b, sub_e, o_ctx):
+            first = jnp.clip(fixed_b + sub_b, 0, n - 1)
+            lone_short = (sub_b + 1 == sub_e) & (
+                gather(sizes, first).astype(jnp.int32) < o_ctx + 1
+            )
+            return (sub_b == sub_e) | lone_short
+
+        def cond(state):
+            return jnp.any(~state[6])
+
+        def body(state):
+            o_begin, o_end, o_ctx, sub_b, sub_e, dead, done = state
+            active = ~done
+            first = jnp.clip(fixed_b + sub_b, 0, n - 1)
+            sh_begin = gather(shared, jnp.clip(o_begin, 0, n - 1)).astype(jnp.int32)
+            sh_end = gather(shared, jnp.clip(o_end, 0, n - 1)).astype(jnp.int32)
+            drop = jnp.maximum(
+                sh_begin, jnp.where(o_end >= n, 0, sh_end)
+            ).astype(jnp.int32)
+            drop = jnp.where(
+                sub_b != sub_e,
+                jnp.maximum(drop, gather(sizes, first).astype(jnp.int32) - 1),
+                drop,
+            )
+            below_min = drop < jnp.asarray(min_ctx, jnp.int32)
+            upd_b = active & (o_begin > 0) & (sh_begin >= drop)
+            upd_e = active & (o_end < n) & (sh_end >= drop)
+            nb = lt_back(jnp.where(upd_b, o_begin, 1), drop)
+            ne = lt_fwd(jnp.where(upd_e, o_end, n - 1), drop)
+            nb = jnp.maximum(nb, 0)
+            progress = upd_b | upd_e | (drop != o_ctx)
+            newly_dead = active & (below_min | ~progress)
+            o_begin2 = jnp.where(upd_b, nb, o_begin)
+            o_end2 = jnp.where(upd_e, ne, o_end)
+            sub_b2 = jnp.where(upd_b, rank(b, o_begin2), sub_b)
+            sub_e2 = jnp.where(upd_e, rank(b, o_end2), sub_e)
+            o_ctx2 = jnp.where(active, drop, o_ctx)
+            still = need_drop(sub_b2, sub_e2, o_ctx2)
+            dead2 = dead | newly_dead
+            done2 = done | newly_dead | (active & ~still)
+            keep = active & ~newly_dead
+            return (
+                jnp.where(keep, o_begin2, o_begin),
+                jnp.where(keep, o_end2, o_end),
+                jnp.where(keep, o_ctx2, o_ctx),
+                jnp.where(keep, sub_b2, sub_b),
+                jnp.where(keep, sub_e2, sub_e),
+                dead2,
+                done2,
+            )
+
+        done0 = dead | ~need_drop(sub_b, sub_e, o_ctx)
+        o_begin, o_end, o_ctx, sub_b, sub_e, dead, _ = lax.while_loop(
+            cond, body, (o_begin, o_end, o_ctx, sub_b, sub_e, dead, done0)
+        )
+        new_begin = fixed_b + sub_b
+        new_end = fixed_b + sub_e
+        sizes_nb = gather(sizes, jnp.clip(new_begin, 0, n - 1)).astype(jnp.int32)
+        kick = (new_begin < new_end) & (sizes_nb < o_ctx + 1)
+        new_begin = new_begin + kick.astype(new_begin.dtype)
+        new_begin = jnp.where(dead, 0, new_begin)
+        new_end = jnp.where(dead, 0, new_end)
+        return new_begin, new_end, jnp.where(dead, 0, o_ctx + 1)
+
+    class Env:
+        pass
+
+    env = Env()
+    env.rank = rank
+    env.gather = gather
+    env.sizes = sizes
+    env.push_front = push_front
+    env.push_front_drop = push_front_drop
+    env.truncate = truncate
+    env.widen = widen
+    return env
+
+
+def make_sharded_seqset_ops(mesh: Mesh, n_entries: int, axis: str = "model"):
+    """Jitted collective versions of the core seqset ops.
+
+    Each returned fn takes (*arrays.device_args(), fixed, <query args>) with
+    the structure sharded over `axis` and lane state replicated."""
+    spec_s = (P(axis),) * 3 + (P(axis),) * 4  # words, cum, lo, shared, sizes, pop_sel, elo
+    n = n_entries
+
+    def wrap(name, body, n_q):
+        def f(words, cum, lo, shared, sizes, pop_sel, elo, fixed, *q):
+            env = _local_env(
+                words, cum, lo, shared, sizes, pop_sel, elo, fixed, n, axis
+            )
+            return body(env, *q)
+
+        return jax.jit(
+            shard_map(
+                f,
+                mesh=mesh,
+                in_specs=spec_s + (P(),) + (P(),) * n_q,
+                out_specs=P(),
+            )
+        )
+
+    return dict(
+        push_front=wrap("push_front", lambda e, b_, e_, s_, bb: e.push_front(b_, e_, s_, bb), 4),
+        push_front_drop=wrap(
+            "push_front_drop", lambda e, b_, e_, s_, bb: e.push_front_drop(b_, e_, s_, bb), 4
+        ),
+        truncate=wrap(
+            "truncate", lambda e, b_, e_, s_, ns: e.truncate(b_, e_, s_, ns), 4
+        ),
+    )
+
+
+def make_sharded_wavefront(mesh: Mesh, n_entries: int, axis: str = "model"):
+    """The wavefront beam step loop under shard_map — a faithful mirror of
+    variants/discover._wavefront_jit with the structure sharded over `axis`.
+
+    Returns fn(*arrays.device_args(), fixed, packed, n_packed, state_tuple)
+    -> final state tuple, bit-identical to the single-device wavefront."""
+    from biograph_tpu.variants.discover import POS_BITS
+
+    n = n_entries
+
+    def body_fn(words, cum, lo, shared, sizes, pop_sel, elo, fixed, packed,
+                n_packed, begin, end, size, path, path_len, support,
+                n_junction, roll, done, policy, min_local, rejoin, out_len,
+                out_support, MAXP, k, min_w, probe_ctx):
+        env = _local_env(words, cum, lo, shared, sizes, pop_sel, elo, fixed, n, axis)
+        A = begin.shape[0]
+        kmask = jnp.uint64((1 << (2 * k)) - 1)
+        pos_mask = jnp.uint64((1 << POS_BITS) - 1)
+        npk = packed.shape[0]
+
+        def body(step_i, st):
+            (begin, end, size, path, path_len, support, n_junction, roll,
+             done, rejoin, out_len, out_support) = st
+            widths, begins, ends = [], [], []
+            for bb in range(4):
+                cb, ce, _ = env.push_front(
+                    begin, end, size, jnp.full((A,), 3 - bb, jnp.int32)
+                )
+                widths.append(ce - cb)
+                begins.append(cb)
+                ends.append(ce)
+            W = jnp.stack(widths, axis=1)
+            Bc = jnp.stack(begins, axis=1)
+            Ec = jnp.stack(ends, axis=1)
+            viable = W >= min_w
+            n_viable = viable.sum(axis=1)
+            order = jnp.argsort(-W, axis=1, stable=True)
+            rank_bit = ((policy >> jnp.minimum(n_junction, 30)) & 1).astype(jnp.int64)
+            take_rank = jnp.where(n_viable > 1, rank_bit, 0)
+            best = jnp.take_along_axis(order, take_rank[:, None], axis=1)[:, 0]
+            bw = jnp.take_along_axis(W, best[:, None], axis=1)[:, 0]
+            ext = (~done) & (bw >= min_w)
+            n_junction2 = n_junction + ((~done) & (n_viable > 1)).astype(jnp.int32)
+            nb = jnp.where(ext, best, 0).astype(jnp.int32)
+            new_begin = jnp.take_along_axis(Bc, nb[:, None].astype(jnp.int64), axis=1)[:, 0]
+            new_end = jnp.take_along_axis(Ec, nb[:, None].astype(jnp.int64), axis=1)[:, 0]
+            b2 = jnp.where(ext, new_begin, begin)
+            e2 = jnp.where(ext, new_end, end)
+            s2 = jnp.where(ext, size + 1, size)
+            b2, e2, s2 = env.truncate(b2, e2, s2, probe_ctx)
+            path2 = path.at[:, step_i].set(
+                jnp.where(ext, nb.astype(jnp.uint8), path[:, step_i])
+            )
+            path_len2 = jnp.where(ext, step_i + 1, path_len)
+            support2 = jnp.where(ext, jnp.minimum(support, bw), support)
+            roll2 = jnp.where(
+                ext,
+                ((roll << jnp.uint64(2)) | nb.astype(jnp.uint64)) & kmask,
+                roll,
+            )
+            done2 = done | ~ext
+            can = ext & (path_len2 > k)
+            q = (roll2 << jnp.uint64(POS_BITS)) | jnp.clip(
+                min_local, 0, (1 << POS_BITS) - 1
+            ).astype(jnp.uint64)
+            li = jnp.searchsorted(packed, q)
+            lic = jnp.clip(li, 0, npk - 1)
+            hit = packed[lic]
+            found = can & (li < n_packed) & ((hit >> jnp.uint64(POS_BITS)) == roll2)
+            jpos = (hit & pos_mask).astype(jnp.int64)
+            newly = found & (rejoin < 0)
+            rejoin2 = jnp.where(newly, jpos, rejoin)
+            out_len2 = jnp.where(newly, path_len2, out_len)
+            out_support2 = jnp.where(newly, support2, out_support)
+            done2 = done2 | newly
+            return (
+                b2, e2, s2, path2, path_len2, support2, n_junction2, roll2,
+                done2, rejoin2, out_len2, out_support2,
+            )
+
+        st = (begin, end, size, path, path_len, support, n_junction, roll,
+              done, rejoin, out_len, out_support)
+        return lax.fori_loop(1, MAXP, body, st)
+
+    from functools import partial
+
+    spec_s = (P(axis),) * 7
+
+    def make(MAXP, k, min_w, probe_ctx):
+        def f(words, cum, lo, shared, sizes, pop_sel, elo, fixed, packed,
+              n_packed, *st):
+            return body_fn(
+                words, cum, lo, shared, sizes, pop_sel, elo, fixed, packed,
+                n_packed, *st, MAXP, k, min_w, probe_ctx
+            )
+
+        # replicated args: fixed, packed, n_packed + the 14 lane-state arrays
+        # (policy/min_local ride along read-only; 12 arrays come back)
+        return jax.jit(
+            shard_map(
+                f,
+                mesh=mesh,
+                in_specs=spec_s + (P(),) * 17,
+                out_specs=(P(),) * 12,
+            )
+        )
+
+    return make

@@ -1,0 +1,155 @@
+"""Collective (entry-sharded) seqset ops + wavefront vs the local engine.
+
+SURVEY §7 step 8: the sharded seqset must serve the REAL pipeline, not just
+bare rank — push_front_drop and the wavefront step run under shard_map over
+the virtual 8-CPU mesh and must match the single-device engine bit-for-bit.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from biograph_tpu.build.seqset_build import build_seqset
+from biograph_tpu.index.seqset import SeqsetRanges
+from biograph_tpu.parallel.sharded_seqset import (
+    ShardedRankArrays,
+    make_sharded_seqset_ops,
+    make_sharded_wavefront,
+)
+
+S = 4  # model shards
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    ref = rng.integers(0, 4, 2000).astype(np.uint8)
+    donor = ref.copy()
+    donor[1000] = (donor[1000] + 1) % 4
+    rows = [donor[s : s + 50] for s in range(0, len(donor) - 50, 3)]
+    codes = np.stack(rows).astype(np.uint8)
+    lens = np.full(len(rows), 50, np.int32)
+    ss = build_seqset(codes, lens)
+    devs = np.array(jax.devices("cpu")[:S]).reshape(1, S)
+    mesh = Mesh(devs, ("data", "model"))
+    arrays = ShardedRankArrays.build(ss, S)
+    return ss, ref, mesh, arrays
+
+
+def _ranges_from_reads(ss, rng, B=32, plen=12):
+    ids = rng.integers(0, ss.n_entries, B)
+    seqs = np.asarray(ss.d.sequences(jnp.asarray(ids), plen))
+    return ss.d.find(jnp.asarray(seqs), jnp.asarray(np.full(B, plen, np.int32)))
+
+
+def test_collective_ops_bitexact(setup, rng):
+    ss, ref, mesh, arrays = setup
+    ops = make_sharded_seqset_ops(mesh, ss.n_entries)
+    args = arrays.device_args() + (jnp.asarray(arrays.fixed),)
+    r = _ranges_from_reads(ss, rng)
+
+    for b in range(4):
+        bb = jnp.full(r.begin.shape, b, jnp.int32)
+        want = ss.d.push_front(r, bb)
+        nb, ne, nsz = ops["push_front"](*args, r.begin, r.end, r.size, bb)
+        assert (np.asarray(nb) == np.asarray(want.begin)).all()
+        assert (np.asarray(ne) == np.asarray(want.end)).all()
+        assert (np.asarray(nsz) == np.asarray(want.size)).all()
+
+    for tgt in (3, 8, 11):
+        want = ss.d.truncate_ranges(r, tgt)
+        nb, ne, nsz = ops["truncate"](
+            *args, r.begin, r.end, r.size, jnp.full(r.size.shape, tgt, jnp.int32)
+        )
+        assert (np.asarray(nb) == np.asarray(want.begin)).all()
+        assert (np.asarray(ne) == np.asarray(want.end)).all()
+
+    # sequential drop-walk along the reference (exercises context drops,
+    # lone-short kicks, dead lanes) — 40 steps, compared each step
+    B = 16
+    begin = jnp.zeros((B,), jnp.int64)
+    end = jnp.full((B,), ss.n_entries, jnp.int64)
+    size = jnp.zeros((B,), jnp.int32)
+    lb, le, ls = begin, end, size
+    starts = rng.integers(0, len(ref) - 60, B)
+    for i in range(40):
+        bases = jnp.asarray(
+            3 - ref[starts + i].astype(np.int32)
+        )  # complement walk like discovery
+        want = ss.d.push_front_drop(SeqsetRanges(lb, le, ls), bases)
+        gb, ge, gs = ops["push_front_drop"](*args, lb, le, ls, bases)
+        assert (np.asarray(gb) == np.asarray(want.begin)).all(), i
+        assert (np.asarray(ge) == np.asarray(want.end)).all(), i
+        assert (np.asarray(gs) == np.asarray(want.size)).all(), i
+        lb, le, ls = want.begin, want.end, want.size
+
+
+def test_sharded_wavefront_bitexact(setup, rng):
+    from biograph_tpu.variants import discover as D
+
+    ss, ref, mesh, arrays = setup
+    MAXP, k, min_w, probe_ctx = 64, 13, 1, 25
+    span = ref[900:1200]
+    packed = D._span_kmers(span, k)
+    packed_pad = np.full(
+        D._next_pow2(len(packed)), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64
+    )
+    packed_pad[: len(packed)] = packed
+
+    A = 32
+    r = _ranges_from_reads(ss, rng, B=A, plen=probe_ctx)
+    st = dict(
+        begin=r.begin,
+        end=r.end,
+        size=r.size,
+        path=jnp.zeros((A, MAXP), jnp.uint8),
+        path_len=jnp.ones((A,), jnp.int32),
+        support=jnp.asarray(np.asarray(r.end - r.begin), jnp.int64),
+        n_junction=jnp.zeros((A,), jnp.int32),
+        roll=jnp.zeros((A,), jnp.uint64),
+        done=jnp.asarray(np.asarray(r.begin >= r.end)),
+        policy=jnp.asarray(np.tile(np.arange(4), A // 4).astype(np.int32)),
+        min_local=jnp.full((A,), 5, jnp.int64),
+        rejoin=jnp.full((A,), -1, jnp.int64),
+        out_len=jnp.zeros((A,), jnp.int32),
+        out_support=jnp.zeros((A,), jnp.int64),
+    )
+    want = D._wavefront_jit(
+        ss.d, jnp.asarray(packed_pad), jnp.asarray(len(packed), jnp.int64),
+        dict(st), MAXP, k, min_w, probe_ctx,
+    )
+
+    wf = make_sharded_wavefront(mesh, ss.n_entries)(MAXP, k, min_w, probe_ctx)
+    order = [
+        "begin", "end", "size", "path", "path_len", "support", "n_junction",
+        "roll", "done", "rejoin", "out_len", "out_support",
+    ]
+    got = wf(
+        *arrays.device_args(),
+        jnp.asarray(arrays.fixed),
+        jnp.asarray(packed_pad),
+        jnp.asarray(len(packed), jnp.int64),
+        st["begin"], st["end"], st["size"], st["path"], st["path_len"],
+        st["support"], st["n_junction"], st["roll"], st["done"], st["policy"],
+        st["min_local"], st["rejoin"], st["out_len"], st["out_support"],
+    )
+    got_d = dict(zip(order, got))
+    # some lanes must actually have rejoined for this to be a real test
+    assert int((np.asarray(want["rejoin"]) >= 0).sum()) > 0
+    for name in order:
+        assert (
+            np.asarray(got_d[name]) == np.asarray(want[name])
+        ).all(), name
+
+
+def test_distributed_init_single_process():
+    """task_mgr_local-style: the multi-host bring-up path runs one-process."""
+    from biograph_tpu.parallel.distributed import global_mesh, initialize
+
+    ctx = initialize(num_processes=1)
+    assert ctx.num_processes == 1 and not ctx.initialized
+    mesh = global_mesh({"data": -1, "model": 4})
+    assert mesh.devices.size == len(jax.devices())
+    assert mesh.shape["model"] == 4
