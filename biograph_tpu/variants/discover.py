@@ -52,6 +52,7 @@ class DiscoverOptions:
     min_branch_width: int = 1
     min_extend_width: int = 1
     beam_width: int = 256  # frontier lanes per chunk batch
+    bidir: bool = True  # trace fwd AND reverse-complement (trace_ref.h:33-51)
     max_path: int = 420  # max assembled alt bases (300bp-class insertions fit)
     rejoin_k: int = 23  # suffix k-mer size for rejoin detection
     max_assemblies: int = 4096  # per chunk batch; truncation is counted
@@ -590,64 +591,94 @@ def discover_variants(
     """
     opt = opt or DiscoverOptions()
     ref = np.asarray(reference.flat)
-    lo, hi = region if region else (0, len(ref))
+    G = len(ref)
+    lo, hi = region if region else (0, G)
     stride = chunk_len - (opt.max_path + opt.rejoin_k)
-    starts = np.arange(lo, max(hi - 1, lo + 1), stride, dtype=np.int64)
-    if chunk_batch is None:
-        chunk_batch = max(min(_next_pow2(len(starts)), 256), 16)
     if stats is None:
         stats = {}
     stats.setdefault("anchors_found", 0)
     stats.setdefault("anchors_truncated", 0)
     stats.setdefault("assemblies_truncated", 0)
     all_records = []
-    for b0 in range(0, len(starts), chunk_batch):
-        batch_starts = starts[b0 : b0 + chunk_batch]
-        # pad the batch so jit shapes stay constant
-        pad = chunk_batch - len(batch_starts)
-        chunks = np.concatenate(
-            [batch_starts, np.full(pad, batch_starts[-1], np.int64)]
-        )
-        out = _walk_anchor_jit(
-            ss.d,
-            jnp.asarray(ref),
-            jnp.asarray(chunks),
-            len(batch_starts),
-            hi,
-            chunk_len,
-            ss.n_entries,
-            opt.probe_ctx,
-            opt.min_anchor_ctx,
-            opt.min_branch_width,
-            stride,
-        )
-        ci, off, ab, a_begin, a_end, a_size, n_anchors, n_raw = (
-            np.asarray(x) for x in out
-        )
-        n = int(n_anchors)
-        stats["anchors_found"] += int(n_raw)
-        if int(n_raw) > n:
-            stats["anchors_truncated"] += int(n_raw) - n
-            import warnings
-
-            warnings.warn(
-                f"discovery: {int(n_raw) - n} anchors over the {MAXA}-per-batch"
-                " cap were dropped; shrink chunk_batch or raise MAXA"
+    # fwd + reverse-complement work duplication (trace_ref.h:33-51,
+    # reversable_tracer.cpp:40): the rc pass anchors events from their right
+    # side, recovering candidates whose left context is repeat-poisoned
+    orients = ("fwd", "rev") if opt.bidir else ("fwd",)
+    for orient in orients:
+        if orient == "fwd":
+            ref_o = ref
+            lo_o, hi_o = lo, hi
+        else:
+            ref_o = (3 - ref[::-1]).astype(np.uint8)
+            lo_o, hi_o = G - hi, G - lo
+        starts = np.arange(lo_o, max(hi_o - 1, lo_o + 1), stride, dtype=np.int64)
+        cb = chunk_batch or max(min(_next_pow2(len(starts)), 256), 16)
+        for b0 in range(0, len(starts), cb):
+            batch_starts = starts[b0 : b0 + cb]
+            # pad the batch so jit shapes stay constant
+            pad = cb - len(batch_starts)
+            chunks = np.concatenate(
+                [batch_starts, np.full(pad, batch_starts[-1], np.int64)]
             )
-        anchors = (
-            ci[:n].astype(np.int64),
-            off[:n].astype(np.int64),
-            ab[:n].astype(np.int64),
-            a_begin[:n],
-            a_end[:n],
-            a_size[:n],
-        )
-        asms = wavefront_assemble(ss, ref, chunks, anchors, opt, stats=stats)
-        if readmap is not None:
-            asms = score_assemblies(readmap, ref, asms, opt)
-        all_records.extend(extract_variants(asms, ref, reference, opt))
+            out = _walk_anchor_jit(
+                ss.d,
+                jnp.asarray(ref_o),
+                jnp.asarray(chunks),
+                len(batch_starts),
+                hi_o,
+                chunk_len,
+                ss.n_entries,
+                opt.probe_ctx,
+                opt.min_anchor_ctx,
+                opt.min_branch_width,
+                stride,
+            )
+            ci, off, ab, a_begin, a_end, a_size, n_anchors, n_raw = (
+                np.asarray(x) for x in out
+            )
+            n = int(n_anchors)
+            stats["anchors_found"] += int(n_raw)
+            if int(n_raw) > n:
+                stats["anchors_truncated"] += int(n_raw) - n
+                import warnings
+
+                warnings.warn(
+                    f"discovery: {int(n_raw) - n} anchors over the "
+                    f"{MAXA}-per-batch cap were dropped; shrink chunk_batch "
+                    "or raise MAXA"
+                )
+            anchors = (
+                ci[:n].astype(np.int64),
+                off[:n].astype(np.int64),
+                ab[:n].astype(np.int64),
+                a_begin[:n],
+                a_end[:n],
+                a_size[:n],
+            )
+            asms = wavefront_assemble(
+                ss, ref_o, chunks, anchors, opt, stats=stats
+            )
+            if orient == "rev":
+                asms = [_rc_assembly(a, G) for a in asms]
+            if readmap is not None:
+                asms = score_assemblies(readmap, ref, asms, opt)
+            all_records.extend(extract_variants(asms, ref, reference, opt))
     # genotype from support vs local ref coverage
     return _dedup_records(all_records)
+
+
+def _rc_assembly(a: Assembly, G: int) -> Assembly:
+    """Map an assembly traced in reverse-complement coordinates back to the
+    forward strand: the bubble (anchor, rejoin) flips end-for-end and the alt
+    path reverse-complements."""
+    return Assembly(
+        chunk_start=G - 1 - a.chunk_start,
+        anchor=G - 1 - a.rejoin,
+        rejoin=G - 1 - a.anchor,
+        seq=(3 - np.asarray(a.seq, np.uint8))[::-1].copy(),
+        support=a.support,
+        ref_support=a.ref_support,
+    )
 
 
 def score_assemblies(rm: Readmap, ref: np.ndarray, asms: List[Assembly], opt: DiscoverOptions):
