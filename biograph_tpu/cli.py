@@ -242,9 +242,23 @@ def cmd_discovery(args):
             lo, hi = (int(x) for x in span.split("-"))
             c = ref.contig_by_name(cname)
             region = (c.start + lo, c.start + hi)
-        recs = discover_variants(
-            bg.seqset, ref, region=region, opt=opt, readmap=bg.readmap
-        )
+        if getattr(args, "iterate", 0) and args.iterate > 1:
+            # donor-patching rounds for divergent genomes (graph_discover
+            # analog; variants/iterate.py)
+            from biograph_tpu.variants.iterate import discover_variants_iterative
+
+            recs = discover_variants_iterative(
+                bg.seqset,
+                ref,
+                opt=opt,
+                readmap=bg.readmap,
+                max_rounds=args.iterate,
+                region=region,
+            )
+        else:
+            recs = discover_variants(
+                bg.seqset, ref, region=region, opt=opt, readmap=bg.readmap
+            )
         n_wave = len(recs)
         if bg.readmap is not None and not getattr(args, "no_sv", False):
             # pair/split-evidence SV pass (pop_tracer analog): events beyond
@@ -681,6 +695,12 @@ def main(argv=None):
         "--no-sv",
         action="store_true",
         help="skip the pair/split-evidence SV pass (assemble mode)",
+    )
+    pd.add_argument(
+        "--iterate",
+        type=int,
+        default=1,
+        help="donor-patching discovery rounds (divergent genomes)",
     )
     pd.set_defaults(fn=cmd_discovery)
 

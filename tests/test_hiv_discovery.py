@@ -59,3 +59,33 @@ def test_hiv_divergent_discovery():
             if d < 3
         ],
     )
+
+
+@pytest.mark.slow
+def test_hiv_iterative_recovers_divergent_runs():
+    """Donor-patching rounds (variants/iterate.py, graph_discover analog)
+    must reach substantially deeper into the divergent runs than one round —
+    every emitted record is coverage-validated by construction."""
+    from biograph_tpu.io.bgimport import open_bg_dir
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.variants.discover import DiscoverOptions
+    from biograph_tpu.variants.iterate import discover_variants_iterative
+
+    ss, rm, _ = open_bg_dir(
+        "/root/reference/datasets/hiv/biograph/ERR381524.bg"
+    )
+    ref = Reference.from_fasta(
+        "/root/reference/datasets/hiv/ref/hiv-1-NC_001802.1.fa"
+    )
+    stats = {}
+    recs = discover_variants_iterative(
+        ss,
+        ref,
+        opt=DiscoverOptions(min_alt_support=5, bidir=True),
+        readmap=rm,
+        max_rounds=10,
+        stats=stats,
+    )
+    snap = json.load(open(SNAP))
+    assert len(recs) == snap["n_iterative_records"], (len(recs), stats)
+    assert len(recs) >= 3 * snap["n_records"]  # the point of iterating
