@@ -41,6 +41,45 @@ def _ensure_sample():
     return path
 
 
+def _rank_rate(bgt: str):
+    """Rank-query throughput of the MXU kernel vs the XLA gather path on the
+    active platform (the speed-of-light microbenchmark SURVEY §7 hard-part 3
+    calls for; reference yardstick: modules/io/bitcount.h:13 count())."""
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from biograph_tpu.index.seqset import Seqset
+    from biograph_tpu.ops.rank4 import build_rank4_table, rank4_pallas, rank4_xla
+
+    ss = Seqset.load(os.path.join(bgt, "seqset"))
+    rng = np.random.default_rng(0)
+    B = 1 << 16
+    pos = jnp.asarray(rng.integers(0, ss.n_entries + 1, B))
+    pw = jnp.asarray(ss.prev_words)
+    pc = jnp.asarray(ss.prev_cum)
+    xla_j = jax.jit(lambda p: rank4_xla(pw, pc, p))
+
+    def timeit(f, reps=30):
+        f().block_until_ready()
+        t0 = time.time()
+        for _ in range(reps):
+            r = f()
+        r.block_until_ready()
+        return B * 4 * reps / (time.time() - t0)
+
+    rates = {"xla": timeit(lambda: xla_j(pos))}
+    table = build_rank4_table(ss.prev_words, ss.prev_cum)
+    if table is not None and jax.devices()[0].platform != "cpu":
+        got = np.asarray(rank4_pallas(table, pos))
+        want = np.asarray(xla_j(pos))
+        assert (got == want).all(), "rank4 kernel mismatch"
+        rates["pallas"] = timeit(lambda: rank4_pallas(table, pos))
+    return rates
+
+
 def _discovery_rate(platform: str, bgt: str, span: int = 20000) -> float:
     """Steady-state discovery bases/s on `platform` (warmup region first)."""
     import jax
@@ -83,11 +122,18 @@ def main():
     # concurrently — the TPU leg mostly waits on the remote chip
     procs = {}
     for platform in ("tpu", "cpu"):
+        rank_part = (
+            "rr = bench._rank_rate(%r);"
+            "print('RANK', rr.get('pallas', 0.0), rr.get('xla', 0.0));"
+            % bgt
+            if platform == "tpu"
+            else ""
+        )
         code = (
             "import json,sys; sys.path.insert(0, '/root/repo');"
             "import bench;"
             f"r = bench._discovery_rate({platform!r}, {bgt!r});"
-            "print('RATE', r)"
+            "print('RATE', r);" + rank_part
         )
         procs[platform] = subprocess.Popen(
             [sys.executable, "-c", code],
@@ -97,12 +143,18 @@ def main():
             cwd="/root/repo",
         )
     rates = {}
+    rank = {}
     for platform, p in procs.items():
         try:
             stdout, stderr = p.communicate(timeout=900)
             for ln in stdout.splitlines():
                 if ln.startswith("RATE "):
                     rates[platform] = float(ln.split()[1])
+                if ln.startswith("RANK "):
+                    rank = {
+                        "rank_mxu_queries_per_s": round(float(ln.split()[1]), 0),
+                        "rank_xla_queries_per_s": round(float(ln.split()[2]), 0),
+                    }
             if platform not in rates:
                 print(
                     f"bench: {platform} leg produced no RATE; stderr tail: "
@@ -139,6 +191,8 @@ def main():
                 "unit": "bases/s",
                 "vs_baseline": vs,
                 "platform": "tpu",
+                "cpu_bases_per_s": round(cpu or 0.0, 1),
+                **rank,
             }
         )
     )

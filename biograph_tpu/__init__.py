@@ -22,9 +22,25 @@ Integer note: entry ids and k-mers need 64-bit integers, so x64 is enabled
 globally.  Floating point stays f32/bf16 on the hot path.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the discovery programs (long scans with
+# nested while_loops) cost minutes to compile over the remote-TPU relay but
+# load from cache in ~2s.  Opt out with BGT_NO_COMPILE_CACHE=1.
+if not _os.environ.get("BGT_NO_COMPILE_CACHE"):
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("BGT_COMPILE_CACHE", "/tmp/bgt_jax_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
 
 __version__ = "0.1.0"
 

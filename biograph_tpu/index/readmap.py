@@ -36,6 +36,8 @@ class Readmap:
     mate_pair_ptr: np.ndarray  # int64 [n_rm] — next link in the mate loop
     read_ids: np.ndarray  # int64 [n_rm] — original read index
     uuid: str = ""
+    coverage_truncated: int = 0  # reads dropped by the kmax per-entry cap
+    _warned_truncation: bool = False
 
     @property
     def num_entries(self) -> int:
@@ -101,6 +103,118 @@ class Readmap:
             "unpaired_bases": int(self.read_lengths[~paired & fwd].sum()),
         }
 
+    # ------------- read iteration (SDK surface) -------------
+
+    def get_prefix_reads(self, entry, min_read_len: int = 0):
+        """Reads that are a PREFIX of the range's sequence.
+
+        Batch counterpart of readmap::get_prefix_reads (readmap.h:169): for
+        every truncation length m, reads of length exactly m attached to the
+        widened range are prefixes.  Returns [(read_id, length)] descending
+        by length.  `entry` is a SeqsetEntry-like (begin, end, size)."""
+        from biograph_tpu.index.seqset import SeqsetRanges
+
+        out = []
+        d = self.seqset.d
+        size = int(entry.size)
+        r = SeqsetRanges(
+            jnp.asarray([entry.begin]),
+            jnp.asarray([entry.end]),
+            jnp.asarray([size], jnp.int32),
+        )
+        for m in range(size, max(min_read_len, self.min_read_len) - 1, -1):
+            t = d.truncate_ranges(r, m)
+            lo = int(t.begin[0])
+            hi = int(t.end[0])
+            rm_lo, rm_hi = int(self.offsets[lo]), int(self.offsets[hi])
+            lens = self.read_lengths[rm_lo:rm_hi]
+            for j in np.nonzero(lens == m)[0]:
+                out.append((int(self.read_ids[rm_lo + j]), m))
+        return out
+
+    def get_longest_prefix_read(self, entry):
+        reads = self.get_prefix_reads(entry)
+        return reads[0] if reads else None
+
+    def get_reads_containing(self, seq, max_levels: int | None = None):
+        """Reads containing `seq` anywhere (readmap.h:177 analog).
+
+        Batched breadth-first leftward extension: the frontier of ranges
+        (seq with o prepended bases) advances one level per step via one
+        fused push4 over ALL frontier lanes; reads attached to a frontier
+        range with read_len >= range size contain seq at offset o.
+        Returns [(read_id, offset)]."""
+        from biograph_tpu.core import dna as _dna
+        from biograph_tpu.index.seqset import SeqsetRanges
+
+        d = self.seqset.d
+        if isinstance(seq, str):
+            codes = _dna.seq_to_codes(seq)
+        else:
+            codes = np.asarray(seq, np.uint8)
+        L = len(codes)
+        r0 = d.find(jnp.asarray(codes[None, :]), jnp.asarray([L], jnp.int32))
+        if not bool(r0.begin[0] < r0.end[0]):
+            return []
+        out = []
+        max_levels = (
+            self.max_read_len - L if max_levels is None else max_levels
+        )
+        begin = np.asarray(r0.begin)
+        end = np.asarray(r0.end)
+        size = np.asarray(r0.size)
+        for level in range(max_levels + 1):
+            # collect reads at this level
+            for b, e, s in zip(begin, end, size):
+                rm_lo, rm_hi = int(self.offsets[b]), int(self.offsets[e])
+                lens = self.read_lengths[rm_lo:rm_hi]
+                for j in np.nonzero(lens >= s)[0]:
+                    out.append((int(self.read_ids[rm_lo + j]), level))
+            if level == max_levels or len(begin) == 0:
+                break
+            r = SeqsetRanges(
+                jnp.asarray(begin), jnp.asarray(end), jnp.asarray(size, jnp.int32)
+            )
+            nb4, ne4 = d.push4(r)
+            nb = np.asarray(nb4).reshape(-1)
+            ne = np.asarray(ne4).reshape(-1)
+            ns = np.repeat(np.asarray(size) + 1, 4)
+            keep = nb < ne
+            begin, end, size = nb[keep], ne[keep], ns[keep]
+        # dedup (a read containing seq at several offsets keeps each offset;
+        # identical (read, offset) pairs collapse)
+        return sorted(set(out), key=lambda t: (t[1], t[0]))
+
+    def find_overlap_reads(self, seq, min_overlap: int = 20):
+        """Reads whose PREFIX matches a SUFFIX of `seq` with overlap >=
+        min_overlap (seqset.h:279 analog — the assembly extension query).
+        Returns [(read_id, overlap)] descending by overlap."""
+        from biograph_tpu.core import dna as _dna
+        from biograph_tpu.index.seqset import SeqsetRanges
+
+        d = self.seqset.d
+        if isinstance(seq, str):
+            codes = _dna.seq_to_codes(seq)
+        else:
+            codes = np.asarray(seq, np.uint8)
+        L = len(codes)
+        out = []
+        seen = set()
+        for m in range(min(L, self.max_read_len), min_overlap - 1, -1):
+            suf = codes[L - m :]
+            r = d.find(jnp.asarray(suf[None, :]), jnp.asarray([m], jnp.int32))
+            lo, hi = int(r.begin[0]), int(r.end[0])
+            if lo >= hi:
+                continue
+            rm_lo, rm_hi = int(self.offsets[lo]), int(self.offsets[hi])
+            lens = self.read_lengths[rm_lo:rm_hi]
+            for j in np.nonzero(lens >= m)[0]:
+                rid = int(self.read_ids[rm_lo + j])
+                if rid not in seen:
+                    seen.add(rid)
+                    out.append((rid, m))
+        return out
+
     # ------------- coverage (sequence-level queries) -------------
 
     def coverage(self, codes, lengths, kmax: int = 16):
@@ -146,7 +260,7 @@ class Readmap:
         cp[:B, :L] = codes
         lp = np.zeros(Bp, np.int32)
         lp[:B] = lengths
-        fwd, rev, starts, ends = _coverage_scan(
+        fwd, rev, starts, ends, n_trunc = _coverage_scan(
             self.seqset.d,
             jnp.asarray(self.offsets),
             jnp.asarray(self.read_lengths),
@@ -155,6 +269,17 @@ class Readmap:
             jnp.asarray(lp),
             kmax,
         )
+        nt = int(n_trunc)
+        self.coverage_truncated += nt
+        if nt and not self._warned_truncation:
+            self._warned_truncation = True
+            import warnings
+
+            warnings.warn(
+                f"readmap.coverage: {nt} reads beyond the kmax={kmax} "
+                "per-entry cap were not counted (duplicate-heavy entries); "
+                "raise kmax for exact depth"
+            )
         return fwd[:B, :L], rev[:B, :L], starts[:B, :L], ends[:B, :L]
 
     # ------------- persistence -------------
@@ -203,7 +328,7 @@ def _coverage_scan(d, offsets, rlen, isfwd, codes, lengths, kmax: int):
     n_rm = max(int(rlen.shape[0]), 1)
 
     def step(carry, pos):
-        begin, end, size, starts, ends = carry
+        begin, end, size, starts, ends, _ = carry
         active = pos < lengths
         base = codes[:, pos].astype(jnp.int32)
         r2 = d.push_front_drop(SeqsetRanges(begin, end, size), 3 - base)
@@ -214,6 +339,9 @@ def _coverage_scan(d, offsets, rlen, isfwd, codes, lengths, kmax: int):
         e = jnp.clip(begin, 0, n_entries - 1)
         rs = jnp.take(offsets, e)
         re = jnp.take(offsets, e + 1)
+        n_trunc = carry[-1] + jnp.sum(
+            jnp.where(unique, jnp.maximum(re - rs - kmax, 0), 0)
+        )
         lanes = jnp.arange(B)
         for kk in range(kmax):
             ridx = rs + kk
@@ -230,7 +358,7 @@ def _coverage_scan(d, offsets, rlen, isfwd, codes, lengths, kmax: int):
             starts = starts.at[1, lanes, sp].add(hit_r)
             ends = ends.at[0, lanes, pos].add(hit_f)
             ends = ends.at[1, lanes, pos].add(hit_r)
-        return (begin, end, size, starts, ends), None
+        return (begin, end, size, starts, ends, n_trunc), None
 
     init = (
         jnp.zeros((B,), jnp.int64),
@@ -238,12 +366,13 @@ def _coverage_scan(d, offsets, rlen, isfwd, codes, lengths, kmax: int):
         jnp.zeros((B,), jnp.int32),
         jnp.zeros((2, B, L), jnp.int32),
         jnp.zeros((2, B, L), jnp.int32),
+        jnp.zeros((), jnp.int64),
     )
-    (b_, e_, s_, starts, ends), _ = lax.scan(step, init, jnp.arange(L))
+    (b_, e_, s_, starts, ends, n_trunc), _ = lax.scan(step, init, jnp.arange(L))
     covs = []
     for s_i in range(2):
         run = jnp.cumsum(starts[s_i], axis=1) - jnp.cumsum(
             jnp.pad(ends[s_i], ((0, 0), (1, 0)))[:, :L], axis=1
         )
         covs.append(run)
-    return covs[0], covs[1], starts.sum(axis=0), ends.sum(axis=0)
+    return covs[0], covs[1], starts.sum(axis=0), ends.sum(axis=0), n_trunc
