@@ -63,6 +63,19 @@ def cmd_create(args):
         batch, _hdr = rd(args.reads[0])
         if batch.names is not None:
             mate_of = mate_pairs_from_names(batch.names, batch.flags)
+    elif len(args.reads) == 1 and args.reads[0].endswith(".cram"):
+        from biograph_tpu.io.bam import mate_pairs_from_names
+        from biograph_tpu.io.cram import read_cram_batch
+
+        if not getattr(args, "ref", None):
+            raise SystemExit("CRAM import needs --ref (reference-compressed)")
+        batch, hdr = read_cram_batch(args.reads[0], _load_reference(args.ref))
+        if batch.names is not None:
+            mate_of = mate_pairs_from_names(batch.names, hdr["flags"])
+    elif len(args.reads) == 1 and args.reads[0].split(".gz")[0].split(".bz2")[0].endswith(".qseq"):
+        from biograph_tpu.io.qseq import read_qseq
+
+        batch = read_qseq(args.reads[0])
     else:
         batches = [read_fastq(p) for p in args.reads]
         batch = batches[0] if len(batches) == 1 else pad_batches(batches)
@@ -651,7 +664,13 @@ def main(argv=None):
     pr.set_defaults(fn=cmd_reference)
 
     pc = sub.add_parser("create", help="reads -> seqset+readmap (.bgt)")
-    pc.add_argument("--reads", nargs="+", required=True)
+    pc.add_argument(
+        "--reads",
+        nargs="+",
+        required=True,
+        help="FASTQ(.gz) / BAM / SAM / CRAM / QSEQ input",
+    )
+    pc.add_argument("--ref", help="reference (required for CRAM input)")
     pc.add_argument("--out", required=True)
     pc.add_argument("--kmer-size", type=int, default=23)
     pc.add_argument("--paired", action="store_true")

@@ -603,6 +603,7 @@ def discover_variants(
     # fwd + reverse-complement work duplication (trace_ref.h:33-51,
     # reversable_tracer.cpp:40): the rc pass anchors events from their right
     # side, recovering candidates whose left context is repeat-poisoned
+    all_asms: List[Assembly] = []
     orients = ("fwd", "rev") if opt.bidir else ("fwd",)
     for orient in orients:
         if orient == "fwd":
@@ -660,9 +661,19 @@ def discover_variants(
             )
             if orient == "rev":
                 asms = [_rc_assembly(a, G) for a in asms]
-            if readmap is not None:
-                asms = score_assemblies(readmap, ref, asms, opt)
-            all_records.extend(extract_variants(asms, ref, reference, opt))
+            all_asms.extend(asms)
+    # dedup identical bubbles across batches/orientations BEFORE the
+    # (expensive) coverage scoring — fwd and rev mostly rediscover the same
+    # assemblies, and scoring is the costliest stage on-chip
+    uniq = {}
+    for a in all_asms:
+        key = (a.anchor, a.rejoin, a.seq.tobytes())
+        if key not in uniq or a.support > uniq[key].support:
+            uniq[key] = a
+    all_asms = list(uniq.values())
+    if readmap is not None:
+        all_asms = score_assemblies(readmap, ref, all_asms, opt)
+    all_records.extend(extract_variants(all_asms, ref, reference, opt))
     # genotype from support vs local ref coverage
     return _dedup_records(all_records)
 
@@ -687,9 +698,28 @@ def score_assemblies(rm: Readmap, ref: np.ndarray, asms: List[Assembly], opt: Di
     read_cov.cpp): each assembly's alt sequence plus flanking context is run
     through readmap.coverage; support = min depth across the bubble.  The
     matching REFERENCE span is scored the same way (ref_support), so the
-    genotyper can weigh alt vs ref evidence instead of hardcoding hom-alt."""
+    genotyper can weigh alt vs ref evidence instead of hardcoding hom-alt.
+
+    Assemblies are bucketed by bubble size first: the coverage scan's cost is
+    the padded window length, and one 400 bp event must not make every SNP
+    bubble pay a 400-step scan."""
     if not asms:
         return asms
+    buckets: dict = {}
+    for a in asms:
+        span = max(len(a.seq), a.rejoin - a.anchor - 1)
+        b = 64
+        while b < span:
+            b *= 2
+        buckets.setdefault(b, []).append(a)
+    if len(buckets) > 1:
+        for group in buckets.values():
+            _score_batch(rm, ref, group, opt)
+        return asms
+    return _score_batch(rm, ref, asms, opt)
+
+
+def _score_batch(rm: Readmap, ref: np.ndarray, asms: List[Assembly], opt: DiscoverOptions):
     # Flanks must cover a full read length: the coverage walk only counts a
     # read once its END position is reached with enough context, so the
     # first/last read_len positions of any window undercount.
