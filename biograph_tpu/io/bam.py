@@ -61,6 +61,36 @@ def read_bam(
         raise ValueError(f"{path}: not a BAM file")
     l_text = struct.unpack_from("<i", data, 4)[0]
     off = 8 + l_text
+    n_ref_n = struct.unpack_from("<i", data, off)[0]
+    off_n = off + 4
+    refs_n = []
+    for _ in range(n_ref_n):
+        l_name = struct.unpack_from("<i", data, off_n)[0]
+        refs_n.append(
+            (
+                data[off_n + 4 : off_n + 4 + l_name - 1].decode(),
+                struct.unpack_from("<i", data, off_n + 4 + l_name)[0],
+            )
+        )
+        off_n += 8 + l_name
+    # native record scanner (C++, biograph_tpu.native): the per-record loop
+    # is the hot path on WGS-scale BAMs
+    try:
+        from biograph_tpu.native import bam_scan_native
+
+        out = bam_scan_native(data[off_n:], keep_unmapped)
+    except Exception:
+        out = None
+    if out is not None:
+        codes, quals, lengths, flags, names = out
+        batch = ReadBatch(
+            codes=codes,
+            lengths=lengths,
+            quals=quals,
+            names=names if with_names else None,
+        )
+        batch.flags = np.asarray(flags, np.int32)  # type: ignore[attr-defined]
+        return batch, {"refs": refs_n, "flags": flags}
     n_ref = struct.unpack_from("<i", data, off)[0]
     off += 4
     refs = []

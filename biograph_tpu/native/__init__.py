@@ -84,8 +84,59 @@ def get_lib():
             ctypes.c_void_p,
             ctypes.c_longlong,
         ]
+        lib.bam_dims.restype = ctypes.c_int
+        lib.bam_dims.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.bam_scan.restype = ctypes.c_longlong
+        lib.bam_scan.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+            ctypes.c_int,
+        ] + [ctypes.c_void_p] * 6 + [ctypes.c_longlong, ctypes.c_longlong]
         _LIB = lib
         return lib
+
+
+def bam_scan_native(aln_buf: bytes, keep_unmapped: bool = True):
+    """Parse decompressed BAM alignment records natively.
+
+    Returns (codes, quals, lengths, flags, names) or None when the library
+    is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(aln_buf, np.uint8)
+    nr = ctypes.c_longlong(0)
+    ml = ctypes.c_longlong(0)
+    nb = ctypes.c_longlong(0)
+    lib.bam_dims(
+        arr.ctypes.data, len(arr), int(keep_unmapped),
+        ctypes.byref(nr), ctypes.byref(ml), ctypes.byref(nb),
+    )
+    R, L = nr.value, max(ml.value, 1)
+    codes = np.zeros((R, L), np.uint8)
+    quals = np.zeros((R, L), np.uint8)
+    lengths = np.zeros(R, np.int32)
+    flags = np.zeros(R, np.int32)
+    name_off = np.zeros(R + 1, np.int64)
+    name_buf = np.zeros(max(nb.value, 1), np.uint8)
+    got = lib.bam_scan(
+        arr.ctypes.data, len(arr), int(keep_unmapped),
+        codes.ctypes.data, quals.ctypes.data, lengths.ctypes.data,
+        flags.ctypes.data, name_off.ctypes.data, name_buf.ctypes.data,
+        R, L,
+    )
+    if got != R:
+        raise ValueError(f"native BAM scan parsed {got}/{R} records")
+    raw = name_buf.tobytes()
+    names = [raw[name_off[i] : name_off[i + 1]] for i in range(R)]
+    return codes, quals, lengths, flags, names
 
 
 def fastq_scan_native(buf: bytes, with_quals: bool = True):

@@ -149,3 +149,113 @@ void pack_codes_2bit(const uint8_t* codes, long long rows, long long len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BAM record scanner over a DEcompressed (post-BGZF) alignment section.
+//
+// Counterpart of the reference's htslib-driven per-record loop
+// (modules/build_seqset/read_importer.cpp bam path): the Python importer's
+// per-record interpreter loop is the 50x-WGS bottleneck; this walks records
+// natively, emitting 2-bit codes (reverse-strand reads restored to original
+// orientation), phred qualities, lengths, flags, and read-name offsets.
+//
+// Layout contract (caller allocates after calling bam_dims):
+//   codes  : uint8 [max_reads, max_len]
+//   quals  : uint8 [max_reads, max_len]
+//   lengths: int32 [max_reads]
+//   flags  : int32 [max_reads]
+//   name_off: int64 [max_reads+1] offsets into name_buf
+//   name_buf: uint8 [total_name_bytes]
+// Skips secondary (0x100) and supplementary (0x800) records like the
+// Python path; keep_unmapped selects flag-0x4 handling.
+
+namespace {
+inline int32_t rd_i32(const uint8_t* p) {
+  int32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+constexpr uint8_t kNib2Code[16] = {0, 0, 1, 0, 2, 0, 0, 0, 3, 0, 0, 0, 0, 0, 0, 0};
+}  // namespace
+
+extern "C" {
+
+// First pass: count kept records, max read length, total name bytes.
+// buf points at the first alignment record (after header+refs).
+int bam_dims(const uint8_t* buf, long long n, int keep_unmapped,
+             long long* num_reads, long long* max_len,
+             long long* name_bytes) {
+  long long p = 0, r = 0, ml = 0, nb = 0;
+  while (p + 4 <= n) {
+    int32_t bs = rd_i32(buf + p);
+    if (bs < 32 || p + 4 + bs > n) break;
+    const uint8_t* rec = buf + p + 4;
+    p += 4 + bs;
+    uint8_t l_read_name = rec[8];
+    uint16_t flag;
+    memcpy(&flag, rec + 14, 2);
+    int32_t l_seq = rd_i32(rec + 16);
+    if ((flag & 0x100) || (flag & 0x800)) continue;
+    if (!keep_unmapped && (flag & 0x4)) continue;
+    r++;
+    if (l_seq > ml) ml = l_seq;
+    nb += l_read_name - 1;
+  }
+  *num_reads = r;
+  *max_len = ml;
+  *name_bytes = nb;
+  return 0;
+}
+
+long long bam_scan(const uint8_t* buf, long long n, int keep_unmapped,
+                   uint8_t* codes, uint8_t* quals, int32_t* lengths,
+                   int32_t* flags_out, long long* name_off, uint8_t* name_buf,
+                   long long max_reads, long long max_len) {
+  long long p = 0, r = 0, nb = 0;
+  name_off[0] = 0;
+  while (p + 4 <= n && r < max_reads) {
+    int32_t bs = rd_i32(buf + p);
+    if (bs < 32 || p + 4 + bs > n) break;
+    const uint8_t* rec = buf + p + 4;
+    p += 4 + bs;
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar;
+    memcpy(&n_cigar, rec + 12, 2);
+    uint16_t flag;
+    memcpy(&flag, rec + 14, 2);
+    int32_t l_seq = rd_i32(rec + 16);
+    if ((flag & 0x100) || (flag & 0x800)) continue;
+    if (!keep_unmapped && (flag & 0x4)) continue;
+    const uint8_t* q = rec + 32;
+    memcpy(name_buf + nb, q, l_read_name - 1);
+    nb += l_read_name - 1;
+    q += l_read_name + 4 * n_cigar;
+    const uint8_t* seq_nib = q;
+    const uint8_t* qual = q + (l_seq + 1) / 2;
+    uint8_t* crow = codes + r * max_len;
+    uint8_t* qrow = quals + r * max_len;
+    if (flag & 0x10) {
+      // reverse strand: restore original orientation (revcomp, reverse qual)
+      for (int32_t i = 0; i < l_seq; i++) {
+        uint8_t nib = (i & 1) ? (seq_nib[i >> 1] & 0xF) : (seq_nib[i >> 1] >> 4);
+        crow[l_seq - 1 - i] = 3 - kNib2Code[nib];
+        qrow[l_seq - 1 - i] = qual[i] == 0xFF ? 0 : qual[i];
+      }
+    } else {
+      for (int32_t i = 0; i < l_seq; i++) {
+        uint8_t nib = (i & 1) ? (seq_nib[i >> 1] & 0xF) : (seq_nib[i >> 1] >> 4);
+        crow[i] = kNib2Code[nib];
+        qrow[i] = qual[i] == 0xFF ? 0 : qual[i];
+      }
+    }
+    memset(crow + l_seq, 0, (size_t)(max_len - l_seq));
+    memset(qrow + l_seq, 0, (size_t)(max_len - l_seq));
+    lengths[r] = l_seq;
+    flags_out[r] = flag;
+    r++;
+    name_off[r] = nb;
+  }
+  return r;
+}
+
+}  // extern "C"
