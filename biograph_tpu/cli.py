@@ -352,6 +352,46 @@ def cmd_coverage(args):
     print(f"coverage: {n} records annotated ({time.time()-t0:.1f}s) -> {args.out}")
 
 
+def cmd_grm(args):
+    """Annotate SV breakend mappability via the reference BWT.
+    (reference: truvari anno grm stage, bgbinary_cmds.py:371)"""
+    from biograph_tpu.index.bwt import RefBwt
+    from biograph_tpu.tools.grm import run_grm
+
+    ref = _load_reference(args.ref)
+    t0 = time.time()
+    if args.bwt:
+        bwt = RefBwt.load(args.bwt)
+    else:
+        bwt = RefBwt.build(np.asarray(ref.flat))
+    recs = run_grm(args.vcf, args.out, bwt, ref, sample=args.sample, k=args.k)
+    n_sv = sum(1 for r in recs if "GRM_UP" in r.info or "GRM_DN" in r.info)
+    print(
+        f"grm: {n_sv}/{len(recs)} records annotated "
+        f"({time.time()-t0:.1f}s) -> {args.out}"
+    )
+
+
+def cmd_squareoff(args):
+    """Union call set re-genotyped in every sample -> multi-sample VCF.
+    (reference: biograph squareoff, bgbinary_cmds.py)"""
+    from biograph_tpu.api import BioGraph
+    from biograph_tpu.tools.squareoff import squareoff
+
+    ref = _load_reference(args.ref)
+    bgs = [BioGraph(p) for p in args.biographs]
+    names = args.samples or [
+        bg.metadata.get("accession_id") or os.path.basename(bg.path.rstrip("/"))
+        for bg in bgs
+    ]
+    t0 = time.time()
+    recs = squareoff(args.vcfs, bgs, ref, args.out, names)
+    print(
+        f"squareoff: {len(recs)} union records x {len(bgs)} samples "
+        f"({time.time()-t0:.1f}s) -> {args.out}"
+    )
+
+
 def cmd_merge(args):
     """Merge sample .bgt dirs into one merged seqset + migrated readmaps.
     (reference: bgbinary merge, modules/biograph/biograph_merge.cpp:33)"""
@@ -474,6 +514,7 @@ def cmd_full_pipeline(args):
     bgt = os.path.join(out, "sample.bgt")
     disc_vcf = os.path.join(analysis, "discovery.vcf")
     cov_vcf = os.path.join(analysis, "coverage.vcf")
+    grm_vcf = os.path.join(analysis, "grm.vcf")
     feats = os.path.join(analysis, "features.npz")
     results = os.path.join(analysis, "results.vcf")
 
@@ -536,6 +577,20 @@ def cmd_full_pipeline(args):
             )
         ),
     )
+    stage(
+        "grm",
+        grm_vcf,
+        lambda: cmd_grm(
+            types.SimpleNamespace(
+                vcf=cov_vcf,
+                ref=args.ref,
+                bwt=None,
+                out=grm_vcf,
+                sample=args.sample,
+                k=50,
+            )
+        ),
+    )
     if args.classifier_model:
         stage(
             "qual_classifier",
@@ -543,7 +598,7 @@ def cmd_full_pipeline(args):
             lambda: cmd_qual_classifier(
                 types.SimpleNamespace(
                     train=False,
-                    vcf=cov_vcf,
+                    vcf=grm_vcf,
                     features=feats,
                     model=args.classifier_model,
                     out=results,
@@ -555,7 +610,7 @@ def cmd_full_pipeline(args):
     else:
         import shutil
 
-        shutil.copyfile(cov_vcf, results)
+        shutil.copyfile(grm_vcf, results)
     print(f"full_pipeline: done -> {results}")
 
 
@@ -746,6 +801,23 @@ def main(argv=None):
     pf.add_argument("--resume", action="store_true")
     pf.add_argument("--stop", help="halt after the named stage")
     pf.set_defaults(fn=cmd_full_pipeline)
+
+    pg = sub.add_parser("grm", help="SV breakend mappability annotation")
+    pg.add_argument("--vcf", required=True)
+    pg.add_argument("--ref", required=True)
+    pg.add_argument("--bwt", help="prebuilt ref2bwt artifact (else built)")
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--sample", default="SAMPLE")
+    pg.add_argument("--k", type=int, default=50)
+    pg.set_defaults(fn=cmd_grm)
+
+    psq = sub.add_parser("squareoff", help="joint multi-sample re-genotyping")
+    psq.add_argument("--vcfs", nargs="+", required=True)
+    psq.add_argument("--biographs", nargs="+", required=True)
+    psq.add_argument("--ref", required=True)
+    psq.add_argument("--out", required=True)
+    psq.add_argument("--samples", nargs="+")
+    psq.set_defaults(fn=cmd_squareoff)
 
     pm = sub.add_parser("merge", help="merge sample .bgt dirs")
     pm.add_argument("--biographs", nargs="+", required=True)

@@ -56,7 +56,9 @@ class VcfWriter:
         else:
             self._f = path_or_file
             self._own = False
-        self.sample = sample
+        # single sample (str) or multi-sample (list[str]) columns
+        self.samples = [sample] if isinstance(sample, str) else list(sample)
+        self.sample = self.samples[0]
         self._f.write("##fileformat=VCFv4.2\n")
         self._f.write(f"##source={source}\n")
         for name, length in contigs or []:
@@ -64,13 +66,18 @@ class VcfWriter:
         for h in extra_headers or []:
             self._f.write(h.rstrip("\n") + "\n")
         self._f.write(
-            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t%s\n" % sample
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t%s\n"
+            % "\t".join(self.samples)
         )
 
     def write(self, rec: VcfRecord):
         qual = "." if rec.qual is None else ("%g" % rec.qual)
-        fmt_keys = list(rec.fmt.keys()) or ["GT"]
-        fmt_vals = [str(rec.fmt.get(k, ".")) for k in fmt_keys]
+        # rec.fmt: one dict (single sample) or list of dicts (multi-sample)
+        fmts = rec.fmt if isinstance(rec.fmt, list) else [rec.fmt]
+        fmt_keys = list(fmts[0].keys()) or ["GT"]
+        cols = [
+            ":".join(str(f.get(k, ".")) for k in fmt_keys) for f in fmts
+        ]
         self._f.write(
             "\t".join(
                 [
@@ -83,8 +90,8 @@ class VcfWriter:
                     rec.filter,
                     rec.info_str(),
                     ":".join(fmt_keys),
-                    ":".join(fmt_vals),
                 ]
+                + cols
             )
             + "\n"
         )

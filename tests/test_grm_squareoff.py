@@ -1,0 +1,75 @@
+"""grm (breakend mappability) + squareoff (multi-sample re-genotyping)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+LAMBDA = "/root/reference/datasets/lambdaToyData/benchmark"
+
+
+def _run(args, **kw):
+    return subprocess.run(
+        [sys.executable, "-m", "biograph_tpu", "--platform", "cpu", *args],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        **kw,
+    )
+
+
+def test_grm_annotates_sv_breakends(tmp_path):
+    from biograph_tpu.index.bwt import RefBwt
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.io.vcf import VcfRecord
+    from biograph_tpu.tools.grm import annotate_grm
+
+    ref = Reference.from_reference_dir(os.path.join(LAMBDA, "ref_lambda"))
+    bwt = RefBwt.build(np.asarray(ref.flat))
+    flat = np.asarray(ref.flat)
+    # the lambda 100bp deletion at 2191 (unique flanks) + a small SNP
+    refseq = "".join("ACGT"[c] for c in flat[2190:2291])
+    recs = [
+        VcfRecord("lambda", 2191, refseq, refseq[0]),
+        VcfRecord("lambda", 5897, "G", "A"),
+    ]
+    out = annotate_grm(bwt, ref, recs)
+    assert out[0].info.get("GRM_UP") == 1  # unique upstream anchor
+    assert out[0].info.get("GRM_DN") == 1
+    assert "GRM_UP" not in out[1].info  # SNPs pass through
+
+
+def test_squareoff_trio(tmp_path):
+    """Union of trio single-sample calls re-genotyped in all three samples:
+    father-only variants must come back hom-ref/absent in mother."""
+    from biograph_tpu.api import BioGraph
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.tools.squareoff import squareoff
+
+    ref = Reference.from_reference_dir(os.path.join(LAMBDA, "ref_lambda"))
+    # build per-sample VCF paths from the committed pcmp expectations
+    vcfs = [
+        os.path.join(LAMBDA, f"{s}_single_pcmp.vcf")
+        for s in ("father", "mother", "proband")
+    ]
+    bgs = [
+        BioGraph(os.path.join(LAMBDA, f"{s}_lambda.bg"))
+        for s in ("father", "mother", "proband")
+    ]
+    out = str(tmp_path / "square.vcf")
+    recs = squareoff(vcfs, bgs, ref, out, ["father", "mother", "proband"])
+    assert len(recs) >= 16  # union across the trio
+    lines = [l for l in open(out) if not l.startswith("#")]
+    assert len(lines) == len(recs)
+    header = [l for l in open(out) if l.startswith("#CHROM")][0]
+    assert header.rstrip().split("\t")[-3:] == ["father", "mother", "proband"]
+    # spot-check: known father-only SNP 5897 G>A hom in father+proband,
+    # absent in mother
+    row = [l for l in lines if l.split("\t")[1] == "5897"][0].rstrip().split("\t")
+    fmt_keys = row[8].split(":")
+    gt_i = fmt_keys.index("GT")
+    gts = [row[9 + i].split(":")[gt_i] for i in range(3)]
+    assert gts[0] == "1/1" and gts[2] == "1/1", gts
+    assert gts[1] in ("0/0", "./."), gts
