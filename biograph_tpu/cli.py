@@ -49,13 +49,16 @@ def cmd_create(args):
     from biograph_tpu.build.seqset_build import build_seqset
     from biograph_tpu.build.readmap_build import build_readmap
     from biograph_tpu.kmers.count import count_kmers
+    from biograph_tpu.runtime.log import LOG, Progress
 
     t_start = time.time()
     timings = {}
-    os.makedirs(args.out, exist_ok=True)
+    os.makedirs(os.path.join(args.out, "qc"), exist_ok=True)
+    LOG.tee_to(os.path.join(args.out, "qc", "create_log.txt"))
+    progress = Progress(label="create")
 
-    t0 = time.time()
     mate_of = None
+    t0 = time.time()
     if len(args.reads) == 1 and args.reads[0].endswith((".bam", ".sam")):
         from biograph_tpu.io.bam import mate_pairs_from_names, read_bam, read_sam
 
@@ -80,7 +83,7 @@ def cmd_create(args):
         batches = [read_fastq(p) for p in args.reads]
         batch = batches[0] if len(batches) == 1 else pad_batches(batches)
     timings["import"] = time.time() - t0
-    print(f"import: {batch.num_reads} reads x <={batch.max_len}bp")
+    LOG.info(f"import: {batch.num_reads} reads x <={batch.max_len}bp")
 
     if args.paired and mate_of is None:
         # interleaved pairing: read 2i <-> 2i+1 (reference read_importer
@@ -92,10 +95,10 @@ def cmd_create(args):
         if R % 2:
             mate_of[-1] = -1
 
-    t0 = time.time()
-    kc = count_kmers(batch.codes, batch.lengths, k=args.kmer_size)
-    timings["kmerize"] = time.time() - t0
-    print(f"kmerize: {len(kc.kmers)} distinct canonical {args.kmer_size}-mers")
+    with progress.stage("kmerize"):
+        kc = count_kmers(batch.codes, batch.lengths, k=args.kmer_size)
+    timings["kmerize"] = progress.timings["kmerize"]
+    LOG.info(f"kmerize: {len(kc.kmers)} distinct canonical {args.kmer_size}-mers")
 
     codes, lengths = batch.codes, batch.lengths
     n_corrected = 0
@@ -116,7 +119,7 @@ def cmd_create(args):
         codes, lengths = res.codes, res.lengths
         n_corrected = int((res.corrections > 0).sum())
         timings["read_correction"] = time.time() - t0
-        print(
+        LOG.info(
             f"read_correction: {n_corrected} corrected, "
             f"{int((res.lengths == 0).sum())} dropped"
         )
@@ -130,17 +133,19 @@ def cmd_create(args):
         if mate_of is not None:
             mate_of = np.where(mate_of >= 0, remap[mate_of], -1)[keep]
 
-    t0 = time.time()
-    ss = build_seqset(codes, lengths)
-    timings["seqset"] = time.time() - t0
-    print(f"seqset: {ss.n_entries} entries ({timings['seqset']:.1f}s)")
+    from biograph_tpu.runtime.resources import MemoryBudget
+
+    with progress.stage("seqset"):
+        ss = build_seqset(codes, lengths, budget=MemoryBudget.detect())
+    timings["seqset"] = progress.timings["seqset"]
+    LOG.info(f"seqset: {ss.n_entries} entries ({timings['seqset']:.1f}s)")
     ss.save(os.path.join(args.out, "seqset"))
 
-    t0 = time.time()
-    rm = build_readmap(ss, codes, lengths, mate_of)
-    timings["readmap"] = time.time() - t0
+    with progress.stage("readmap"):
+        rm = build_readmap(ss, codes, lengths, mate_of)
+    timings["readmap"] = progress.timings["readmap"]
     rm.save(os.path.join(args.out, "readmap"))
-    print(f"readmap: {rm.num_entries} entries ({timings['readmap']:.1f}s)")
+    LOG.info(f"readmap: {rm.num_entries} entries ({timings['readmap']:.1f}s)")
 
     meta = {
         "biograph_version": "biograph_tpu-0.1",
@@ -167,7 +172,8 @@ def cmd_create(args):
     }
     with open(os.path.join(args.out, "qc", "create_stats.json"), "w") as f:
         json.dump(qc, f, indent=1)
-    print(f"create: done in {qc['total_s']:.1f}s -> {args.out}")
+    LOG.info(f"create: done in {qc['total_s']:.1f}s -> {args.out}")
+    LOG.close()
 
 
 def cmd_ref2bwt(args):

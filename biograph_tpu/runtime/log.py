@@ -1,0 +1,119 @@
+"""Structured logging + progress reporting (SPLOG / progress_handler analog).
+
+The reference logs through SPLOG to a forked logger process appending
+qc/create_log.txt (modules/io/log.h:13-24, main/main.cpp:63-95) and threads
+`progress_handler_t` closures through every long operation with subprogress
+splitting (modules/io/progress.h).  The TPU build keeps one process: a
+module-level structured logger (timestamped, level-tagged, optionally teed
+to a file) and a Progress tree whose stages report fraction + wall time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import IO, List, Optional
+
+_LEVELS = {"DEBUG": 10, "INFO": 20, "WARN": 30, "ERROR": 40}
+
+
+class Logger:
+    """Timestamped line logger, tee-able to a file (create_log.txt analog)."""
+
+    def __init__(self, name: str = "bgt"):
+        self.name = name
+        self.level = _LEVELS.get(os.environ.get("BGT_LOG_LEVEL", "INFO"), 20)
+        self._file: Optional[IO] = None
+
+    def tee_to(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._file = open(path, "a")
+        return self
+
+    def close(self):
+        if self._file:
+            self._file.close()
+            self._file = None
+
+    def _emit(self, level: str, msg: str, **fields):
+        if _LEVELS[level] < self.level:
+            return
+        t = time.strftime("%Y-%m-%d %H:%M:%S")
+        extra = (
+            " " + " ".join(f"{k}={v}" for k, v in fields.items())
+            if fields
+            else ""
+        )
+        line = f"{t} [{level}] {self.name}: {msg}{extra}"
+        print(line, file=sys.stderr if level in ("WARN", "ERROR") else sys.stdout)
+        if self._file:
+            self._file.write(line + "\n")
+            self._file.flush()
+
+    def debug(self, msg, **f):
+        self._emit("DEBUG", msg, **f)
+
+    def info(self, msg, **f):
+        self._emit("INFO", msg, **f)
+
+    def warn(self, msg, **f):
+        self._emit("WARN", msg, **f)
+
+    def error(self, msg, **f):
+        self._emit("ERROR", msg, **f)
+
+
+LOG = Logger()
+
+
+@dataclass
+class Progress:
+    """A stage-progress tree (progress_handler_t + subprogress analog).
+
+    Stages report set(fraction); timings collect into a dict suitable for
+    qc/timings.json.  Rendering is rate-limited to avoid log spam."""
+
+    label: str = "run"
+    logger: Logger = field(default_factory=lambda: LOG)
+    min_interval_s: float = 2.0
+    _t0: float = field(default_factory=time.time)
+    _last_print: float = 0.0
+    timings: dict = field(default_factory=dict)
+
+    @contextmanager
+    def stage(self, name: str, weight: float = 1.0):
+        sub = _Stage(self, name)
+        t0 = time.time()
+        self.logger.info(f"{self.label}/{name}: start")
+        try:
+            yield sub
+        finally:
+            dt = time.time() - t0
+            self.timings[name] = round(dt, 3)
+            self.logger.info(f"{self.label}/{name}: done", seconds=round(dt, 2))
+
+    def save_timings(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.timings, f, indent=1)
+
+
+class _Stage:
+    def __init__(self, parent: Progress, name: str):
+        self.parent = parent
+        self.name = name
+
+    def set(self, fraction: float, detail: str = ""):
+        now = time.time()
+        if now - self.parent._last_print < self.parent.min_interval_s:
+            return
+        self.parent._last_print = now
+        pct = min(max(fraction, 0.0), 1.0) * 100
+        msg = f"{self.parent.label}/{self.name}: {pct:.0f}%"
+        if detail:
+            msg += f" ({detail})"
+        self.parent.logger.info(msg)
