@@ -253,8 +253,16 @@ def cmd_discovery(args):
 
         if not args.biograph:
             raise SystemExit("--mode assemble requires --biograph <dir.bgt>")
+        from biograph_tpu.runtime.config import apply_options
+
         bg = BioGraph(args.biograph)
         opt = DiscoverOptions(min_alt_support=args.min_depth)
+        applied = apply_options(opt, getattr(args, "opt", None))
+        if applied:
+            print(
+                "options: "
+                + " ".join(f"{k}={v}({src})" for k, (v, src) in applied.items())
+            )
         region = None
         if args.region:
             cname, span = args.region.split(":")
@@ -781,6 +789,13 @@ def main(argv=None):
         type=int,
         default=1,
         help="donor-patching discovery rounds (divergent genomes)",
+    )
+    pd.add_argument(
+        "--opt",
+        action="append",
+        metavar="FIELD=VALUE",
+        help="engine knob override (any DiscoverOptions field; repeatable; "
+        "also settable via BGT_OPT_<FIELD> env or BGT_CONFIG json)",
     )
     pd.set_defaults(fn=cmd_discovery)
 

@@ -65,3 +65,24 @@ def test_stop_after(tmp_path):
     ]
     StageRunner(run).run(stages, stop_after="y")
     assert calls == ["x", "y"]
+
+
+def test_config_layering(monkeypatch, tmp_path):
+    """Config singleton analog: defaults < product json < env < CLI."""
+    from biograph_tpu.runtime.config import apply_options
+    from biograph_tpu.variants.discover import DiscoverOptions
+
+    prod = tmp_path / "product.json"
+    prod.write_text('{"beam_width": 64, "max_path": 100}')
+    monkeypatch.setenv("BGT_CONFIG", str(prod))
+    monkeypatch.setenv("BGT_OPT_MAX_PATH", "200")
+    opt = DiscoverOptions()
+    applied = apply_options(opt, ["rejoin_k=21", "bidir=false"])
+    assert opt.beam_width == 64  # product file
+    assert opt.max_path == 200  # env beats product
+    assert opt.rejoin_k == 21 and opt.bidir is False  # cli beats all
+    assert applied["max_path"] == (200, "env")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        apply_options(DiscoverOptions(), ["no_such_knob=1"])
