@@ -256,28 +256,35 @@ class _SeqsetDevice:
         ne = jnp.where(was_valid, ne, r.begin)
         return SeqsetRanges(begin=nb, end=ne, size=jnp.where(was_valid, new_size, r.size))
 
-    def rank4(self, pos):
+    def rank4(self, pos, use_kernel: bool = True):
         """All-4-bases rank at each position: int32 [B, 4].
 
         Uses the MXU one-hot-matmul kernel (ops/rank4.py) when the structure
         fits VMEM, a TPU backend is active, and the batch is wide enough to
         fill the kernel's query block (narrow batches pad to Q_BLOCK lanes
-        and pay Mosaic compile time for nothing); else fused XLA gathers."""
+        and pay Mosaic compile time for nothing); else fused XLA gathers.
+        use_kernel=False forces the XLA path — a pallas_call nested inside a
+        long lax.scan has crashed the TPU worker on this toolchain, so the
+        scanned reference walk opts out."""
         from biograph_tpu.ops.rank4 import rank4_pallas, rank4_xla
 
-        if self.rank4_table is not None and pos.shape[0] >= 256:
+        if (
+            use_kernel
+            and self.rank4_table is not None
+            and pos.shape[0] >= 256
+        ):
             return rank4_pallas(self.rank4_table, pos)
         return rank4_xla(self.prev_words, self.prev_cum, pos)
 
-    def push4(self, r: SeqsetRanges):
+    def push4(self, r: SeqsetRanges, use_kernel: bool = True):
         """Children of each range for ALL four pushed bases at once.
 
         Returns (begin4, end4) int64 [B, 4] indexed by the pushed base —
         column b equals push_front(r, b).(begin, end).  Costs two rank4
         evaluations instead of eight rank chains; the wavefront's 4-base
         probe is built on this."""
-        r4b = self.rank4(r.begin).astype(jnp.int64)
-        r4e = self.rank4(r.end).astype(jnp.int64)
+        r4b = self.rank4(r.begin, use_kernel).astype(jnp.int64)
+        r4e = self.rank4(r.end, use_kernel).astype(jnp.int64)
         nb = self.fixed[None, :4] + r4b
         ne = self.fixed[None, :4] + r4e
         new_size = (r.size + 1)[:, None]

@@ -99,8 +99,10 @@ def reference_walk(
         probe = d.truncate_ranges(r, probe_ctx)
         # branch probe: widths of pushing each complemented base, all four
         # children from one fused rank4 pass (column p = pushed base p, so
-        # candidate alt base bb pushes 3-bb -> flip columns)
-        nb4, ne4 = d.push4(probe)
+        # candidate alt base bb pushes 3-bb -> flip columns).  use_kernel
+        # stays off here: a pallas_call nested in this 4096-step scan has
+        # crashed the TPU worker (Mosaic runtime fault) on the axon chain.
+        nb4, ne4 = d.push4(probe, use_kernel=False)
         w4 = (ne4 - nb4)[:, ::-1]
         return (r.begin, r.end, r.size), (probe.begin, probe.end, probe.size, w4)
 

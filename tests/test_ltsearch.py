@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from biograph_tpu.ops.ltsearch import LtSearch
@@ -42,6 +43,7 @@ def test_ltsearch_cross_block(rng):
     assert list(fwd) == [1990, 2000, 2000]
 
 
+@pytest.mark.slow
 def test_push_front_drop_matches_reference_semantics():
     """push_front_drop drops context until the push succeeds."""
     from biograph_tpu.core import dna

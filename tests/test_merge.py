@@ -14,6 +14,7 @@ def _reads(rng, genome, n, L=30):
     return codes, np.full(n, L, np.int32)
 
 
+@pytest.mark.slow
 def test_merge_two_samples(rng):
     g1 = rng.integers(0, 4, size=2000, dtype=np.uint8)
     g2 = g1.copy()
@@ -55,6 +56,7 @@ def test_merge_two_samples(rng):
     assert tot1[15:25].max() == 0  # sample1 reads don't match the variant ctx
 
 
+@pytest.mark.slow
 def test_merge_identical_is_idempotent(rng):
     g = rng.integers(0, 4, size=1500, dtype=np.uint8)
     c, l = _reads(rng, g, 200)

@@ -48,6 +48,7 @@ def test_kmer_count_golden_bitexact(tmp_path):
     assert ours == golden
 
 
+@pytest.mark.slow
 def test_pileup_concordance(ecoli_ref):
     from biograph_tpu.io.fastq import read_fastq
     from biograph_tpu.variants.pileup import run_pileup_pipeline, write_pileup_vcf
@@ -102,6 +103,7 @@ def test_cli_kmers_and_reference(tmp_path):
     ).read()
 
 
+@pytest.mark.slow
 def test_assembly_discovery_concordance(ecoli_ref, tmp_path):
     """The wavefront assembly engine must recover all golden final.vcf
     records and all pileup.vcf SNPs within the tested region."""
@@ -146,6 +148,7 @@ def test_assembly_discovery_concordance(ecoli_ref, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_bg_import_lambda_discovery(tmp_path):
     """Import the reference's own lambda .bg (spiral_file format) and
     reproduce its variant calls exactly."""
@@ -201,6 +204,7 @@ def test_bg_import_hiv_seqset():
         assert b <= int(e) < en
 
 
+@pytest.mark.slow
 def test_golden_bg_structural_equivalence():
     """SURVEY §7 gate: rebuild the golden e_coli_10000snp.bg's seqset from
     its own reads with OUR builder — every structure array must be

@@ -112,6 +112,7 @@ def test_region_and_visualize(world):
     assert "X" in art and "chr1:1480" in art
 
 
+@pytest.mark.slow
 def test_breakpoint_variants(world, rng):
     from biograph_tpu.utils import find_breakpoint_variants
 
