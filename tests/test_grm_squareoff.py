@@ -73,3 +73,64 @@ def test_squareoff_trio(tmp_path):
     gts = [row[9 + i].split(":")[gt_i] for i in range(3)]
     assert gts[0] == "1/1" and gts[2] == "1/1", gts
     assert gts[1] in ("0/0", "./."), gts
+
+
+@pytest.mark.slow
+def test_squareoff_matches_family_pcmp(tmp_path):
+    """GT concordance against the reference's own multi-sample trio output
+    (datasets/lambdaToyData/benchmark/family_pcmp.vcf) — the squareoff
+    parity gate."""
+    from biograph_tpu.api import BioGraph
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.tools.squareoff import squareoff
+
+    ref = Reference.from_reference_dir(os.path.join(LAMBDA, "ref_lambda"))
+    # expected: per (pos,ref,alt) the per-sample GTs, in their column order
+    exp = {}
+    order = None
+    for ln in open(os.path.join(LAMBDA, "family_pcmp.vcf")):
+        if ln.startswith("#CHROM"):
+            order = ln.rstrip().split("\t")[9:]
+            continue
+        if ln.startswith("#"):
+            continue
+        f = ln.rstrip().split("\t")
+        if len(f) < 10 or ":" not in f[8]:
+            continue
+        keys = f[8].split(":")
+        gts = {}
+        for s, col in zip(order, f[9:]):
+            d = dict(zip(keys, col.split(":")))
+            g = d.get("GT", ".")
+            if g in (".", "./."):
+                g = d.get("PGT", ".")
+            gts[s] = g.replace("|", "/")
+        exp[(int(f[1]), f[3], f[4])] = gts
+    assert order == ["proband", "father", "mother"]
+
+    samples = ["proband", "father", "mother"]
+    vcfs = [os.path.join(LAMBDA, f"{s}_single_pcmp.vcf") for s in samples]
+    bgs = [BioGraph(os.path.join(LAMBDA, f"{s}_lambda.bg")) for s in samples]
+    out = str(tmp_path / "family.vcf")
+    recs = squareoff(vcfs, bgs, ref, out, samples)
+    agree = tot = 0
+    mism = []
+    lines = [l for l in open(out) if not l.startswith("#")]
+    for l in lines:
+        f = l.rstrip().split("\t")
+        key = (int(f[1]), f[3], f[4])
+        if key not in exp:
+            continue
+        keys = f[8].split(":")
+        for si, s in enumerate(samples):
+            want = exp[key].get(s, ".")
+            if want == ".":
+                continue
+            got = dict(zip(keys, f[9 + si].split(":")))["GT"].replace("|", "/")
+            tot += 1
+            ok = got == want or (want == "0/0" and got == "./.")
+            agree += ok
+            if not ok:
+                mism.append((key[0], s, want, got))
+    assert tot >= 40
+    assert agree >= 0.9 * tot, (agree, tot, mism[:6])
