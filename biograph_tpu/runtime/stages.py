@@ -32,10 +32,44 @@ class Stage:
     fn: Callable[["StageRunner"], None]
     outputs: List[str] = field(default_factory=list)  # artifact paths
     max_attempts: int = 2
+    # resource class (task_requirements profile analog, mapred/task.h:14):
+    # "device" stages own the accelerator, "host" stages are CPU/IO bound
+    # ("himem" in the reference's scheduler).  The runner serializes device
+    # stages and records the class in the manifest for schedulers above.
+    profile: str = "device"
 
 
 class StageError(RuntimeError):
     pass
+
+
+@dataclass
+class ArtifactInfo:
+    """One dataset entry in the run manifest (mapred/manifest.h:20 analog:
+    path + size + record count + content identity)."""
+
+    path: str
+    bytes: int = 0
+    records: int = 0
+    uuid: str = ""
+
+    @staticmethod
+    def describe(path: str, records: int = 0, uuid: str = "") -> "ArtifactInfo":
+        total = 0
+        if os.path.isdir(path):
+            for root, _, files in os.walk(path):
+                for fn in files:
+                    total += os.path.getsize(os.path.join(root, fn))
+            if not uuid:
+                meta = os.path.join(path, "artifact.json")
+                if os.path.isfile(meta):
+                    try:
+                        uuid = json.load(open(meta)).get("uuid", "")
+                    except Exception:
+                        pass
+        elif os.path.isfile(path):
+            total = os.path.getsize(path)
+        return ArtifactInfo(path=path, bytes=total, records=records, uuid=uuid)
 
 
 class StageRunner:
@@ -89,11 +123,22 @@ class StageRunner:
                     f"{rec['attempts']} attempts: {rec.get('error')}"
                 )
             rec["status"] = "done"
+            rec["profile"] = stage.profile
             rec["wall_s"] = round(time.time() - t0, 3)
             rec["finished"] = _now()
+            # dataset manifest: record what the stage produced
+            rec["outputs"] = [
+                vars(ArtifactInfo.describe(p)) for p in stage.outputs
+            ]
             self._save()
             if stop_after == stage.name:
                 return
+
+    def register_artifact(self, name: str, path: str, records: int = 0, uuid: str = ""):
+        """Add a named dataset to the run manifest (manifest.h analog)."""
+        ds = self.manifest.setdefault("datasets", {})
+        ds[name] = vars(ArtifactInfo.describe(path, records=records, uuid=uuid))
+        self._save()
 
 
 def _now():

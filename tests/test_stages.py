@@ -86,3 +86,28 @@ def test_config_layering(monkeypatch, tmp_path):
 
     with _pytest.raises(ValueError):
         apply_options(DiscoverOptions(), ["no_such_knob=1"])
+
+
+def test_artifact_manifest_and_profiles(tmp_path):
+    from biograph_tpu.runtime.stages import ArtifactInfo, Stage, StageRunner
+
+    run = tmp_path / "run"
+    out1 = tmp_path / "a.bin"
+
+    def make(runner):
+        out1.write_bytes(b"x" * 100)
+        runner.register_artifact("reads", str(out1), records=10)
+
+    r = StageRunner(str(run), resume=True)
+    r.run(
+        [
+            Stage("make", make, outputs=[str(out1)], profile="host"),
+        ]
+    )
+    import json as _json
+
+    m = _json.load(open(run / "run_manifest.json"))
+    assert m["stages"]["make"]["profile"] == "host"
+    assert m["stages"]["make"]["outputs"][0]["bytes"] == 100
+    assert m["datasets"]["reads"]["records"] == 10
+    assert ArtifactInfo.describe(str(out1)).bytes == 100
