@@ -343,21 +343,23 @@ def _coverage_scan(d, offsets, rlen, isfwd, codes, lengths, kmax: int):
             jnp.where(unique, jnp.maximum(re - rs - kmax, 0), 0)
         )
         lanes = jnp.arange(B)
-        for kk in range(kmax):
-            ridx = rs + kk
-            ok = unique & (ridx < re)
-            ric = jnp.clip(ridx, 0, n_rm - 1)
-            m = jnp.take(rlen, ric)
-            start_pos = pos + 1 - m
-            match = ok & (m <= size) & (start_pos >= 0)
-            strand_rev = jnp.take(isfwd, ric)  # complement walk flips strand
-            hit_f = (match & ~strand_rev).astype(jnp.int32)
-            hit_r = (match & strand_rev).astype(jnp.int32)
-            sp = jnp.clip(start_pos, 0, L - 1).astype(jnp.int64)
-            starts = starts.at[0, lanes, sp].add(hit_f)
-            starts = starts.at[1, lanes, sp].add(hit_r)
-            ends = ends.at[0, lanes, pos].add(hit_f)
-            ends = ends.at[1, lanes, pos].add(hit_r)
+        # one vectorized [B, kmax] pass over the entry's attached reads
+        # (replaces kmax unrolled gather/scatter rounds)
+        ridx = rs[:, None] + jnp.arange(kmax)  # [B, K]
+        ok = unique[:, None] & (ridx < re[:, None])
+        ric = jnp.clip(ridx, 0, n_rm - 1)
+        m = jnp.take(rlen, ric)
+        start_pos = pos + 1 - m
+        match = ok & (m <= size[:, None]) & (start_pos >= 0)
+        strand_rev = jnp.take(isfwd, ric)  # complement walk flips strand
+        hit_f = (match & ~strand_rev).astype(jnp.int32)
+        hit_r = (match & strand_rev).astype(jnp.int32)
+        sp = jnp.clip(start_pos, 0, L - 1).astype(jnp.int64)
+        lanes2 = jnp.broadcast_to(lanes[:, None], sp.shape)
+        starts = starts.at[0, lanes2, sp].add(hit_f)
+        starts = starts.at[1, lanes2, sp].add(hit_r)
+        ends = ends.at[0, :, pos].add(hit_f.sum(axis=1))
+        ends = ends.at[1, :, pos].add(hit_r.sum(axis=1))
         return (begin, end, size, starts, ends, n_trunc), None
 
     init = (
