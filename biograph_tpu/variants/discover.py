@@ -237,27 +237,45 @@ def wavefront_assemble(
         return []
     ref = np.asarray(ref_codes)
 
+    # group anchors by genome position so every batch's rejoin span fits the
+    # packed k-mer table's POS_BITS budget up front — no recursive splitting,
+    # stable (pow2) lane shapes for the jit cache
+    chunks_np = np.asarray(chunks)
+    flat_pos = chunks_np[np.asarray(anchors[0])] + np.asarray(anchors[1])
+    order = np.argsort(flat_pos, kind="stable")
+    span_cap = (1 << POS_BITS) - (opt.max_path + opt.rejoin_k + 2)
+    groups = []
+    start = 0
+    for i in range(1, n_anchor + 1):
+        if (
+            i == n_anchor
+            or i - start >= opt.beam_width
+            or flat_pos[order[i]] - flat_pos[order[start]] >= span_cap
+        ):
+            groups.append(order[start:i])
+            start = i
+
     out: List[Assembly] = []
-    F = opt.beam_width
-    for lo in range(0, n_anchor, F):
-        hi = min(n_anchor, lo + F)
+    done_anchors = 0
+    for sel in groups:
         out.extend(
             _assemble_batch(
                 d,
                 ref,
-                np.asarray(chunks),
-                tuple(a[lo:hi] for a in anchors),
+                chunks_np,
+                tuple(a[sel] for a in anchors),
                 opt,
             )
         )
+        done_anchors += len(sel)
         if len(out) >= opt.max_assemblies:
-            if stats is not None and hi < n_anchor:
-                stats["assemblies_truncated"] += n_anchor - hi
+            if stats is not None and done_anchors < n_anchor:
+                stats["assemblies_truncated"] += n_anchor - done_anchors
                 import warnings
 
                 warnings.warn(
                     f"discovery: assembly cap {opt.max_assemblies} hit;"
-                    f" {n_anchor - hi} anchors unexplored in this batch"
+                    f" {n_anchor - done_anchors} anchors unexplored in this batch"
                 )
             break
     return out[: opt.max_assemblies]
