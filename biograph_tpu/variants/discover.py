@@ -467,8 +467,12 @@ def _wavefront_jit(d, packed, n_packed, st, MAXP: int, k: int, min_w: int, probe
         done = st["done"]
         cur = SeqsetRanges(st["begin"], st["end"], st["size"])
         # all 4 children per lane from one fused rank4 pass; candidate alt
-        # base bb pushes complement 3-bb -> flip columns into bb order
-        nb4, ne4 = d.push4(cur)
+        # base bb pushes complement 3-bb -> flip columns into bb order.
+        # use_kernel=False: a pallas_call nested inside this fori_loop
+        # crashes the TPU worker at >512 lanes on the axon toolchain (two
+        # reproduced kernel faults); the MXU kernel serves flat batched
+        # rank calls until the Mosaic nesting fault is fixed.
+        nb4, ne4 = d.push4(cur, use_kernel=False)
         Bc = nb4[:, ::-1]
         Ec = ne4[:, ::-1]
         W = Ec - Bc  # [A, 4]
