@@ -358,8 +358,8 @@ def _coverage_scan(d, offsets, rlen, isfwd, codes, lengths, kmax: int):
         lanes2 = jnp.broadcast_to(lanes[:, None], sp.shape)
         starts = starts.at[0, lanes2, sp].add(hit_f)
         starts = starts.at[1, lanes2, sp].add(hit_r)
-        ends = ends.at[0, :, pos].add(hit_f.sum(axis=1))
-        ends = ends.at[1, :, pos].add(hit_r.sum(axis=1))
+        ends = ends.at[0, :, pos].add(hit_f.sum(axis=1).astype(jnp.int32))
+        ends = ends.at[1, :, pos].add(hit_r.sum(axis=1).astype(jnp.int32))
         return (begin, end, size, starts, ends, n_trunc), None
 
     init = (

@@ -73,97 +73,149 @@ class Assembly:
     ref_support: int = 0  # min read support along the ref span of the bubble
 
 
-def reference_walk(
-    d, ref_codes, chunks, chunk_len: int, n_entries: int, probe_ctx: int = 25
-):
-    """Walk each chunk through the seqset with push_front_drop.
+MAXA = 8192  # max anchors returned per probe batch (truncation is counted)
 
-    d: _SeqsetDevice pytree.  chunks: int64 [C] flat start positions.
-    Returns per-position arrays [C, chunk_len]: begin, end, size of the
-    *probe* range (walk range truncated to probe_ctx — branches probe from a
-    bounded context, since a full-read-length context has no extensions in
-    the seqset), plus the 4-base branch widths [C, chunk_len, 4].
+
+def probe_ranges(d, ref2, p0, seg_lo, P: int, probe_ctx: int):
+    """Per-position probe ranges by one lockstep backward search.
+
+    Lane i covers flat position pos = p0+i of the doubled (fwd ++ rc)
+    reference.  The probe range is the seqset range of the longest window of
+    length <= probe_ctx ending at pos that exists (held in reverse-complement
+    space: bases are pushed complemented, leftmost window base first, so
+    pushing complement(next_base) extends the window rightward).
+
+    This replaces the sequential per-chunk reference walk (the ref_map
+    analog, modules/variants/ref_map.h:49) with an embarrassingly parallel
+    formulation: sequential depth is probe_ctx (~25) instead of chunk_len
+    (1024+), there are no widening searches in the hot loop, and every
+    genome position is an independent lane — the shape a TPU wants.
+
+    On a mid-window mismatch the chain restarts from the single mismatching
+    base, which can UNDER-estimate the longest window (the true longest
+    suffix may be >1 base); such lanes come back flagged `restarted` and
+    must be recomputed exactly with probe_exact (rare: a restart means some
+    window of the reference is absent from the corrected read set).
+    seg_lo: first usable flat coordinate of this strand half (window clip).
+    Returns (begin, end, size, restarted), each [P].
     """
-    C = chunks.shape[0]
-    ref = jnp.asarray(ref_codes)
+    n2 = ref2.shape[0]
+    pos = p0 + jnp.arange(P, dtype=jnp.int64)
+    w0 = jnp.minimum(probe_ctx, (pos - seg_lo + 1)).astype(jnp.int32)
 
-    def get_base(i):
-        # [C] bases at chunk offset i
-        idx = jnp.clip(chunks + i, 0, ref.shape[0] - 1)
-        return jnp.take(ref, idx).astype(jnp.int32)
+    def step(s, state):
+        begin, end, size, restarted = state
+        idx = jnp.clip(pos - (probe_ctx - 1) + s, 0, n2 - 1)
+        b = (3 - jnp.take(ref2, idx)).astype(jnp.int32)
+        started = s >= (probe_ctx - w0)
+        r2 = d.push_front(SeqsetRanges(begin, end, size), b)
+        ok = r2.begin < r2.end
+        # restart: the range of the lone base b is [fixed[b], fixed[b+1])
+        b64 = b.astype(jnp.int64)
+        nb = jnp.where(ok, r2.begin, jnp.take(d.fixed, b64))
+        ne = jnp.where(ok, r2.end, jnp.take(d.fixed, b64 + 1))
+        nsize = jnp.where(ok, r2.size, 1)
+        restarted = restarted | (started & ~ok & (size > 0))
+        return (
+            jnp.where(started, nb, begin),
+            jnp.where(started, ne, end),
+            jnp.where(started, nsize, size),
+            restarted,
+        )
 
-    def step(carry, i):
-        begin, end, size = carry
-        b = get_base(i)
-        r = d.push_front_drop(SeqsetRanges(begin, end, size), 3 - b)
-        probe = d.truncate_ranges(r, probe_ctx)
-        # branch probe: widths of pushing each complemented base, all four
-        # children from one fused rank4 pass (column p = pushed base p, so
-        # candidate alt base bb pushes 3-bb -> flip columns).  use_kernel
-        # stays off here: a pallas_call nested in this 4096-step scan has
-        # crashed the TPU worker (Mosaic runtime fault) on the axon chain.
-        nb4, ne4 = d.push4(probe, use_kernel=False)
-        w4 = (ne4 - nb4)[:, ::-1]
-        return (r.begin, r.end, r.size), (probe.begin, probe.end, probe.size, w4)
-
-    init = (
-        jnp.zeros((C,), jnp.int64),
-        jnp.full((C,), n_entries, jnp.int64),
-        jnp.zeros((C,), jnp.int32),
+    state = (
+        jnp.zeros((P,), jnp.int64),
+        jnp.full((P,), d.n_entries, jnp.int64),
+        jnp.zeros((P,), jnp.int32),
+        jnp.zeros((P,), bool),
     )
-    _, (B, E, S, W4) = lax.scan(step, init, jnp.arange(chunk_len))
-    # scan stacks on axis 0 -> [chunk_len, C, ...]; transpose to [C, chunk_len]
-    return (
-        jnp.transpose(B),
-        jnp.transpose(E),
-        jnp.transpose(S),
-        jnp.transpose(W4, (1, 0, 2)),
+    return lax.fori_loop(0, probe_ctx, step, state)
+
+
+_probe_jit = jax.jit(probe_ranges, static_argnums=(4, 5))
+
+
+def _find_window(d, ref2, pos, m, probe_ctx: int):
+    """Range of the length-m window ending at each pos (masked find chain).
+
+    The push index at step s is pos - (probe_ctx-1) + s regardless of m;
+    only the start mask differs, so every chain shape is identical."""
+    n2 = ref2.shape[0]
+    P = pos.shape[0]
+
+    def step(s, state):
+        begin, end, size = state
+        idx = jnp.clip(pos - (probe_ctx - 1) + s, 0, n2 - 1)
+        b = (3 - jnp.take(ref2, idx)).astype(jnp.int32)
+        started = s >= (probe_ctx - m)
+        r2 = d.push_front(SeqsetRanges(begin, end, size), b)
+        return (
+            jnp.where(started, r2.begin, begin),
+            jnp.where(started, r2.end, end),
+            jnp.where(started, r2.size, size),
+        )
+
+    state = (
+        jnp.zeros((P,), jnp.int64),
+        jnp.full((P,), d.n_entries, jnp.int64),
+        jnp.zeros((P,), jnp.int32),
     )
+    return lax.fori_loop(0, probe_ctx, step, state)
 
 
-_walk_jit = jax.jit(reference_walk, static_argnums=(3, 4, 5))
+def probe_exact(d, ref2, pos, seg_lo, probe_ctx: int):
+    """Exact longest-window probe for the (padded) restarted positions.
+
+    Binary search on the window length: EXISTS(window of length m ending at
+    pos) is monotone in m (the seqset holds every suffix of every read, so a
+    window's substrings always exist — seqset closure invariant), and a
+    restarted lane is guaranteed ℓ* < w0.  Each probe is a lockstep
+    push_front find chain — no widening searches anywhere, unlike the
+    push_front_drop formulation (seqset.cpp:350-427) whose per-step
+    less-than searches dominate when many lanes need drops."""
+    w0 = jnp.minimum(probe_ctx, (pos - seg_lo + 1)).astype(jnp.int32)
+    lo_m = jnp.zeros_like(w0)
+    hi_m = w0
+    # 2^5 = 32 > probe_ctx bounds the gap to 1 after 5 rounds
+    for _ in range(5):
+        mid = (lo_m + hi_m) // 2
+        mid = jnp.where(hi_m - lo_m > 1, mid, lo_m)
+        b, e, s = _find_window(d, ref2, pos, mid, probe_ctx)
+        ok = b < e
+        lo_m = jnp.where(ok, mid, lo_m)
+        hi_m = jnp.where(ok, hi_m, jnp.minimum(mid, hi_m))
+    return _find_window(d, ref2, pos, lo_m, probe_ctx)
 
 
-MAXA = 8192  # max anchors returned per chunk batch (truncation is counted)
+_probe_exact_jit = jax.jit(probe_exact, static_argnums=(4,))
 
 
-def walk_and_anchor(
-    d,
-    ref_codes,
-    chunks,
-    n_real_chunks,
-    region_hi,
-    chunk_len: int,
-    n_entries: int,
-    probe_ctx: int,
-    min_anchor_ctx: int,
-    min_branch_width: int,
-    stride: int,
-):
-    """Reference walk + ON-DEVICE anchor detection and compaction.
+def anchor_scan(d, ref2, begin, end, size, p0, seg_hi, min_anchor_ctx: int,
+                min_branch_width: int):
+    """Branch probe + ON-DEVICE anchor detection and compaction.
 
-    Returning only the compact anchor list (MAXA rows) instead of the full
-    per-position walk arrays cuts host transfer from megabytes to kilobytes
-    per batch — decisive when the device link is a slow relay.
-    Returns (ci, off, ab, begin, end, size, n_anchors).
+    One fused rank4 pass gives all four children of every position's probe
+    range; positions where a non-reference base has a continuation (and
+    enough context) become anchors.  Only the compact anchor list (MAXA
+    rows) leaves the device — kilobytes instead of megabytes per batch,
+    decisive when the device link is a slow relay.
+    Returns (a_pos, ab, begin, end, size, n_anchors, n_raw).
     """
-    C = chunks.shape[0]
-    B, E, S, W4 = reference_walk(
-        d, ref_codes, chunks, chunk_len, n_entries, probe_ctx
-    )
-    ref = jnp.asarray(ref_codes)
-    L = chunk_len
-    pos = chunks[:, None] + jnp.arange(L)[None, :] + 1  # [C, L]
-    nxt = jnp.take(ref, jnp.clip(pos, 0, ref.shape[0] - 1))
-    base_ids = jnp.arange(4)[None, None, :]
+    P = begin.shape[0]
+    n2 = ref2.shape[0]
+    pos = p0 + jnp.arange(P, dtype=jnp.int64)
+    r = SeqsetRanges(begin, end, size)
+    # candidate alt base bb pushes complement 3-bb -> flip columns
+    nb4, ne4 = d.push4(r)
+    W4 = (ne4 - nb4)[:, ::-1]
+    nxt = jnp.take(ref2, jnp.clip(pos + 1, 0, n2 - 1)).astype(jnp.int32)
+    base_ids = jnp.arange(4)[None, :]
     good = (
         (W4 >= min_branch_width)
-        & (base_ids != nxt[:, :, None])
-        & (S[:, :, None] >= min_anchor_ctx)
-        & (pos[:, :, None] < ref.shape[0])
-        & (pos[:, :, None] <= region_hi)
-        & (jnp.arange(L)[None, :, None] < stride)
-        & (jnp.arange(C)[:, None, None] < n_real_chunks)
+        & (base_ids != nxt[:, None])
+        & (size[:, None] >= min_anchor_ctx)
+        & ((pos + 1)[:, None] <= seg_hi)
+        & (begin < end)[:, None]
     )
     flat = good.reshape(-1)
     n_raw = jnp.sum(flat)
@@ -173,75 +225,48 @@ def walk_and_anchor(
     idx = jnp.arange(flat.shape[0], dtype=jnp.int64)
     _, sidx = lax.sort((key, idx), num_keys=1, is_stable=True)
     top = sidx[:MAXA]
-    ci = (top // (L * 4)).astype(jnp.int32)
-    off = ((top // 4) % L).astype(jnp.int32)
+    li = (top // 4).astype(jnp.int64)
     ab = (top % 4).astype(jnp.int32)
-    lin = ci.astype(jnp.int64) * L + off
-    begin = jnp.take(B.reshape(-1), lin)
-    end = jnp.take(E.reshape(-1), lin)
-    size = jnp.take(S.reshape(-1), lin)
-    return ci, off, ab, begin, end, size, n_anchors, n_raw
-
-
-_walk_anchor_jit = jax.jit(walk_and_anchor, static_argnums=(5, 6, 7, 8, 9, 10))
-
-
-def find_anchors(
-    ref_codes: np.ndarray,
-    chunks: np.ndarray,
-    sizes: np.ndarray,
-    widths4: np.ndarray,
-    opt: DiscoverOptions,
-):
-    """Positions where a non-reference base has read support.
-
-    Returns flat arrays (chunk_idx, offset, alt_base).
-    """
-    C, Lc, _ = widths4.shape
-    ref = np.asarray(ref_codes)
-    # next ref base at each offset (the base the walk would push at i+1)
-    pos = np.asarray(chunks)[:, None] + np.arange(Lc)[None, :] + 1
-    nxt = ref[np.clip(pos, 0, len(ref) - 1)]
-    w = np.asarray(widths4)
-    s = np.asarray(sizes)
-    alt_mask = np.ones((C, Lc, 4), bool)
-    np.put_along_axis(alt_mask, nxt[:, :, None], False, axis=2)
-    good = (
-        (w >= opt.min_branch_width)
-        & alt_mask
-        & (s[:, :, None] >= opt.min_anchor_ctx)
-        & (pos[:, :, None] < len(ref))
+    return (
+        p0 + li,
+        ab,
+        jnp.take(begin, li),
+        jnp.take(end, li),
+        jnp.take(size, li),
+        n_anchors,
+        n_raw,
     )
-    ci, off, ab = np.nonzero(good)
-    return ci, off, ab
+
+
+_anchor_jit = jax.jit(anchor_scan, static_argnums=(7, 8))
 
 
 def wavefront_assemble(
     ss: Seqset,
     ref_codes: np.ndarray,
-    chunks: np.ndarray,
     anchors: tuple,
     opt: DiscoverOptions,
     stats: dict | None = None,
+    ref_limit: int | None = None,
 ) -> List[Assembly]:
     """Extend alt branches through the seqset; rejoin to reference.
 
-    anchors: (ci, off, ab, begin, end, size) — compact per-anchor walk
-    ranges straight from the device walk (no full walk arrays cross the
-    host/device link).
+    anchors: (a_pos, ab, begin, end, size) — compact per-anchor probe
+    ranges straight from the device anchor scan (no per-position arrays
+    cross the host/device link).
     """
     d = ss.d
-    ci = anchors[0]
-    n_anchor = len(ci)
+    n_anchor = len(anchors[0])
     if n_anchor == 0:
         return []
     ref = np.asarray(ref_codes)
+    if ref_limit is None:
+        ref_limit = len(ref)
 
     # group anchors by genome position so every batch's rejoin span fits the
     # packed k-mer table's POS_BITS budget up front — no recursive splitting,
     # stable (pow2) lane shapes for the jit cache
-    chunks_np = np.asarray(chunks)
-    flat_pos = chunks_np[np.asarray(anchors[0])] + np.asarray(anchors[1])
+    flat_pos = np.asarray(anchors[0])
     order = np.argsort(flat_pos, kind="stable")
     span_cap = (1 << POS_BITS) - (opt.max_path + opt.rejoin_k + 2)
     groups = []
@@ -257,14 +282,16 @@ def wavefront_assemble(
 
     out: List[Assembly] = []
     done_anchors = 0
+    trunc_tables = _trunc_tables(ss, opt.probe_ctx)
     for sel in groups:
         out.extend(
             _assemble_batch(
                 d,
                 ref,
-                chunks_np,
                 tuple(a[sel] for a in anchors),
                 opt,
+                ref_limit,
+                trunc_tables,
             )
         )
         done_anchors += len(sel)
@@ -284,7 +311,8 @@ def wavefront_assemble(
 N_POLICY = 4  # beam clones per anchor (2 junction choices x 2 ranks)
 
 
-def _assemble_batch(d, ref, chunks, anchors, opt: DiscoverOptions):
+def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
+                    trunc_tables=None):
     """One beam batch: each anchor is explored by N_POLICY clone lanes.
 
     Where several child bases are viable (repeat junctions), clone j of an
@@ -294,17 +322,22 @@ def _assemble_batch(d, ref, chunks, anchors, opt: DiscoverOptions):
     (tracer.cpp path exploration with branch costs); per anchor the
     best-supported, smallest assembly wins.
     """
-    ci, off, ab, a_begin, a_end, a_size = anchors
-    A0 = len(ci)
+    a_pos, ab, a_begin, a_end, a_size = anchors
+    A0 = len(a_pos)
     if A0 == 0:
         return []
+    if ref_limit is None:
+        ref_limit = len(ref)
+    if trunc_tables is None:
+        raise ValueError("_assemble_batch requires trunc_tables")
     MAXP = opt.max_path
     k = opt.rejoin_k
 
-    # chunk-local ref kmer index for rejoin (bounded span)
-    anchor_flat0 = chunks[ci] + off
+    # local ref kmer index for rejoin (bounded span; never crossing
+    # ref_limit — with a doubled fwd+rc ref array the halves must not mix)
+    anchor_flat0 = np.asarray(a_pos)
     lo_flat = int(anchor_flat0.min())
-    hi_flat = int(min(anchor_flat0.max() + MAXP + k + 2, len(ref)))
+    hi_flat = int(min(anchor_flat0.max() + MAXP + k + 2, ref_limit))
     if hi_flat - lo_flat >= (1 << POS_BITS):
         order = np.argsort(anchor_flat0)
         mid = A0 // 2
@@ -312,11 +345,12 @@ def _assemble_batch(d, ref, chunks, anchors, opt: DiscoverOptions):
         for sel in (order[:mid], order[mid:]):
             parts.extend(
                 _assemble_batch(
-                    d, ref, chunks, tuple(a[sel] for a in anchors), opt
+                    d, ref, tuple(a[sel] for a in anchors), opt,
+                    ref_limit, trunc_tables,
                 )
             )
         return parts
-    span = ref[lo_flat : hi_flat + 1]
+    span = ref[lo_flat : min(hi_flat + 1, ref_limit)]
     if len(span) < k:
         return []
     packed = _span_kmers(span, k)
@@ -384,6 +418,8 @@ def _assemble_batch(d, ref, chunks, anchors, opt: DiscoverOptions):
     out = _wavefront_jit(
         d,
         jnp.asarray(packed_pad),
+        trunc_tables[0],
+        trunc_tables[1],
         jnp.asarray(len(packed), jnp.int64),
         state0,
         MAXP,
@@ -420,7 +456,7 @@ def _assemble_batch(d, ref, chunks, anchors, opt: DiscoverOptions):
         if alt_len < 0 or j_flat <= a_flat:
             continue
         asm = Assembly(
-            chunk_start=int(chunks[ci[rep[lane]]]),
+            chunk_start=lo_flat,
             anchor=a_flat,
             rejoin=j_flat,
             seq=out_path[hit, :alt_len].copy(),
@@ -455,15 +491,43 @@ def _next_pow2(n):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def _wavefront_jit(d, packed, n_packed, st, MAXP: int, k: int, min_w: int, probe_ctx: int):
+_TRUNC_CACHE: dict = {}
+
+
+def _trunc_tables(ss: Seqset, c: int):
+    """Constant-threshold widen tables: prev_lt[i] = largest j <= i with
+    shared[j] < c (-1 if none); next_lt[i] = smallest j >= i with
+    shared[j] < c (n if none).
+
+    truncate_ranges to a KNOWN constant c is then two gathers per lane
+    instead of two block-structured less-than searches — the wavefront
+    truncates to probe_ctx every step, and the searches were ~95% of its
+    step cost on TPU."""
+    cache = ss.__dict__.setdefault("_trunc_cache", _TRUNC_CACHE.setdefault(id(ss), {}))
+    hit = cache.get(c)
+    if hit is None:
+        shared = np.asarray(ss.shared)
+        n = len(shared)
+        idx = np.arange(n, dtype=np.int64)
+        lt = shared < c
+        prev_lt = np.maximum.accumulate(np.where(lt, idx, -1))
+        nxt = np.where(lt, idx, n)
+        next_lt = np.minimum.accumulate(nxt[::-1])[::-1]
+        hit = (jnp.asarray(prev_lt), jnp.asarray(next_lt.astype(np.int64)))
+        cache[c] = hit
+    return hit
+
+
+@_partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, st, MAXP: int, k: int, min_w: int, probe_ctx: int):
     """The whole beam extension as one device program (fori over steps)."""
     A = st["begin"].shape[0]
     kmask = jnp.uint64((1 << (2 * k)) - 1)
     pos_mask = jnp.uint64((1 << POS_BITS) - 1)
     npk = packed.shape[0]
 
-    def body(step_i, st):
+    def body(carry):
+        step_i, st = carry
         done = st["done"]
         cur = SeqsetRanges(st["begin"], st["end"], st["size"])
         # all 4 children per lane from one fused rank4 pass; candidate alt
@@ -495,7 +559,24 @@ def _wavefront_jit(d, packed, n_packed, st, MAXP: int, k: int, min_w: int, probe
             jnp.where(ext, new_end, cur.end),
             jnp.where(ext, cur.size + 1, cur.size),
         )
-        cur2 = d.truncate_ranges(cur2, probe_ctx)
+        # truncate to probe_ctx via the precomputed constant-threshold
+        # widen tables (see _trunc_tables) — semantics of
+        # d.truncate_ranges(cur2, probe_ctx), at two gathers per lane
+        n_e = d.n_entries
+        need = cur2.size > probe_ctx
+        wb = jnp.maximum(
+            jnp.take(prev_lt, jnp.clip(cur2.begin, 0, n_e - 1)), 0
+        )
+        we = jnp.where(
+            cur2.end >= n_e,
+            n_e,
+            jnp.take(next_lt, jnp.clip(cur2.end, 0, n_e - 1)),
+        )
+        cur2 = SeqsetRanges(
+            jnp.where(need, wb, cur2.begin),
+            jnp.where(need, we, cur2.end),
+            jnp.where(need, probe_ctx, cur2.size),
+        )
         path = st["path"].at[:, step_i].set(
             jnp.where(ext, nb.astype(jnp.uint8), st["path"][:, step_i])
         )
@@ -525,7 +606,7 @@ def _wavefront_jit(d, packed, n_packed, st, MAXP: int, k: int, min_w: int, probe
         out_len = jnp.where(newly, path_len, st["out_len"])
         out_support = jnp.where(newly, support, st["out_support"])
         done = done | newly
-        return dict(
+        return step_i + 1, dict(
             begin=cur2.begin,
             end=cur2.end,
             size=cur2.size,
@@ -542,7 +623,15 @@ def _wavefront_jit(d, packed, n_packed, st, MAXP: int, k: int, min_w: int, probe
             out_support=out_support,
         )
 
-    return lax.fori_loop(1, MAXP, body, st)
+    # early-exit while: most lanes rejoin or die within ~read-length steps,
+    # so running all MAXP iterations would pay 5-10x the needed sequential
+    # latency (the dominant cost of a tiny-batch device loop)
+    def cond(carry):
+        step_i, st = carry
+        return (step_i < MAXP) & jnp.any(~st["done"])
+
+    _, st = lax.while_loop(cond, body, (jnp.asarray(1, jnp.int32), st))
+    return st
 
 
 def _asm_better(a: Assembly, b: Assembly) -> bool:
@@ -595,7 +684,7 @@ def discover_variants(
     reference,
     region: tuple | None = None,
     opt: DiscoverOptions | None = None,
-    chunk_len: int = 4096,
+    chunk_len: int | None = None,
     chunk_batch: int | None = None,
     readmap: Readmap | None = None,
     stats: dict | None = None,
@@ -607,58 +696,68 @@ def discover_variants(
     the chunk that owns their anchor (the reference's scaffold_split_size
     chunking + anchored rejoin, modules/variants/assemble.h:535).
 
-    chunk_batch auto-scales to the region (pow2 up to 256 chunk lanes per
-    device program) — the walk is sequential in position, so wide batches are
-    what keeps the chip busy.  `stats` (optional dict, filled in place)
-    reports anchor/assembly truncation so dense regions can't drop candidates
-    silently (assemble_stats counters analog, modules/io/autostats.h:25).
+    Both orientations probe over a doubled (fwd ++ rc) reference array.
+    Anchor detection is per-position-parallel (probe_ranges): sequential
+    depth probe_ctx instead of a chunk-length walk.  `stats` (optional dict,
+    filled in place) reports anchor/assembly truncation so dense regions
+    can't drop candidates silently (assemble_stats counters analog,
+    modules/io/autostats.h:25).  chunk_len/chunk_batch are kept for
+    API compatibility; chunk_batch bounds the probe batch width.
     """
     opt = opt or DiscoverOptions()
     ref = np.asarray(reference.flat)
     G = len(ref)
     lo, hi = region if region else (0, G)
-    stride = chunk_len - (opt.max_path + opt.rejoin_k)
     if stats is None:
         stats = {}
     stats.setdefault("anchors_found", 0)
     stats.setdefault("anchors_truncated", 0)
     stats.setdefault("assemblies_truncated", 0)
     all_records = []
+    ref2 = np.concatenate([ref, (3 - ref[::-1]).astype(np.uint8)])
+    ref2_dev = jnp.asarray(ref2)  # one transfer for all batches
     # fwd + reverse-complement work duplication (trace_ref.h:33-51,
     # reversable_tracer.cpp:40): the rc pass anchors events from their right
-    # side, recovering candidates whose left context is repeat-poisoned
+    # side, recovering candidates whose left context is repeat-poisoned.
+    # Segments: (rev_half, ctx_lo, first_probe, last_probe, max_anchor_pos)
+    segments = [(False, 0, lo, min(hi, G - 1) - 1, min(hi, G - 1))]
+    if opt.bidir:
+        lo_r, hi_r = G - hi, G - lo
+        seg_hi_r = min(2 * G - lo, 2 * G - 1)
+        segments.append((True, G, G + lo_r, seg_hi_r - 1, seg_hi_r))
     all_asms: List[Assembly] = []
-    orients = ("fwd", "rev") if opt.bidir else ("fwd",)
-    for orient in orients:
-        if orient == "fwd":
-            ref_o = ref
-            lo_o, hi_o = lo, hi
-        else:
-            ref_o = (3 - ref[::-1]).astype(np.uint8)
-            lo_o, hi_o = G - hi, G - lo
-        starts = np.arange(lo_o, max(hi_o - 1, lo_o + 1), stride, dtype=np.int64)
-        cb = chunk_batch or max(min(_next_pow2(len(starts)), 256), 16)
-        for b0 in range(0, len(starts), cb):
-            batch_starts = starts[b0 : b0 + cb]
-            # pad the batch so jit shapes stay constant
-            pad = cb - len(batch_starts)
-            chunks = np.concatenate(
-                [batch_starts, np.full(pad, batch_starts[-1], np.int64)]
+    span = max(hi - lo, 1)
+    P = chunk_batch or min(max(_next_pow2(span), 4096), 131072)
+    for rev_half, ctx_lo, p_first, p_last, seg_hi in segments:
+        ctx_lo_dev = jnp.asarray(ctx_lo, jnp.int64)
+        seg_hi_dev = jnp.asarray(seg_hi, jnp.int64)
+        for p0 in range(p_first, p_last + 1, P):
+            b, e, s, restarted = _probe_jit(
+                ss.d, ref2_dev, jnp.asarray(p0, jnp.int64), ctx_lo_dev,
+                P, opt.probe_ctx,
             )
-            out = _walk_anchor_jit(
-                ss.d,
-                jnp.asarray(ref_o),
-                jnp.asarray(chunks),
-                len(batch_starts),
-                hi_o,
-                chunk_len,
-                ss.n_entries,
-                opt.probe_ctx,
-                opt.min_anchor_ctx,
-                opt.min_branch_width,
-                stride,
+            rst = np.asarray(restarted)
+            if rst.any():
+                # exact recompute of the rare under-estimated lanes
+                idx = np.nonzero(rst)[0]
+                m = _next_pow2(len(idx))
+                idx_p = np.concatenate(
+                    [idx, np.full(m - len(idx), idx[-1])]
+                ).astype(np.int64)
+                b2, e2, s2 = _probe_exact_jit(
+                    ss.d, ref2_dev, jnp.asarray(idx_p + p0), ctx_lo_dev,
+                    opt.probe_ctx,
+                )
+                di = jnp.asarray(idx_p)
+                b = b.at[di].set(b2)
+                e = e.at[di].set(e2)
+                s = s.at[di].set(s2)
+            out = _anchor_jit(
+                ss.d, ref2_dev, b, e, s, jnp.asarray(p0, jnp.int64),
+                jnp.minimum(seg_hi_dev, p0 + P),  # batch owns its P positions
+                opt.min_anchor_ctx, opt.min_branch_width,
             )
-            ci, off, ab, a_begin, a_end, a_size, n_anchors, n_raw = (
+            a_pos, ab, a_begin, a_end, a_size, n_anchors, n_raw = (
                 np.asarray(x) for x in out
             )
             n = int(n_anchors)
@@ -673,18 +772,31 @@ def discover_variants(
                     "or raise MAXA"
                 )
             anchors = (
-                ci[:n].astype(np.int64),
-                off[:n].astype(np.int64),
+                a_pos[:n],
                 ab[:n].astype(np.int64),
                 a_begin[:n],
                 a_end[:n],
                 a_size[:n],
             )
             asms = wavefront_assemble(
-                ss, ref_o, chunks, anchors, opt, stats=stats
+                ss, ref2, anchors, opt, stats=stats,
+                ref_limit=(2 * G if rev_half else G),
             )
-            if orient == "rev":
-                asms = [_rc_assembly(a, G) for a in asms]
+            if rev_half:
+                asms = [
+                    _rc_assembly(
+                        Assembly(
+                            chunk_start=a.chunk_start - G,
+                            anchor=a.anchor - G,
+                            rejoin=a.rejoin - G,
+                            seq=a.seq,
+                            support=a.support,
+                            ref_support=a.ref_support,
+                        ),
+                        G,
+                    )
+                    for a in asms
+                ]
             all_asms.extend(asms)
     # dedup identical bubbles across batches/orientations BEFORE the
     # (expensive) coverage scoring — fwd and rev mostly rediscover the same
