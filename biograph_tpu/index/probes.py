@@ -1,0 +1,133 @@
+"""Per-position probe ranges: the parallel replacement for sequential walks.
+
+Every walk in the reference (ref_map building, tracer context tracking,
+readmap::approx_coverage, modules/bio_base/readmap.cpp:368) advances one
+position at a time because push_front_drop's context drops are sequential.
+On TPU that shape is poison: thousands of tiny dependent steps.  These
+probes compute each position's walk state INDEPENDENTLY — the state at
+position j is fully determined by the text: it is the seqset range of the
+longest window of length <= depth ending at j that exists (matching
+statistics of the text against the read set).  That makes every position a
+lane and caps sequential depth at the probe depth (~25-35 steps).
+
+Windows are pushed complemented (the discovery/coverage convention: ranges
+live in reverse-complement space so extending rightward is a push_front,
+see modules/bio_base/readmap.cpp:368).
+
+Existence is monotone in window length (the seqset holds every suffix of
+every read — a window exists iff it is a substring of some read or
+reverse complement, and substrings of substrings exist), which gives:
+  * probe_ranges: one lockstep chain, restarting on mismatch.  A restart
+    can under-estimate the longest window; such lanes come back flagged.
+  * probe_exact: binary search over the window length for flagged lanes —
+    each test is a pure push_front find chain, no widening searches.
+
+`text` may be any uint8 code array (a doubled fwd++rc reference, or
+flattened query rows); `seg_lo` (scalar or per-lane) clips each window's
+left edge (strand-half boundary / row start).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from biograph_tpu.index.seqset import SeqsetRanges
+
+
+def probe_ranges(d, text, p0, seg_lo, P: int, depth: int):
+    """Probe positions p0..p0+P-1; returns (begin, end, size, restarted)."""
+    n2 = text.shape[0]
+    pos = p0 + jnp.arange(P, dtype=jnp.int64)
+    w0 = jnp.minimum(depth, (pos - seg_lo + 1)).astype(jnp.int32)
+
+    def step(s, state):
+        begin, end, size, restarted = state
+        idx = jnp.clip(pos - (depth - 1) + s, 0, n2 - 1)
+        b = (3 - jnp.take(text, idx)).astype(jnp.int32)
+        started = s >= (depth - w0)
+        r2 = d.push_front(SeqsetRanges(begin, end, size), b)
+        ok = r2.begin < r2.end
+        # restart: the range of the lone base b is [fixed[b], fixed[b+1])
+        b64 = b.astype(jnp.int64)
+        nb = jnp.where(ok, r2.begin, jnp.take(d.fixed, b64))
+        ne = jnp.where(ok, r2.end, jnp.take(d.fixed, b64 + 1))
+        nsize = jnp.where(ok, r2.size, 1)
+        restarted = restarted | (started & ~ok & (size > 0))
+        return (
+            jnp.where(started, nb, begin),
+            jnp.where(started, ne, end),
+            jnp.where(started, nsize, size),
+            restarted,
+        )
+
+    state = (
+        jnp.zeros((P,), jnp.int64),
+        jnp.full((P,), d.n_entries, jnp.int64),
+        jnp.zeros((P,), jnp.int32),
+        jnp.zeros((P,), bool),
+    )
+    return jax.lax.fori_loop(0, depth, step, state)
+
+
+probe_ranges_jit = jax.jit(probe_ranges, static_argnums=(4, 5))
+
+
+def find_window(d, text, pos, m, depth: int):
+    """Range of the length-m window ending at each pos (masked find chain).
+
+    The push index at step s is pos - (depth-1) + s regardless of m; only
+    the start mask differs, so every chain shape is identical."""
+    n2 = text.shape[0]
+    P = pos.shape[0]
+
+    def step(s, state):
+        begin, end, size = state
+        idx = jnp.clip(pos - (depth - 1) + s, 0, n2 - 1)
+        b = (3 - jnp.take(text, idx)).astype(jnp.int32)
+        started = s >= (depth - m)
+        r2 = d.push_front(SeqsetRanges(begin, end, size), b)
+        return (
+            jnp.where(started, r2.begin, begin),
+            jnp.where(started, r2.end, end),
+            jnp.where(started, r2.size, size),
+        )
+
+    state = (
+        jnp.zeros((P,), jnp.int64),
+        jnp.full((P,), d.n_entries, jnp.int64),
+        jnp.zeros((P,), jnp.int32),
+    )
+    return jax.lax.fori_loop(0, depth, step, state)
+
+
+def probe_exact(d, text, pos, seg_lo, depth: int):
+    """Exact longest-window probe for the (padded) restarted positions.
+
+    Binary search on the window length; a restarted lane is guaranteed
+    longest < w0, and EXISTS(m) is monotone, so ceil(log2(depth)) rounds of
+    find chains pin it down."""
+    w0 = jnp.minimum(depth, (pos - seg_lo + 1)).astype(jnp.int32)
+    lo_m = jnp.zeros_like(w0)
+    hi_m = w0
+    P = pos.shape[0]
+    # best-so-far range: lo_m only moves on a successful test, so the last
+    # successful chain's range IS the final answer — no closing find needed
+    bb = jnp.zeros((P,), jnp.int64)
+    be = jnp.full((P,), d.n_entries, jnp.int64)
+    bs = jnp.zeros((P,), jnp.int32)
+    rounds = max((depth - 1).bit_length(), 1)
+    for _ in range(rounds):
+        mid = (lo_m + hi_m) // 2
+        mid = jnp.where(hi_m - lo_m > 1, mid, lo_m)
+        b, e, s = find_window(d, text, pos, mid, depth)
+        ok = (b < e) & (mid > lo_m)
+        lo_m = jnp.where(ok, mid, lo_m)
+        hi_m = jnp.where(b < e, hi_m, jnp.minimum(mid, hi_m))
+        bb = jnp.where(ok, b, bb)
+        be = jnp.where(ok, e, be)
+        bs = jnp.where(ok, s, bs)
+    return bb, be, bs
+
+
+probe_exact_jit = jax.jit(probe_exact, static_argnums=(4,))

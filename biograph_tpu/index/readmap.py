@@ -260,15 +260,7 @@ class Readmap:
         cp[:B, :L] = codes
         lp = np.zeros(Bp, np.int32)
         lp[:B] = lengths
-        fwd, rev, starts, ends, n_trunc = _coverage_scan(
-            self.seqset.d,
-            jnp.asarray(self.offsets),
-            jnp.asarray(self.read_lengths),
-            jnp.asarray(self.is_forward),
-            jnp.asarray(cp),
-            jnp.asarray(lp),
-            kmax,
-        )
+        fwd, rev, starts, ends, n_trunc = self._coverage_probe(cp, lp, kmax)
         nt = int(n_trunc)
         self.coverage_truncated += nt
         if nt and not self._warned_truncation:
@@ -281,6 +273,67 @@ class Readmap:
                 "raise kmax for exact depth"
             )
         return fwd[:B, :L], rev[:B, :L], starts[:B, :L], ends[:B, :L]
+
+    def _coverage_probe(self, cp, lp, kmax: int):
+        """Per-position probe formulation of the coverage walk.
+
+        The walk state at query position j is the longest existing window
+        ending at j (context never exceeds the longest entry) — computed
+        for ALL (row, position) lanes at once by the shared probe engine
+        over the flattened query rows, then one vectorized counting pass.
+        Sequential depth = max_entry_len instead of the padded row length,
+        and no widening searches anywhere (the push_front_drop scan's cost
+        was ~4 ms/step on TPU, all in the drop searches)."""
+        from biograph_tpu.index.probes import probe_exact_jit, probe_ranges_jit
+
+        d = self.seqset.d
+        Bp, Lp = cp.shape
+        depth = min(max(int(self.seqset.max_entry_len), 1), Lp)
+        text = jnp.asarray(cp.reshape(-1))
+        # slab rows so lane arrays stay bounded
+        rows = max(min((1 << 20) // Lp, Bp), 1)
+        rows = 1 << (rows.bit_length() - 1)  # pow2 rows per slab
+        outs = []
+        for r0 in range(0, Bp, rows):
+            P = rows * Lp
+            p0 = jnp.asarray(r0 * Lp, jnp.int64)
+            seg = (jnp.arange(P, dtype=jnp.int64) + r0 * Lp) // Lp * Lp
+            b, e, s, restarted = probe_ranges_jit(d, text, p0, seg, P, depth)
+            # padding lanes (beyond each row's real length) restart on
+            # garbage windows — never pay the exact recompute for them
+            li = np.arange(P)
+            rst = np.asarray(restarted) & ((li % Lp) < lp[r0 + li // Lp])
+            if rst.any():
+                idx = np.nonzero(rst)[0]
+                m = 1 << max((len(idx) - 1).bit_length(), 0)
+                idx_p = np.concatenate(
+                    [idx, np.full(m - len(idx), idx[-1])]
+                ).astype(np.int64)
+                pos_p = jnp.asarray(idx_p) + r0 * Lp
+                b2, e2, s2 = probe_exact_jit(
+                    d, text, pos_p, pos_p // Lp * Lp, depth
+                )
+                di = jnp.asarray(idx_p)
+                b = b.at[di].set(b2)
+                e = e.at[di].set(e2)
+                s = s.at[di].set(s2)
+            outs.append(
+                _coverage_count(
+                    d,
+                    jnp.asarray(self.offsets),
+                    jnp.asarray(self.read_lengths),
+                    jnp.asarray(self.is_forward),
+                    b, e, s,
+                    jnp.asarray(lp[r0 : r0 + rows]),
+                    rows, Lp, kmax,
+                )
+            )
+        fwd = jnp.concatenate([o[0] for o in outs])
+        rev = jnp.concatenate([o[1] for o in outs])
+        starts = jnp.concatenate([o[2] for o in outs])
+        ends = jnp.concatenate([o[3] for o in outs])
+        n_trunc = sum(int(o[4]) for o in outs)
+        return fwd, rev, starts, ends, n_trunc
 
     # ------------- persistence -------------
 
@@ -315,62 +368,44 @@ import jax
 from jax import lax
 
 
-@partial(jax.jit, static_argnums=(6,))
-def _coverage_scan(d, offsets, rlen, isfwd, codes, lengths, kmax: int):
-    """Jitted coverage walk: lax.scan over positions, all lanes in lockstep.
+@partial(jax.jit, static_argnums=(8, 9, 10))
+def _coverage_count(d, offsets, rlen, isfwd, begin, end, size, lengths,
+                    B: int, L: int, kmax: int):
+    """Vectorized read counting over per-position probe ranges.
 
-    Mirrors readmap::approx_strand_coverage_split (readmap.cpp:368-399).
+    Mirrors the counting half of readmap::approx_strand_coverage_split
+    (modules/bio_base/readmap.cpp:368-399): wherever a position's probe
+    range is unique, reads attached to its entry with read_len <= context
+    end at that position (strand flipped — the probes walk the complement).
+    begin/end/size: flat [B*L] probe ranges from index/probes.py.
     """
-    from biograph_tpu.index.seqset import SeqsetRanges
-
-    B, L = codes.shape
     n_entries = d.n_entries
     n_rm = max(int(rlen.shape[0]), 1)
-
-    def step(carry, pos):
-        begin, end, size, starts, ends, _ = carry
-        active = pos < lengths
-        base = codes[:, pos].astype(jnp.int32)
-        r2 = d.push_front_drop(SeqsetRanges(begin, end, size), 3 - base)
-        begin = jnp.where(active, r2.begin, begin)
-        end = jnp.where(active, r2.end, end)
-        size = jnp.where(active, r2.size, size)
-        unique = active & (begin + 1 == end)
-        e = jnp.clip(begin, 0, n_entries - 1)
-        rs = jnp.take(offsets, e)
-        re = jnp.take(offsets, e + 1)
-        n_trunc = carry[-1] + jnp.sum(
-            jnp.where(unique, jnp.maximum(re - rs - kmax, 0), 0)
-        )
-        lanes = jnp.arange(B)
-        # one vectorized [B, kmax] pass over the entry's attached reads
-        # (replaces kmax unrolled gather/scatter rounds)
-        ridx = rs[:, None] + jnp.arange(kmax)  # [B, K]
-        ok = unique[:, None] & (ridx < re[:, None])
-        ric = jnp.clip(ridx, 0, n_rm - 1)
-        m = jnp.take(rlen, ric)
-        start_pos = pos + 1 - m
-        match = ok & (m <= size[:, None]) & (start_pos >= 0)
-        strand_rev = jnp.take(isfwd, ric)  # complement walk flips strand
-        hit_f = (match & ~strand_rev).astype(jnp.int32)
-        hit_r = (match & strand_rev).astype(jnp.int32)
-        sp = jnp.clip(start_pos, 0, L - 1).astype(jnp.int64)
-        lanes2 = jnp.broadcast_to(lanes[:, None], sp.shape)
-        starts = starts.at[0, lanes2, sp].add(hit_f)
-        starts = starts.at[1, lanes2, sp].add(hit_r)
-        ends = ends.at[0, :, pos].add(hit_f.sum(axis=1).astype(jnp.int32))
-        ends = ends.at[1, :, pos].add(hit_r.sum(axis=1).astype(jnp.int32))
-        return (begin, end, size, starts, ends, n_trunc), None
-
-    init = (
-        jnp.zeros((B,), jnp.int64),
-        jnp.full((B,), n_entries, jnp.int64),
-        jnp.zeros((B,), jnp.int32),
-        jnp.zeros((2, B, L), jnp.int32),
-        jnp.zeros((2, B, L), jnp.int32),
-        jnp.zeros((), jnp.int64),
-    )
-    (b_, e_, s_, starts, ends, n_trunc), _ = lax.scan(step, init, jnp.arange(L))
+    begin = begin.reshape(B, L)
+    end = end.reshape(B, L)
+    size = size.reshape(B, L)
+    j = jnp.arange(L)[None, :]
+    active = j < lengths[:, None]
+    unique = active & (begin + 1 == end)
+    e = jnp.clip(begin, 0, n_entries - 1)
+    rs = jnp.take(offsets, e)
+    re = jnp.take(offsets, e + 1)
+    n_trunc = jnp.sum(jnp.where(unique, jnp.maximum(re - rs - kmax, 0), 0))
+    ridx = rs[:, :, None] + jnp.arange(kmax)  # [B, L, K]
+    ok = unique[:, :, None] & (ridx < re[:, :, None])
+    ric = jnp.clip(ridx, 0, n_rm - 1)
+    m = jnp.take(rlen, ric)
+    start_pos = j[:, :, None] + 1 - m
+    match = ok & (m <= size[:, :, None]) & (start_pos >= 0)
+    strand_rev = jnp.take(isfwd, ric)  # complement walk flips strand
+    hit_f = (match & ~strand_rev).astype(jnp.int32)
+    hit_r = (match & strand_rev).astype(jnp.int32)
+    sp = jnp.clip(start_pos, 0, L - 1).astype(jnp.int64)
+    b3 = jnp.broadcast_to(jnp.arange(B)[:, None, None], sp.shape)
+    starts = jnp.zeros((2, B, L), jnp.int32)
+    starts = starts.at[0, b3, sp].add(hit_f)
+    starts = starts.at[1, b3, sp].add(hit_r)
+    ends = jnp.stack([hit_f.sum(axis=2), hit_r.sum(axis=2)])
     covs = []
     for s_i in range(2):
         run = jnp.cumsum(starts[s_i], axis=1) - jnp.cumsum(

@@ -75,119 +75,13 @@ class Assembly:
 
 MAXA = 8192  # max anchors returned per probe batch (truncation is counted)
 
-
-def probe_ranges(d, ref2, p0, seg_lo, P: int, probe_ctx: int):
-    """Per-position probe ranges by one lockstep backward search.
-
-    Lane i covers flat position pos = p0+i of the doubled (fwd ++ rc)
-    reference.  The probe range is the seqset range of the longest window of
-    length <= probe_ctx ending at pos that exists (held in reverse-complement
-    space: bases are pushed complemented, leftmost window base first, so
-    pushing complement(next_base) extends the window rightward).
-
-    This replaces the sequential per-chunk reference walk (the ref_map
-    analog, modules/variants/ref_map.h:49) with an embarrassingly parallel
-    formulation: sequential depth is probe_ctx (~25) instead of chunk_len
-    (1024+), there are no widening searches in the hot loop, and every
-    genome position is an independent lane — the shape a TPU wants.
-
-    On a mid-window mismatch the chain restarts from the single mismatching
-    base, which can UNDER-estimate the longest window (the true longest
-    suffix may be >1 base); such lanes come back flagged `restarted` and
-    must be recomputed exactly with probe_exact (rare: a restart means some
-    window of the reference is absent from the corrected read set).
-    seg_lo: first usable flat coordinate of this strand half (window clip).
-    Returns (begin, end, size, restarted), each [P].
-    """
-    n2 = ref2.shape[0]
-    pos = p0 + jnp.arange(P, dtype=jnp.int64)
-    w0 = jnp.minimum(probe_ctx, (pos - seg_lo + 1)).astype(jnp.int32)
-
-    def step(s, state):
-        begin, end, size, restarted = state
-        idx = jnp.clip(pos - (probe_ctx - 1) + s, 0, n2 - 1)
-        b = (3 - jnp.take(ref2, idx)).astype(jnp.int32)
-        started = s >= (probe_ctx - w0)
-        r2 = d.push_front(SeqsetRanges(begin, end, size), b)
-        ok = r2.begin < r2.end
-        # restart: the range of the lone base b is [fixed[b], fixed[b+1])
-        b64 = b.astype(jnp.int64)
-        nb = jnp.where(ok, r2.begin, jnp.take(d.fixed, b64))
-        ne = jnp.where(ok, r2.end, jnp.take(d.fixed, b64 + 1))
-        nsize = jnp.where(ok, r2.size, 1)
-        restarted = restarted | (started & ~ok & (size > 0))
-        return (
-            jnp.where(started, nb, begin),
-            jnp.where(started, ne, end),
-            jnp.where(started, nsize, size),
-            restarted,
-        )
-
-    state = (
-        jnp.zeros((P,), jnp.int64),
-        jnp.full((P,), d.n_entries, jnp.int64),
-        jnp.zeros((P,), jnp.int32),
-        jnp.zeros((P,), bool),
-    )
-    return lax.fori_loop(0, probe_ctx, step, state)
-
-
-_probe_jit = jax.jit(probe_ranges, static_argnums=(4, 5))
-
-
-def _find_window(d, ref2, pos, m, probe_ctx: int):
-    """Range of the length-m window ending at each pos (masked find chain).
-
-    The push index at step s is pos - (probe_ctx-1) + s regardless of m;
-    only the start mask differs, so every chain shape is identical."""
-    n2 = ref2.shape[0]
-    P = pos.shape[0]
-
-    def step(s, state):
-        begin, end, size = state
-        idx = jnp.clip(pos - (probe_ctx - 1) + s, 0, n2 - 1)
-        b = (3 - jnp.take(ref2, idx)).astype(jnp.int32)
-        started = s >= (probe_ctx - m)
-        r2 = d.push_front(SeqsetRanges(begin, end, size), b)
-        return (
-            jnp.where(started, r2.begin, begin),
-            jnp.where(started, r2.end, end),
-            jnp.where(started, r2.size, size),
-        )
-
-    state = (
-        jnp.zeros((P,), jnp.int64),
-        jnp.full((P,), d.n_entries, jnp.int64),
-        jnp.zeros((P,), jnp.int32),
-    )
-    return lax.fori_loop(0, probe_ctx, step, state)
-
-
-def probe_exact(d, ref2, pos, seg_lo, probe_ctx: int):
-    """Exact longest-window probe for the (padded) restarted positions.
-
-    Binary search on the window length: EXISTS(window of length m ending at
-    pos) is monotone in m (the seqset holds every suffix of every read, so a
-    window's substrings always exist — seqset closure invariant), and a
-    restarted lane is guaranteed ℓ* < w0.  Each probe is a lockstep
-    push_front find chain — no widening searches anywhere, unlike the
-    push_front_drop formulation (seqset.cpp:350-427) whose per-step
-    less-than searches dominate when many lanes need drops."""
-    w0 = jnp.minimum(probe_ctx, (pos - seg_lo + 1)).astype(jnp.int32)
-    lo_m = jnp.zeros_like(w0)
-    hi_m = w0
-    # 2^5 = 32 > probe_ctx bounds the gap to 1 after 5 rounds
-    for _ in range(5):
-        mid = (lo_m + hi_m) // 2
-        mid = jnp.where(hi_m - lo_m > 1, mid, lo_m)
-        b, e, s = _find_window(d, ref2, pos, mid, probe_ctx)
-        ok = b < e
-        lo_m = jnp.where(ok, mid, lo_m)
-        hi_m = jnp.where(ok, hi_m, jnp.minimum(mid, hi_m))
-    return _find_window(d, ref2, pos, lo_m, probe_ctx)
-
-
-_probe_exact_jit = jax.jit(probe_exact, static_argnums=(4,))
+# the shared probe engine (index/probes.py) replaces the sequential
+# per-chunk reference walk (ref_map analog, modules/variants/ref_map.h:49):
+# anchor detection probes every genome position as an independent lane
+from biograph_tpu.index.probes import (
+    probe_exact_jit as _probe_exact_jit,
+    probe_ranges_jit as _probe_jit,
+)
 
 
 def anchor_scan(d, ref2, begin, end, size, p0, seg_hi, min_anchor_ctx: int,
@@ -370,8 +264,6 @@ def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
     )
     alive = np.asarray(r.begin < r.end)
 
-    path = np.zeros((A, MAXP), np.uint8)
-    path[:, 0] = abp
     path_len = np.ones(A, np.int32)
     support = np.where(alive, np.asarray(r.end - r.begin), 0).astype(np.int64)
     n_junction = np.zeros(A, np.int32)
@@ -401,8 +293,10 @@ def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
         begin=pad(np.asarray(r.begin), 0, np.int64),
         end=pad(np.asarray(r.end), 0, np.int64),
         size=pad(np.asarray(r.size), 0, np.int32),
-        path=jnp.asarray(
-            np.concatenate([path, np.zeros((Ap - A, MAXP), np.uint8)])
+        # built on device: only the first column is data — shipping a full
+        # [Ap, MAXP] matrix through the relay costs more than the wavefront
+        path=jnp.zeros((Ap, MAXP), jnp.uint8).at[:, 0].set(
+            pad(abp.astype(np.uint8))
         ),
         path_len=pad(path_len),
         support=pad(support),
@@ -736,7 +630,9 @@ def discover_variants(
                 ss.d, ref2_dev, jnp.asarray(p0, jnp.int64), ctx_lo_dev,
                 P, opt.probe_ctx,
             )
-            rst = np.asarray(restarted)
+            # lanes past the segment end can never anchor — skip their
+            # exact recompute
+            rst = np.asarray(restarted) & ((p0 + np.arange(P)) <= p_last)
             if rst.any():
                 # exact recompute of the rare under-estimated lanes
                 idx = np.nonzero(rst)[0]
