@@ -38,7 +38,9 @@ if not _os.environ.get("BGT_NO_COMPILE_CACHE"):
             _os.environ.get("BGT_COMPILE_CACHE", "/tmp/bgt_jax_cache"),
         )
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        # 0.5s: sub-second XLA CPU compiles add up fast across the
+        # pipeline's shape buckets (hundreds per cold whole-genome run)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
 

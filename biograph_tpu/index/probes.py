@@ -101,14 +101,24 @@ def find_window(d, text, pos, m, depth: int):
     return jax.lax.fori_loop(0, depth, step, state)
 
 
-def probe_exact(d, text, pos, seg_lo, depth: int):
+def probe_exact(d, text, pos, seg_lo, depth: int, min_m: int = 0, seed=None):
     """Exact longest-window probe for the (padded) restarted positions.
 
     Binary search on the window length; a restarted lane is guaranteed
-    longest < w0, and EXISTS(m) is monotone, so ceil(log2(depth)) rounds of
-    find chains pin it down."""
+    longest < w0, and EXISTS(m) is monotone, so at most ceil(log2(depth))
+    rounds of find chains pin it down.
+
+    min_m > 0 narrows the search to [min_m, w0]: callers that only consume
+    windows of at least min_m bases (anchor detection needs
+    size >= min_anchor_ctx; coverage counting needs size >= min_read_len)
+    should pre-filter lanes with find_window(min_m) and pass the bound here —
+    rounds drop from log2(depth) to log2(depth - min_m + 1), and the caller's
+    filter already holds the exact answer when min_m == depth (zero rounds).
+    Lanes whose longest window is < min_m return whatever the bracket pins
+    (an existing >= min_m window was asserted by the caller's filter)."""
     w0 = jnp.minimum(depth, (pos - seg_lo + 1)).astype(jnp.int32)
-    lo_m = jnp.zeros_like(w0)
+    lo_m = jnp.full_like(w0, min_m) if min_m else jnp.zeros_like(w0)
+    lo_m = jnp.minimum(lo_m, w0)
     hi_m = w0
     P = pos.shape[0]
     # best-so-far range: lo_m only moves on a successful test, so the last
@@ -116,7 +126,17 @@ def probe_exact(d, text, pos, seg_lo, depth: int):
     bb = jnp.zeros((P,), jnp.int64)
     be = jnp.full((P,), d.n_entries, jnp.int64)
     bs = jnp.zeros((P,), jnp.int32)
-    rounds = max((depth - 1).bit_length(), 1)
+    if min_m:
+        # the caller asserted EXISTS(min_m); seed best-so-far with it so a
+        # bracket that never improves still returns a valid range.  The
+        # caller's filter chain already computed this range — pass it via
+        # `seed` to skip the recompute.
+        bb, be, bs = (
+            seed if seed is not None else find_window(d, text, pos, lo_m, depth)
+        )
+        rounds = (depth - min_m).bit_length()
+    else:
+        rounds = max((depth - 1).bit_length(), 1)
     for _ in range(rounds):
         mid = (lo_m + hi_m) // 2
         mid = jnp.where(hi_m - lo_m > 1, mid, lo_m)
@@ -130,4 +150,5 @@ def probe_exact(d, text, pos, seg_lo, depth: int):
     return bb, be, bs
 
 
-probe_exact_jit = jax.jit(probe_exact, static_argnums=(4,))
+probe_exact_jit = jax.jit(probe_exact, static_argnums=(4, 5))
+find_window_jit = jax.jit(find_window, static_argnums=(4,))

@@ -283,12 +283,29 @@ class Readmap:
         over the flattened query rows, then one vectorized counting pass.
         Sequential depth = max_entry_len instead of the padded row length,
         and no widening searches anywhere (the push_front_drop scan's cost
-        was ~4 ms/step on TPU, all in the drop searches)."""
-        from biograph_tpu.index.probes import probe_exact_jit, probe_ranges_jit
+        was ~4 ms/step on TPU, all in the drop searches).
+
+        Uniform-read-length fast path: counting only consumes positions
+        whose window reaches read length (m <= size), and with
+        min_read_len == max_read_len == max_entry_len the longest window is
+        either exactly depth (when the full read-length window exists —
+        then its range IS the longest-window range) or too short to count.
+        ONE find_window(depth) chain over all lanes replaces the restart
+        chain + exact recompute — zero host round trips inside the loop."""
+        from biograph_tpu.index.probes import (
+            find_window_jit,
+            probe_exact_jit,
+            probe_ranges_jit,
+        )
 
         d = self.seqset.d
         Bp, Lp = cp.shape
         depth = min(max(int(self.seqset.max_entry_len), 1), Lp)
+        uniform = (
+            self.num_entries > 0
+            and self.min_read_len == self.max_read_len == depth
+        )
+        min_rl = max(min(self.min_read_len, depth), 1)
         text = jnp.asarray(cp.reshape(-1))
         # slab rows so lane arrays stay bounded
         rows = max(min((1 << 20) // Lp, Bp), 1)
@@ -297,26 +314,50 @@ class Readmap:
         for r0 in range(0, Bp, rows):
             P = rows * Lp
             p0 = jnp.asarray(r0 * Lp, jnp.int64)
-            seg = (jnp.arange(P, dtype=jnp.int64) + r0 * Lp) // Lp * Lp
-            b, e, s, restarted = probe_ranges_jit(d, text, p0, seg, P, depth)
-            # padding lanes (beyond each row's real length) restart on
-            # garbage windows — never pay the exact recompute for them
-            li = np.arange(P)
-            rst = np.asarray(restarted) & ((li % Lp) < lp[r0 + li // Lp])
-            if rst.any():
-                idx = np.nonzero(rst)[0]
-                m = 1 << max((len(idx) - 1).bit_length(), 0)
-                idx_p = np.concatenate(
-                    [idx, np.full(m - len(idx), idx[-1])]
-                ).astype(np.int64)
-                pos_p = jnp.asarray(idx_p) + r0 * Lp
-                b2, e2, s2 = probe_exact_jit(
-                    d, text, pos_p, pos_p // Lp * Lp, depth
-                )
-                di = jnp.asarray(idx_p)
-                b = b.at[di].set(b2)
-                e = e.at[di].set(e2)
-                s = s.at[di].set(s2)
+            pos = jnp.arange(P, dtype=jnp.int64) + r0 * Lp
+            if uniform:
+                b, e, s = _uniform_probe(d, text, pos, Lp, depth)
+            else:
+                seg = pos // Lp * Lp
+                b, e, s, restarted = probe_ranges_jit(d, text, p0, seg, P, depth)
+                # padding lanes (beyond each row's real length) restart on
+                # garbage windows; lanes whose longest window cannot reach
+                # min_read_len can never count a read — filter both before
+                # paying the exact recompute
+                li = np.arange(P)
+                rst = np.asarray(restarted) & ((li % Lp) < lp[r0 + li // Lp])
+                rst &= (li % Lp) + 1 >= min_rl  # window can't fit a read
+                if rst.any():
+                    idx = np.nonzero(rst)[0]
+                    m = 1 << max((len(idx) - 1).bit_length(), 0)
+                    idx_p = np.concatenate(
+                        [idx, np.full(m - len(idx), idx[-1])]
+                    ).astype(np.int64)
+                    pos_p = jnp.asarray(idx_p) + r0 * Lp
+                    fb, fe, fs = find_window_jit(
+                        d, text, pos_p, jnp.full((m,), min_rl, jnp.int32), depth
+                    )
+                    alive = np.asarray(fb < fe)
+                    if alive.any():
+                        idx2 = np.nonzero(alive)[0]
+                        m2 = 1 << max((len(idx2) - 1).bit_length(), 0)
+                        sel = np.concatenate(
+                            [idx2, np.full(m2 - len(idx2), idx2[-1])]
+                        )
+                        selj = jnp.asarray(sel)
+                        pos2 = jnp.take(pos_p, selj)
+                        b2, e2, s2 = probe_exact_jit(
+                            d, text, pos2, pos2 // Lp * Lp, depth, min_rl,
+                            (
+                                jnp.take(fb, selj),
+                                jnp.take(fe, selj),
+                                jnp.take(fs, selj),
+                            ),
+                        )
+                        di = jnp.take(jnp.asarray(idx_p), selj)
+                        b = b.at[di].set(b2)
+                        e = e.at[di].set(e2)
+                        s = s.at[di].set(s2)
             outs.append(
                 _coverage_count(
                     d,
@@ -325,7 +366,7 @@ class Readmap:
                     jnp.asarray(self.is_forward),
                     b, e, s,
                     jnp.asarray(lp[r0 : r0 + rows]),
-                    rows, Lp, kmax,
+                    rows, Lp, kmax, min_rl,
                 )
             )
         fwd = jnp.concatenate([o[0] for o in outs])
@@ -368,9 +409,22 @@ import jax
 from jax import lax
 
 
-@partial(jax.jit, static_argnums=(8, 9, 10))
+@partial(jax.jit, static_argnums=(3, 4))
+def _uniform_probe(d, text, pos, Lp: int, depth: int):
+    """find_window(depth) over all lanes; positions whose full-depth window
+    would cross the row boundary (j < depth-1 in their row) come back
+    invalid — no read fits there anyway."""
+    from biograph_tpu.index.probes import find_window
+
+    P = pos.shape[0]
+    b, e, s = find_window(d, text, pos, jnp.full((P,), depth, jnp.int32), depth)
+    ok = (pos % Lp) + 1 >= depth
+    return b, jnp.where(ok, e, b), s
+
+
+@partial(jax.jit, static_argnums=(8, 9, 10, 11))
 def _coverage_count(d, offsets, rlen, isfwd, begin, end, size, lengths,
-                    B: int, L: int, kmax: int):
+                    B: int, L: int, kmax: int, min_rl: int = 1):
     """Vectorized read counting over per-position probe ranges.
 
     Mirrors the counting half of readmap::approx_strand_coverage_split
@@ -386,7 +440,10 @@ def _coverage_count(d, offsets, rlen, isfwd, begin, end, size, lengths,
     size = size.reshape(B, L)
     j = jnp.arange(L)[None, :]
     active = j < lengths[:, None]
-    unique = active & (begin + 1 == end)
+    # a window shorter than the shortest read can never host a read end;
+    # gating here also keeps restart-underestimated lanes (whose exact
+    # recompute was skipped for exactly this reason) out of the counts
+    unique = active & (begin + 1 == end) & (size >= min_rl)
     e = jnp.clip(begin, 0, n_entries - 1)
     rs = jnp.take(offsets, e)
     re = jnp.take(offsets, e + 1)

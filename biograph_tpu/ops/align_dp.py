@@ -65,24 +65,22 @@ def _align_scores_jit(ref, alt, ref_len, alt_len, Lr: int, La: int):
         m_src = jnp.argmin(stacked, axis=0).astype(jnp.uint8)
         m = jnp.min(stacked, axis=0) + sub
         m = jnp.where(cols[None, :] == 0, BIG, m)
-        # Iy (insertion: consume alt col) — within-row scan
-        # iy[j] = min(m[j-1]+open, iy[j-1]+ext): affine prefix recurrence.
-        def col_scan(carry, x):
-            iy_prev_col = carry
-            m_left, = x
-            open_ = m_left + GAP_OPEN
-            ext_ = iy_prev_col + GAP_EXT
-            iy_j = jnp.minimum(open_, ext_)
-            from_ext = (ext_ < open_).astype(jnp.uint8)
-            return iy_j, (iy_j, from_ext)
-
+        # Iy (insertion: consume alt col) — affine within-row recurrence
+        # iy[j] = min(m[j-1]+open, iy[j-1]+ext).  Unrolled: iy[j] =
+        # min_{k<j}(m[k] + open + ext*(j-k-1)) = ext*j + cummin(c)[j] with
+        # c[j] = m[j-1] + open - ext*j — a parallel prefix min instead of a
+        # La-step scan (which made the DP Lr*La-sequential; all score
+        # constants are exact binary fractions, so the refactoring is
+        # bit-identical).  from_ext[j] <=> the best opener is before j-1,
+        # i.e. cummin excluding c[j] beats c[j].
         m_left = jnp.concatenate([jnp.full((N, 1), BIG), m[:, :-1]], axis=1)
-        init = jnp.full((N,), BIG)
-        _, (iy_t, iy_ext_t) = lax.scan(
-            col_scan, init, (jnp.moveaxis(m_left, 1, 0),)
-        )
-        iy = jnp.moveaxis(iy_t, 0, 1)
-        iy_from_ext = jnp.moveaxis(iy_ext_t, 0, 1)
+        jcol = cols[None, :].astype(m.dtype)
+        c = m_left + GAP_OPEN - GAP_EXT * jcol
+        cm = lax.cummin(c, axis=1)
+        iy = GAP_EXT * jcol + cm
+        iy = jnp.where(cols[None, :] == 0, BIG, iy)
+        cm_prev = jnp.concatenate([jnp.full((N, 1), BIG), cm[:, :-1]], axis=1)
+        iy_from_ext = (cm_prev < c).astype(jnp.uint8)
         tb = (
             m_src
             | (ix_from_ext << jnp.uint8(2))
@@ -123,8 +121,33 @@ def align_blocks_batch(
     N = len(ref_blocks)
     if N == 0:
         return []
-    Lr = max(max(len(r) for r in ref_blocks), 1)
-    La = max(max(len(a) for a in alt_blocks), 1)
+    # bucket by pow2 block size: one long block must not make every short
+    # block pay its padded DP (cost is Lr rows x La cols per lane)
+    sizes = [max(max(len(r), len(a)), 1) for r, a in zip(ref_blocks, alt_blocks)]
+    if N > 1 and max(sizes) > 2 * min(sizes):
+        buckets: dict = {}
+        for i, sz in enumerate(sizes):
+            b = 8
+            while b < sz:
+                b *= 2
+            buckets.setdefault(b, []).append(i)
+        out = [None] * N
+        for ids in buckets.values():
+            sub = align_blocks_batch(
+                [ref_blocks[i] for i in ids], [alt_blocks[i] for i in ids]
+            )
+            for i, ops in zip(ids, sub):
+                out[i] = ops
+        return out
+    def _pow2(n):
+        p = 8
+        while p < n:
+            p *= 2
+        return p
+
+    # pow2 shape buckets so the jit cache is reused across calls
+    Lr = _pow2(max(max(len(r) for r in ref_blocks), 1))
+    La = _pow2(max(max(len(a) for a in alt_blocks), 1))
     ref = np.zeros((N, Lr), np.uint8)
     alt = np.zeros((N, La), np.uint8)
     rl = np.zeros(N, np.int32)

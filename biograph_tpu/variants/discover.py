@@ -79,6 +79,7 @@ MAXA = 8192  # max anchors returned per probe batch (truncation is counted)
 # per-chunk reference walk (ref_map analog, modules/variants/ref_map.h:49):
 # anchor detection probes every genome position as an independent lane
 from biograph_tpu.index.probes import (
+    find_window_jit as _find_window_jit,
     probe_exact_jit as _probe_exact_jit,
     probe_ranges_jit as _probe_jit,
 )
@@ -256,66 +257,41 @@ def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
     anchor_flat = anchor_flat0[rep]
     abp = ab[rep]
 
-    begin = jnp.asarray(a_begin[rep])
-    end = jnp.asarray(a_end[rep])
-    size = jnp.asarray(a_size[rep].astype(np.int32))
-    r = d.push_front(
-        SeqsetRanges(begin, end, size), 3 - jnp.asarray(abp, jnp.int32)
-    )
-    alive = np.asarray(r.begin < r.end)
-
-    path_len = np.ones(A, np.int32)
-    support = np.where(alive, np.asarray(r.end - r.begin), 0).astype(np.int64)
-    n_junction = np.zeros(A, np.int32)
-    roll = np.asarray(abp, np.uint64)
-    kmask = np.uint64((1 << (2 * k)) - 1)
-
-    done = ~alive
-    # pad lanes and the span table to pow2 buckets for jit shape reuse
-    Ap = 1
-    while Ap < A:
-        Ap *= 2
+    # pad lanes and the span table to pow2 buckets for jit shape reuse; lanes
+    # use a coarse ladder (min 1024 = a full beam batch) and the span table a
+    # 4x ladder so shape combos — and so XLA compiles — stay rare
+    Ap = max(_next_pow2(A), 1024)
     # Pad rows are all-ones; their kmer field decodes to the poly-T k-mer, so
     # rejoin hits must also check the position field is inside the real span
     # (guard in _wavefront_jit via n_packed) or a T-homopolymer walk would
     # match a pad row and fabricate a rejoin at local position 2^POS_BITS-1.
-    packed_pad = np.full(
-        _next_pow2(len(packed)), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64
-    )
+    npk = 16384
+    while npk < len(packed):
+        npk *= 4
+    packed_pad = np.full(npk, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
     packed_pad[: len(packed)] = packed
 
     def pad(x, fill=0, dtype=None):
-        out = np.full(Ap, fill, dtype or x.dtype)
+        out = np.full(Ap, fill, dtype or np.asarray(x).dtype)
         out[:A] = x
         return jnp.asarray(out)
 
-    state0 = dict(
-        begin=pad(np.asarray(r.begin), 0, np.int64),
-        end=pad(np.asarray(r.end), 0, np.int64),
-        size=pad(np.asarray(r.size), 0, np.int32),
-        # built on device: only the first column is data — shipping a full
-        # [Ap, MAXP] matrix through the relay costs more than the wavefront
-        path=jnp.zeros((Ap, MAXP), jnp.uint8).at[:, 0].set(
-            pad(abp.astype(np.uint8))
-        ),
-        path_len=pad(path_len),
-        support=pad(support),
-        n_junction=pad(n_junction),
-        roll=pad(roll),
-        done=pad(done, True, bool),
-        policy=pad(policy.astype(np.int32)),
-        min_local=pad((anchor_flat - lo_flat + 1).astype(np.int64)),
-        rejoin=pad(np.full(A, -1, np.int64), -1, np.int64),
-        out_len=pad(np.zeros(A, np.int32)),
-        out_support=pad(np.zeros(A, np.int64)),
-    )
+    # seed state is built ON DEVICE inside the jitted wavefront (the initial
+    # push_front included): only five [Ap] anchor arrays cross the link
     out = _wavefront_jit(
         d,
         jnp.asarray(packed_pad),
         trunc_tables[0],
         trunc_tables[1],
         jnp.asarray(len(packed), jnp.int64),
-        state0,
+        dict(
+            begin=pad(a_begin[rep], 0, np.int64),
+            end=pad(a_end[rep], 0, np.int64),
+            size=pad(a_size[rep].astype(np.int32)),
+            ab=pad(abp.astype(np.int32), 0, np.int32),
+            policy=pad(policy.astype(np.int32)),
+            min_local=pad((anchor_flat - lo_flat + 1).astype(np.int64)),
+        ),
         MAXP,
         k,
         opt.min_extend_width,
@@ -413,12 +389,41 @@ def _trunc_tables(ss: Seqset, c: int):
 
 
 @_partial(jax.jit, static_argnums=(6, 7, 8, 9))
-def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, st, MAXP: int, k: int, min_w: int, probe_ctx: int):
-    """The whole beam extension as one device program (fori over steps)."""
-    A = st["begin"].shape[0]
+def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int, k: int, min_w: int, probe_ctx: int):
+    """The whole beam extension as one device program (fori over steps).
+
+    `seed` carries only the per-anchor inputs (begin/end/size/ab/policy/
+    min_local, each [Ap]); the initial alt-base push and all derived state
+    are built here so nothing but those five arrays crosses the host link.
+    """
+    A = seed["begin"].shape[0]
     kmask = jnp.uint64((1 << (2 * k)) - 1)
     pos_mask = jnp.uint64((1 << POS_BITS) - 1)
     npk = packed.shape[0]
+
+    r0 = d.push_front(
+        SeqsetRanges(seed["begin"], seed["end"], seed["size"]),
+        3 - seed["ab"],
+    )
+    alive0 = r0.begin < r0.end
+    st = dict(
+        begin=r0.begin,
+        end=r0.end,
+        size=r0.size,
+        path=jnp.zeros((A, MAXP), jnp.uint8).at[:, 0].set(
+            seed["ab"].astype(jnp.uint8)
+        ),
+        path_len=jnp.ones((A,), jnp.int32),
+        support=jnp.where(alive0, r0.end - r0.begin, 0).astype(jnp.int64),
+        n_junction=jnp.zeros((A,), jnp.int32),
+        roll=seed["ab"].astype(jnp.uint64),
+        done=~alive0,
+        policy=seed["policy"],
+        min_local=seed["min_local"],
+        rejoin=jnp.full((A,), -1, jnp.int64),
+        out_len=jnp.zeros((A,), jnp.int32),
+        out_support=jnp.zeros((A,), jnp.int64),
+    )
 
     def body(carry):
         step_i, st = carry
@@ -620,6 +625,7 @@ def discover_variants(
         seg_hi_r = min(2 * G - lo, 2 * G - 1)
         segments.append((True, G, G + lo_r, seg_hi_r - 1, seg_hi_r))
     all_asms: List[Assembly] = []
+    anchor_parts: dict = {}
     span = max(hi - lo, 1)
     P = chunk_batch or min(max(_next_pow2(span), 4096), 131072)
     for rev_half, ctx_lo, p_first, p_last, seg_hi in segments:
@@ -630,24 +636,56 @@ def discover_variants(
                 ss.d, ref2_dev, jnp.asarray(p0, jnp.int64), ctx_lo_dev,
                 P, opt.probe_ctx,
             )
-            # lanes past the segment end can never anchor — skip their
-            # exact recompute
-            rst = np.asarray(restarted) & ((p0 + np.arange(P)) <= p_last)
+            # lanes past the segment end, or too close to the segment start
+            # to ever reach min_anchor_ctx of context, can never anchor —
+            # skip their exact recompute
+            lane_pos = p0 + np.arange(P)
+            rst = (
+                np.asarray(restarted)
+                & (lane_pos <= p_last)
+                & (lane_pos - ctx_lo + 1 >= opt.min_anchor_ctx)
+            )
             if rst.any():
-                # exact recompute of the rare under-estimated lanes
+                # anchor-candidate filter: a restarted lane only matters if
+                # some window of >= min_anchor_ctx bases ending there exists
+                # (its chain state is a valid lower bound otherwise, and a
+                # lane whose longest window is shorter can't pass the
+                # size >= min_anchor_ctx anchor gate).  In zero-coverage
+                # stretches — most of a genome at low depth — this kills the
+                # (expensive) binary-search recompute entirely.
                 idx = np.nonzero(rst)[0]
                 m = _next_pow2(len(idx))
                 idx_p = np.concatenate(
                     [idx, np.full(m - len(idx), idx[-1])]
                 ).astype(np.int64)
-                b2, e2, s2 = _probe_exact_jit(
-                    ss.d, ref2_dev, jnp.asarray(idx_p + p0), ctx_lo_dev,
+                pos_p = jnp.asarray(idx_p + p0)
+                fb, fe, fs = _find_window_jit(
+                    ss.d, ref2_dev, pos_p,
+                    jnp.full((m,), opt.min_anchor_ctx, jnp.int32),
                     opt.probe_ctx,
                 )
-                di = jnp.asarray(idx_p)
-                b = b.at[di].set(b2)
-                e = e.at[di].set(e2)
-                s = s.at[di].set(s2)
+                alive = np.asarray(fb < fe)
+                if alive.any():
+                    idx2 = np.nonzero(alive)[0]
+                    m2 = _next_pow2(len(idx2))
+                    sel = np.concatenate(
+                        [idx2, np.full(m2 - len(idx2), idx2[-1])]
+                    )
+                    selj = jnp.asarray(sel)
+                    pos2 = jnp.take(pos_p, selj)
+                    b2, e2, s2 = _probe_exact_jit(
+                        ss.d, ref2_dev, pos2, ctx_lo_dev,
+                        opt.probe_ctx, opt.min_anchor_ctx,
+                        (
+                            jnp.take(fb, selj),
+                            jnp.take(fe, selj),
+                            jnp.take(fs, selj),
+                        ),
+                    )
+                    di = jnp.take(jnp.asarray(idx_p), selj)
+                    b = b.at[di].set(b2)
+                    e = e.at[di].set(e2)
+                    s = s.at[di].set(s2)
             out = _anchor_jit(
                 ss.d, ref2_dev, b, e, s, jnp.asarray(p0, jnp.int64),
                 jnp.minimum(seg_hi_dev, p0 + P),  # batch owns its P positions
@@ -667,33 +705,43 @@ def discover_variants(
                     f"{MAXA}-per-batch cap were dropped; shrink chunk_batch "
                     "or raise MAXA"
                 )
-            anchors = (
-                a_pos[:n],
-                ab[:n].astype(np.int64),
-                a_begin[:n],
-                a_end[:n],
-                a_size[:n],
-            )
-            asms = wavefront_assemble(
-                ss, ref2, anchors, opt, stats=stats,
-                ref_limit=(2 * G if rev_half else G),
-            )
-            if rev_half:
-                asms = [
-                    _rc_assembly(
-                        Assembly(
-                            chunk_start=a.chunk_start - G,
-                            anchor=a.anchor - G,
-                            rejoin=a.rejoin - G,
-                            seq=a.seq,
-                            support=a.support,
-                            ref_support=a.ref_support,
-                        ),
-                        G,
+            if n:
+                anchor_parts.setdefault(rev_half, []).append(
+                    (
+                        a_pos[:n],
+                        ab[:n].astype(np.int64),
+                        a_begin[:n],
+                        a_end[:n],
+                        a_size[:n],
                     )
-                    for a in asms
-                ]
-            all_asms.extend(asms)
+                )
+    # assemble once per orientation over ALL collected anchors: with sparse
+    # anchors (a whole genome yields a few hundred), per-probe-batch assembly
+    # ran dozens of tiny wavefronts whose fixed cost (state setup, span
+    # tables, device round trips) dwarfed the useful work; pooled anchors
+    # fill a few large beam batches instead
+    for rev_half, parts in anchor_parts.items():
+        anchors = tuple(np.concatenate(cols) for cols in zip(*parts))
+        asms = wavefront_assemble(
+            ss, ref2, anchors, opt, stats=stats,
+            ref_limit=(2 * G if rev_half else G),
+        )
+        if rev_half:
+            asms = [
+                _rc_assembly(
+                    Assembly(
+                        chunk_start=a.chunk_start - G,
+                        anchor=a.anchor - G,
+                        rejoin=a.rejoin - G,
+                        seq=a.seq,
+                        support=a.support,
+                        ref_support=a.ref_support,
+                    ),
+                    G,
+                )
+                for a in asms
+            ]
+        all_asms.extend(asms)
     # dedup identical bubbles across batches/orientations BEFORE the
     # (expensive) coverage scoring — fwd and rev mostly rediscover the same
     # assemblies, and scoring is the costliest stage on-chip
@@ -705,6 +753,12 @@ def discover_variants(
     all_asms = list(uniq.values())
     if readmap is not None:
         all_asms = score_assemblies(readmap, ref, all_asms, opt)
+        # sub-threshold assemblies can never yield an emittable record
+        # (write_discovery_vcf and every API consumer filter at
+        # min_alt_support) — drop them before the extraction/alignment pass,
+        # where unsupported repeat-mediated giant "deletions" would otherwise
+        # pay huge decomposition DPs
+        all_asms = [a for a in all_asms if a.support >= opt.min_alt_support]
     all_records.extend(extract_variants(all_asms, ref, reference, opt))
     # genotype from support vs local ref coverage
     return _dedup_records(all_records)
@@ -738,8 +792,9 @@ def score_assemblies(rm: Readmap, ref: np.ndarray, asms: List[Assembly], opt: Di
     if not asms:
         return asms
     buckets: dict = {}
+    cap = 2 * MID_CAP  # giant ref spans are scored as breakpoint windows
     for a in asms:
-        span = max(len(a.seq), a.rejoin - a.anchor - 1)
+        span = max(len(a.seq), min(a.rejoin - a.anchor - 1, cap))
         b = 64
         while b < span:
             b *= 2
@@ -751,41 +806,66 @@ def score_assemblies(rm: Readmap, ref: np.ndarray, asms: List[Assembly], opt: Di
     return _score_batch(rm, ref, asms, opt)
 
 
+MID_CAP = 192  # ref-span scoring cap for giant deletions (bases per side)
+
+
 def _score_batch(rm: Readmap, ref: np.ndarray, asms: List[Assembly], opt: DiscoverOptions):
     # Flanks must cover a full read length: the coverage walk only counts a
     # read once its END position is reached with enough context, so the
     # first/last read_len positions of any window undercount.
     C = int(rm.max_read_len) + 2
-    max_ref_span = max(a.rejoin - a.anchor - 1 for a in asms)
-    qlen = max(
-        2 * C + max(max(len(a.seq) for a in asms), max_ref_span), 2 * C + 1
-    )
-    B = len(asms)
-    q = np.zeros((2 * B, qlen), np.uint8)
-    ql = np.zeros(2 * B, np.int32)
-    bub_lo = np.zeros(2 * B, np.int32)
-    bub_hi = np.zeros(2 * B, np.int32)
+
+    # Row plan: every assembly gets an alt row; the ref allele gets one row
+    # unless the span is giant (a long deletion whose rejoin k-mer landed far
+    # downstream), in which case the two breakpoint-adjacent windows are
+    # scored as separate rows — the interior of a 100 kb candidate deletion
+    # must not cost a 100 kb coverage row, and ref evidence for a deletion
+    # lives at its breakpoints anyway (read_cov scores events at their
+    # boundaries too, modules/variants/read_cov.cpp).
+    rows = []  # (asm_idx, kind, seq, lo, hi); kind: 0=alt, 1=ref, 2=ref-part
     for i, a in enumerate(asms):
         left = ref[max(a.anchor + 1 - C, 0) : a.anchor + 1]
         right = ref[a.rejoin : a.rejoin + C]
-        for j, mid in enumerate(
-            (np.asarray(a.seq, np.uint8), ref[a.anchor + 1 : a.rejoin])
-        ):
-            row = 2 * i + j
+        alt = np.asarray(a.seq, np.uint8)
+        seq = np.concatenate([left, alt, right])
+        rows.append(
+            (i, 0, seq, max(len(left) - 1, 0), min(len(left) + len(alt) + 1, len(seq)))
+        )
+        mid = ref[a.anchor + 1 : a.rejoin]
+        if len(mid) <= 2 * MID_CAP:
             seq = np.concatenate([left, mid, right])
-            q[row, : len(seq)] = seq
-            ql[row] = len(seq)
-            bub_lo[row] = max(len(left) - 1, 0)
-            bub_hi[row] = min(len(left) + len(mid) + 1, len(seq))
+            rows.append(
+                (i, 1, seq, max(len(left) - 1, 0), min(len(left) + len(mid) + 1, len(seq)))
+            )
+        else:
+            # left breakpoint: flank + first MID_CAP+C span bases; window
+            # stops C short of the cut so truncated-context positions (which
+            # undercount) stay out of the min
+            lseq = np.concatenate([left, mid[: MID_CAP + C]])
+            rows.append((i, 2, lseq, max(len(left) - 1, 0), len(left) + MID_CAP))
+            rseq = np.concatenate([mid[-(MID_CAP + C) :], right])
+            rows.append((i, 2, rseq, MID_CAP + C, len(rseq)))
+    qlen = max(max(len(r[2]) for r in rows), 2 * C + 1)
+    B = len(rows)
+    q = np.zeros((B, qlen), np.uint8)
+    ql = np.zeros(B, np.int32)
+    for r, (_, _, seq, _, _) in enumerate(rows):
+        q[r, : len(seq)] = seq
+        ql[r] = len(seq)
     import jax.numpy as jnp
 
     fwd, rev = rm.coverage(jnp.asarray(q), jnp.asarray(ql))
     tot = np.asarray(fwd + rev)
+    ref_mins: dict = {}
+    for r, (i, kind, seq, lo, hi) in enumerate(rows):
+        win = tot[r, lo:hi]
+        v = int(win.min()) if len(win) else 0
+        if kind == 0:
+            asms[i].support = v
+        else:
+            ref_mins[i] = min(ref_mins.get(i, 1 << 30), v)
     for i, a in enumerate(asms):
-        win = tot[2 * i, bub_lo[2 * i] : bub_hi[2 * i]]
-        a.support = int(win.min()) if len(win) else 0
-        rwin = tot[2 * i + 1, bub_lo[2 * i + 1] : bub_hi[2 * i + 1]]
-        a.ref_support = int(rwin.min()) if len(rwin) else 0
+        a.ref_support = ref_mins.get(i, 0)
     return asms
 
 
@@ -881,6 +961,9 @@ def extract_variants(assemblies: List[Assembly], ref: np.ndarray, reference, opt
             len(rs) != len(as_)
             and min(len(rs), len(as_)) > 0
             and (len(rs) > 2 or len(as_) > 2)
+            # giant blocks (repeat-mediated distant rejoins) skip base-level
+            # decomposition — emitted as one left-normalized block record
+            and max(len(rs), len(as_)) <= 2048
         ):
             complex_ids.append(idx)
     # batch-align all complex blocks on device (aligner step,
