@@ -377,7 +377,7 @@ def cmd_grm(args):
     if args.bwt:
         bwt = RefBwt.load(args.bwt)
     else:
-        bwt = RefBwt.build(np.asarray(ref.flat))
+        bwt = RefBwt.cached_build(np.asarray(ref.flat))
     recs = run_grm(args.vcf, args.out, bwt, ref, sample=args.sample, k=args.k)
     n_sv = sum(1 for r in recs if "GRM_UP" in r.info or "GRM_DN" in r.info)
     print(

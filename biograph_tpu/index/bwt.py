@@ -107,6 +107,36 @@ class RefBwt:
             sa_rate=sa_rate,
         )
 
+    @staticmethod
+    def cached_build(ref_codes: np.ndarray, sa_rate: int = 32) -> "RefBwt":
+        """Build with a content-addressed disk cache.
+
+        The suffix-array construction of a whole genome costs tens of
+        seconds; pipeline stages that need the reference FM-index (grm,
+        placement) share one artifact keyed by the reference bytes.  Cache
+        dir: $BGT_CACHE (default ~/.cache/biograph_tpu)."""
+        import hashlib
+        import os
+
+        g = np.asarray(ref_codes, np.uint8)
+        h = hashlib.sha256(g.tobytes()).hexdigest()[:24]
+        root = os.environ.get(
+            "BGT_CACHE", os.path.expanduser("~/.cache/biograph_tpu")
+        )
+        path = os.path.join(root, f"refbwt_{h}_r{sa_rate}")
+        try:
+            if os.path.isdir(path):
+                return RefBwt.load(path)
+        except Exception:
+            pass
+        bwt = RefBwt.build(g, sa_rate)
+        try:
+            os.makedirs(root, exist_ok=True)
+            bwt.save(path)
+        except Exception:
+            pass
+        return bwt
+
     @cached_property
     def d(self):
         return _BwtDevice(

@@ -149,9 +149,12 @@ def annotate_coverage(
     )
 
     # flat (record, allele) query list: per valid record one query per alt
-    # allele plus one ref query
-    q_owner: List[int] = []  # record index
-    q_allele: List[int] = []  # alt index, or -1 for the ref query
+    # allele plus one ref query.  Giant alleles (multi-kb deletions emitted
+    # with their full REF string) are evaluated at their two
+    # breakpoint-adjacent windows instead of materializing a multi-kb
+    # coverage row — allele evidence for a long event lives at its
+    # boundaries (same policy as discovery's _score_batch).
+    WIN_CAP = 192
     all_alt_depths = [np.zeros(max(len(a), 1), np.int32) for a in alts_of]
     work = [i for i in range(N) if valid[i]]
     for lo in range(0, len(work), batch):
@@ -160,6 +163,28 @@ def annotate_coverage(
         spans = []
         owners = []
         alleles = []
+
+        def emit(ri, ai, left, mid, right):
+            lo_b = max(len(left) - 1, 0)
+            if len(mid) <= 2 * WIN_CAP + C:
+                queries.append(np.concatenate([left, mid, right]))
+                spans.append((lo_b, lo_b + len(mid) + 1))
+                owners.append(ri)
+                alleles.append(ai)
+            else:
+                # left breakpoint: window stops C short of the cut so
+                # truncated-context positions stay out of the min
+                queries.append(np.concatenate([left, mid[: WIN_CAP + C]]))
+                spans.append((lo_b, len(left) + WIN_CAP))
+                owners.append(ri)
+                alleles.append(ai)
+                # right breakpoint: last WIN_CAP allele bases (positions
+                # >= C have full in-row context) through the junction base
+                queries.append(np.concatenate([mid[-(WIN_CAP + C) :], right]))
+                spans.append((C, WIN_CAP + C + 1))
+                owners.append(ri)
+                alleles.append(ai)
+
         for ri in chunk:
             rec = records[ri]
             p0, ref_allele, _ = flat_records[ri]
@@ -169,17 +194,9 @@ def annotate_coverage(
                 donor_of_ref[min(p0 + len(ref_allele), len(ref_flat))]
             )
             right = donor[dright_start : dright_start + C]
-            lo_b = max(len(left) - 1, 0)
             for ai, alt_str in enumerate(alts_of[ri]):
-                alt_allele = dna.seq_to_codes(alt_str)
-                queries.append(np.concatenate([left, alt_allele, right]))
-                spans.append((lo_b, lo_b + len(alt_allele) + 1))
-                owners.append(ri)
-                alleles.append(ai)
-            queries.append(np.concatenate([left, ref_allele, right]))
-            spans.append((lo_b, lo_b + len(ref_allele) + 1))
-            owners.append(ri)
-            alleles.append(-1)
+                emit(ri, ai, left, dna.seq_to_codes(alt_str), right)
+            emit(ri, -1, left, ref_allele, right)
         L = max(len(q) for q in queries)
         qc = np.zeros((len(queries), L), np.uint8)
         ql = np.zeros(len(queries), np.int32)
@@ -188,10 +205,14 @@ def annotate_coverage(
             ql[i] = len(q)
         fwd, rev = readmap.coverage(jnp.asarray(qc), jnp.asarray(ql))
         tot = np.asarray(fwd + rev)
+        depth_min: dict = {}
         for i, (ri, ai) in enumerate(zip(owners, alleles)):
             lo_b, hi_b = spans[i]
             win = tot[i, lo_b : min(hi_b, ql[i])]
             depth = int(win.min()) if len(win) else 0
+            key = (ri, ai)
+            depth_min[key] = min(depth_min.get(key, 1 << 30), depth)
+        for (ri, ai), depth in depth_min.items():
             if ai < 0:
                 ref_depth[ri] = depth
             else:
