@@ -1,60 +1,77 @@
 """Benchmark driver — prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Headline: steady-state variant-discovery throughput (bases/s) of the
-wavefront assembly engine on the real chip, against the golden E. coli
-sample — the "seqset build + variant call" pipeline of BASELINE.md measured
-at its hot stage.  vs_baseline = TPU / host-CPU steady-state on identical
-regions (warmup region excluded from both timings: compiles amortize over a
-genome at scale).
+Headline: BASELINE.json's own metric — reads/s/chip through seqset build +
+variant call.  Each leg builds the seqset+readmap from the golden 10k-read
+E. coli sample and calls variants over the whole genome (scored, genotyped),
+steady-state (one warmup pass first: compiles amortize over production runs
+and persist in the on-disk XLA cache).  vs_baseline = TPU rate / host-CPU
+rate on the identical workload.
 
-Setup (seqset+readmap build) runs once on the host; artifacts are cached
-under /tmp between runs.
+Secondary fields: the rank4 speed-of-light microbenchmark (MXU kernel vs
+XLA gather path) and the per-leg stage split.
 """
 
 import json
 import os
 import time
 
+READS = "/root/reference/golden/e_coli_10000snp.fq"
+REF_DIR = "/root/reference/datasets/reference/e_coli_k12_ASM584v1"
 
-def _ensure_sample():
-    """Build (or reuse) the E. coli .bgt from the golden reads."""
+
+def _pipeline_rate(platform: str):
+    """reads/s through build+call on `platform` (warm steady state)."""
     import jax
 
-    path = "/tmp/bench_ecoli.bgt"
-    from biograph_tpu.core import container
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # else: keep the ambient accelerator platform (axon registers the TPU
+    # under its own platform name; forcing "tpu" looks for local libtpu)
+    from biograph_tpu.io.fastq import read_fastq
+    from biograph_tpu.build.seqset_build import build_seqset
+    from biograph_tpu.build.readmap_build import build_readmap
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.variants.discover import DiscoverOptions, discover_variants
 
-    if not container.exists(os.path.join(path, "seqset")):
-        from biograph_tpu.io.fastq import read_fastq
-        from biograph_tpu.build.seqset_build import build_seqset
-        from biograph_tpu.build.readmap_build import build_readmap
+    batch = read_fastq(READS)
+    n_reads = len(batch.lengths)
+    ref = Reference.from_reference_dir(REF_DIR)
+    opt = DiscoverOptions(min_alt_support=5)
 
-        with jax.default_device(jax.devices("cpu")[0]):
-            batch = read_fastq("/root/reference/golden/e_coli_10000snp.fq")
-            ss = build_seqset(batch.codes, batch.lengths)
-            rm = build_readmap(ss, batch.codes, batch.lengths)
-        os.makedirs(path, exist_ok=True)
-        ss.save(os.path.join(path, "seqset"))
-        rm.save(os.path.join(path, "readmap"))
-        with open(os.path.join(path, "metadata.json"), "w") as f:
-            json.dump({"accession_id": "bench"}, f)
-    return path
+    def once():
+        t0 = time.time()
+        ss = build_seqset(batch.codes, batch.lengths)
+        rm = build_readmap(ss, batch.codes, batch.lengths)
+        t1 = time.time()
+        recs = discover_variants(ss, ref, opt=opt, readmap=rm)
+        return t1 - t0, time.time() - t1, recs
+
+    once()  # warmup: compiles (persisted to the on-disk cache)
+    tb, tc, recs = once()
+    dt = tb + tc
+    return {
+        "reads_per_s": n_reads / dt,
+        "build_s": round(tb, 2),
+        "call_s": round(tc, 2),
+        "records": len(recs),
+    }
 
 
-def _rank_rate(bgt: str):
-    """Rank-query throughput of the MXU kernel vs the XLA gather path on the
-    active platform (the speed-of-light microbenchmark SURVEY §7 hard-part 3
-    calls for; reference yardstick: modules/io/bitcount.h:13 count())."""
-    import time
-
+def _rank_rate():
+    """Rank-query throughput of the MXU kernel vs the XLA gather path (the
+    speed-of-light microbenchmark SURVEY §7 hard-part 3 calls for;
+    reference yardstick: modules/io/bitcount.h:13 count())."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
-    from biograph_tpu.index.seqset import Seqset
+    from biograph_tpu.io.fastq import read_fastq
+    from biograph_tpu.build.seqset_build import build_seqset
     from biograph_tpu.ops.rank4 import build_rank4_table, rank4_pallas, rank4_xla
 
-    ss = Seqset.load(os.path.join(bgt, "seqset"))
+    batch = read_fastq(READS)
+    ss = build_seqset(batch.codes, batch.lengths)
     rng = np.random.default_rng(0)
     B = 1 << 16
     pos = jnp.asarray(rng.integers(0, ss.n_entries + 1, B))
@@ -80,60 +97,25 @@ def _rank_rate(bgt: str):
     return rates
 
 
-def _discovery_rate(platform: str, bgt: str, span: int = 20000) -> float:
-    """Steady-state discovery bases/s on `platform` (warmup region first)."""
-    import jax
-
-    if platform == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-    # else: keep the ambient accelerator platform (axon registers the TPU
-    # under its own platform name; forcing "tpu" looks for local libtpu)
-    # fresh modules bind arrays to the selected backend
-    from biograph_tpu.api import BioGraph
-    from biograph_tpu.index.reference import Reference
-    from biograph_tpu.variants.discover import DiscoverOptions, discover_variants
-
-    bg = BioGraph(bgt)
-    ref = Reference.from_reference_dir(
-        "/root/reference/datasets/reference/e_coli_k12_ASM584v1"
-    )
-    c = ref.contig_by_name("Chromosome")
-    opt = DiscoverOptions(min_alt_support=5)
-    # warmup (compiles), then time repeated runs of the variant-dense region
-    # (0-12kb holds most of the sample's variants: a representative load)
-    dense = (c.start, c.start + 12000)
-    discover_variants(bg.seqset, ref, region=dense, opt=opt, readmap=bg.readmap)
-    REP = 2
-    t0 = time.time()
-    for _ in range(REP):
-        discover_variants(
-            bg.seqset, ref, region=dense, opt=opt, readmap=bg.readmap
-        )
-    dt = time.time() - t0
-    return REP * 12000 / dt
-
-
 def main():
     import subprocess
     import sys
 
-    bgt = _ensure_sample()
     # one subprocess per platform (backend selection is sticky); run them
     # concurrently — the TPU leg mostly waits on the remote chip
     procs = {}
     for platform in ("tpu", "cpu"):
         rank_part = (
-            "rr = bench._rank_rate(%r);"
+            "rr = bench._rank_rate();"
             "print('RANK', rr.get('pallas', 0.0), rr.get('xla', 0.0));"
-            % bgt
             if platform == "tpu"
             else ""
         )
         code = (
             "import json,sys; sys.path.insert(0, '/root/repo');"
             "import bench;"
-            f"r = bench._discovery_rate({platform!r}, {bgt!r});"
-            "print('RATE', r);" + rank_part
+            f"r = bench._pipeline_rate({platform!r});"
+            "print('RATE', json.dumps(r));" + rank_part
         )
         procs[platform] = subprocess.Popen(
             [sys.executable, "-c", code],
@@ -146,10 +128,10 @@ def main():
     rank = {}
     for platform, p in procs.items():
         try:
-            stdout, stderr = p.communicate(timeout=900)
+            stdout, stderr = p.communicate(timeout=1800)
             for ln in stdout.splitlines():
                 if ln.startswith("RATE "):
-                    rates[platform] = float(ln.split()[1])
+                    rates[platform] = json.loads(ln[5:])
                 if ln.startswith("RANK "):
                     rank = {
                         "rank_mxu_queries_per_s": round(float(ln.split()[1]), 0),
@@ -172,9 +154,9 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": "discovery_bases_per_s",
-                    "value": round(cpu or 0.0, 1),
-                    "unit": "bases/s",
+                    "metric": "pipeline_reads_per_s",
+                    "value": round((cpu or {}).get("reads_per_s", 0.0), 1),
+                    "unit": "reads/s",
                     "vs_baseline": 0.0,
                     "platform": "cpu-fallback",
                     "error": "tpu leg produced no rate",
@@ -182,16 +164,26 @@ def main():
             )
         )
         return
-    vs = round(tpu / cpu, 2) if cpu else 0.0
+    vs = (
+        round(tpu["reads_per_s"] / cpu["reads_per_s"], 2)
+        if cpu and cpu.get("reads_per_s")
+        else 0.0
+    )
     print(
         json.dumps(
             {
-                "metric": "discovery_bases_per_s",
-                "value": round(tpu, 1),
-                "unit": "bases/s",
+                "metric": "pipeline_reads_per_s",
+                "value": round(tpu["reads_per_s"], 1),
+                "unit": "reads/s",
                 "vs_baseline": vs,
                 "platform": "tpu",
-                "cpu_bases_per_s": round(cpu or 0.0, 1),
+                "tpu_stages": {k: tpu[k] for k in ("build_s", "call_s", "records")},
+                "cpu_reads_per_s": round((cpu or {}).get("reads_per_s", 0.0), 1),
+                "cpu_stages": (
+                    {k: cpu[k] for k in ("build_s", "call_s", "records")}
+                    if cpu
+                    else {}
+                ),
                 **rank,
             }
         )

@@ -131,14 +131,15 @@ def align_blocks_batch(
             while b < sz:
                 b *= 2
             buckets.setdefault(b, []).append(i)
-        out = [None] * N
-        for ids in buckets.values():
-            sub = align_blocks_batch(
-                [ref_blocks[i] for i in ids], [alt_blocks[i] for i in ids]
-            )
-            for i, ops in zip(ids, sub):
-                out[i] = ops
-        return out
+        if len(buckets) > 1:  # single-bucket sets fall through (no recursion)
+            out = [None] * N
+            for ids in buckets.values():
+                sub = align_blocks_batch(
+                    [ref_blocks[i] for i in ids], [alt_blocks[i] for i in ids]
+                )
+                for i, ops in zip(ids, sub):
+                    out[i] = ops
+            return out
     def _pow2(n):
         p = 8
         while p < n:

@@ -121,16 +121,21 @@ def anchor_scan(d, ref2, begin, end, size, p0, seg_hi, min_anchor_ctx: int,
     _, sidx = lax.sort((key, idx), num_keys=1, is_stable=True)
     top = sidx[:MAXA]
     li = (top // 4).astype(jnp.int64)
-    ab = (top % 4).astype(jnp.int32)
-    return (
-        p0 + li,
-        ab,
-        jnp.take(begin, li),
-        jnp.take(end, li),
-        jnp.take(size, li),
-        n_anchors,
-        n_raw,
+    ab = (top % 4).astype(jnp.int64)
+    # counts ride a tiny first fetch; the anchor columns come back as ONE
+    # stacked array the caller slices device-side to the live prefix — per
+    # batch the host link sees two small transfers, not seven MAXA-row ones
+    counts = jnp.stack([n_anchors, n_raw])
+    stacked = jnp.stack(
+        [
+            p0 + li,
+            ab,
+            jnp.take(begin, li),
+            jnp.take(end, li),
+            jnp.take(size, li).astype(jnp.int64),
+        ]
     )
+    return counts, stacked
 
 
 _anchor_jit = jax.jit(anchor_scan, static_argnums=(7, 8))
@@ -298,19 +303,24 @@ def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
         opt.probe_ctx,
     )
     # transfer only rejoined lanes (device-side compaction): the path matrix
-    # is the bulk of the output and most lanes never rejoin
-    lane_sel, rejoin_j, out_len_j, out_sup_j, n_hits = _compact_hits_jit(
+    # is the bulk of the output and most lanes never rejoin.  All scalar
+    # outputs ride ONE stacked transfer — each fetch over the device link
+    # pays full round-trip latency.
+    packed_out = _compact_hits_jit(
         out["rejoin"], out["out_len"], out["out_support"]
     )
-    n = int(n_hits)
-    lanes = np.asarray(lane_sel[:n])
-    rejoin = np.asarray(rejoin_j[:n])
-    out_len = np.asarray(out_len_j[:n])
-    out_support = np.asarray(out_sup_j[:n])
+    po = np.asarray(packed_out)
+    n = int(po[4, 0])
+    lanes = po[0, :n]
+    rejoin = po[1, :n]
+    out_len = po[2, :n]
+    out_support = po[3, :n]
     if n:
-        n_pad = min(_next_pow2(n), lane_sel.shape[0])  # bucket gather shapes
+        n_pad = min(_next_pow2(n), Ap)  # bucket gather shapes
         out_path = np.asarray(
-            jnp.take(out["path"], lane_sel[:n_pad], axis=0)
+            jnp.take(
+                out["path"], jnp.asarray(po[0, :n_pad], jnp.int64), axis=0
+            )
         )[:n]
     else:
         out_path = np.zeros((0, MAXP), np.uint8)
@@ -341,14 +351,19 @@ def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
 
 @jax.jit
 def _compact_hits_jit(rejoin, out_len, out_support):
-    """Indices of rejoined lanes compacted to the front (device side)."""
+    """Rejoined lanes compacted to the front, as ONE stacked int64 [5, Ap]
+    array (rows: lane id, rejoin, out_len, out_support, hit count broadcast)
+    so the host needs a single device fetch."""
     hit = rejoin >= 0
     key = (~hit).astype(jnp.int32)
     idx = jnp.arange(rejoin.shape[0], dtype=jnp.int64)
     _, sidx, srj, slen, ssup = lax.sort(
-        (key, idx, rejoin, out_len, out_support), num_keys=2, is_stable=True
+        (key, idx, rejoin, out_len.astype(jnp.int64), out_support),
+        num_keys=2,
+        is_stable=True,
     )
-    return sidx, srj, slen, ssup, jnp.sum(hit)
+    n = jnp.broadcast_to(jnp.sum(hit).astype(jnp.int64), sidx.shape)
+    return jnp.stack([sidx, srj, slen, ssup, n])
 
 
 def _next_pow2(n):
@@ -686,34 +701,26 @@ def discover_variants(
                     b = b.at[di].set(b2)
                     e = e.at[di].set(e2)
                     s = s.at[di].set(s2)
-            out = _anchor_jit(
+            counts, stacked = _anchor_jit(
                 ss.d, ref2_dev, b, e, s, jnp.asarray(p0, jnp.int64),
                 jnp.minimum(seg_hi_dev, p0 + P),  # batch owns its P positions
                 opt.min_anchor_ctx, opt.min_branch_width,
             )
-            a_pos, ab, a_begin, a_end, a_size, n_anchors, n_raw = (
-                np.asarray(x) for x in out
-            )
-            n = int(n_anchors)
-            stats["anchors_found"] += int(n_raw)
-            if int(n_raw) > n:
-                stats["anchors_truncated"] += int(n_raw) - n
+            n, n_raw = (int(x) for x in np.asarray(counts))
+            stats["anchors_found"] += n_raw
+            if n_raw > n:
+                stats["anchors_truncated"] += n_raw - n
                 import warnings
 
                 warnings.warn(
-                    f"discovery: {int(n_raw) - n} anchors over the "
+                    f"discovery: {n_raw - n} anchors over the "
                     f"{MAXA}-per-batch cap were dropped; shrink chunk_batch "
                     "or raise MAXA"
                 )
             if n:
+                live = np.asarray(stacked[:, : min(_next_pow2(n), MAXA)])[:, :n]
                 anchor_parts.setdefault(rev_half, []).append(
-                    (
-                        a_pos[:n],
-                        ab[:n].astype(np.int64),
-                        a_begin[:n],
-                        a_end[:n],
-                        a_size[:n],
-                    )
+                    (live[0], live[1], live[2], live[3], live[4])
                 )
     # assemble once per orientation over ALL collected anchors: with sparse
     # anchors (a whole genome yields a few hundred), per-probe-batch assembly
