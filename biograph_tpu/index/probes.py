@@ -152,3 +152,190 @@ def probe_exact(d, text, pos, seg_lo, depth: int, min_m: int = 0, seed=None):
 
 probe_exact_jit = jax.jit(probe_exact, static_argnums=(4, 5))
 find_window_jit = jax.jit(find_window, static_argnums=(4,))
+
+
+# ---------------------------------------------------------------------------
+# Host-dispatched chain steps (the MXU path)
+#
+# The Mosaic toolchain here faults when a pallas_call is nested inside a
+# device-side loop (fori/while), so the fused rank4 MXU kernel — 6-7x the
+# XLA gather path — cannot serve the fori-loop chains above.  These variants
+# run the SAME math as a host Python loop of jitted steps: each step is one
+# device program with the pallas kernel at top level, dispatch is
+# asynchronous (the host enqueues all `depth` steps without ever blocking),
+# and the step index rides in as a traced scalar so one compile serves the
+# whole chain.  With use_kernel=False they are bit-identical to the fori
+# versions on any backend (tested), so correctness is CPU-checkable.
+# ---------------------------------------------------------------------------
+
+
+def _push4_select(d, begin, end, size, b, use_kernel: bool):
+    """push_front via ONE stacked rank4 evaluation (both range ends in a
+    single kernel launch), selecting the pushed base's column."""
+    P = begin.shape[0]
+    r4 = d.rank4(jnp.concatenate([begin, end]), use_kernel=use_kernel)
+    b64 = b.astype(jnp.int64)
+    fb = jnp.take(d.fixed, b64)
+    rb = jnp.take_along_axis(r4[:P], b64[:, None], 1)[:, 0].astype(jnp.int64)
+    re = jnp.take_along_axis(r4[P:], b64[:, None], 1)[:, 0].astype(jnp.int64)
+    nb = fb + rb
+    ne = fb + re
+    new_size = size + 1
+    sizes_nb = jnp.take(d.entry_sizes, jnp.minimum(nb, d.n_entries - 1))
+    kick = (nb < ne) & (sizes_nb < new_size)
+    nb = nb + kick.astype(nb.dtype)
+    was_valid = begin < end
+    nb = jnp.where(was_valid, nb, begin)
+    ne = jnp.where(was_valid, ne, begin)
+    return nb, ne, jnp.where(was_valid, new_size, size)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(5, 6))
+def _probe_step(d, text, pos, w0, state, depth: int, use_kernel: bool, s=0):
+    begin, end, size, restarted = state
+    n2 = text.shape[0]
+    s = jnp.asarray(s, jnp.int32)
+    idx = jnp.clip(pos - (depth - 1) + s.astype(jnp.int64), 0, n2 - 1)
+    b = (3 - jnp.take(text, idx)).astype(jnp.int32)
+    started = s >= (depth - w0)
+    nb, ne, nsize = _push4_select(d, begin, end, size, b, use_kernel)
+    ok = nb < ne
+    b64 = b.astype(jnp.int64)
+    nb = jnp.where(ok, nb, jnp.take(d.fixed, b64))
+    ne = jnp.where(ok, ne, jnp.take(d.fixed, b64 + 1))
+    nsize = jnp.where(ok, nsize, 1)
+    restarted = restarted | (started & ~ok & (size > 0))
+    return (
+        jnp.where(started, nb, begin),
+        jnp.where(started, ne, end),
+        jnp.where(started, nsize, size),
+        restarted,
+    )
+
+
+@_partial(jax.jit, static_argnums=(5, 6))
+def _find_step(d, text, pos, m, state, depth: int, use_kernel: bool, s=0):
+    begin, end, size = state
+    n2 = text.shape[0]
+    s = jnp.asarray(s, jnp.int32)
+    idx = jnp.clip(pos - (depth - 1) + s.astype(jnp.int64), 0, n2 - 1)
+    b = (3 - jnp.take(text, idx)).astype(jnp.int32)
+    started = s >= (depth - m)
+    nb, ne, nsize = _push4_select(d, begin, end, size, b, use_kernel)
+    return (
+        jnp.where(started, nb, begin),
+        jnp.where(started, ne, end),
+        jnp.where(started, nsize, size),
+    )
+
+
+def probe_ranges_hostloop(d, text, p0, seg_lo, P: int, depth: int,
+                          use_kernel: bool = True):
+    """probe_ranges as a host loop of async step dispatches (MXU path)."""
+    pos = p0 + jnp.arange(P, dtype=jnp.int64)
+    w0 = jnp.minimum(depth, (pos - seg_lo + 1)).astype(jnp.int32)
+    state = (
+        jnp.zeros((P,), jnp.int64),
+        jnp.full((P,), d.n_entries, jnp.int64),
+        jnp.zeros((P,), jnp.int32),
+        jnp.zeros((P,), bool),
+    )
+    for s in range(depth):
+        state = _probe_step(d, text, pos, w0, state, depth, use_kernel, s=jnp.int32(s))
+    return state
+
+
+def find_window_hostloop(d, text, pos, m, depth: int, use_kernel: bool = True):
+    P = pos.shape[0]
+    state = (
+        jnp.zeros((P,), jnp.int64),
+        jnp.full((P,), d.n_entries, jnp.int64),
+        jnp.zeros((P,), jnp.int32),
+    )
+    for s in range(depth):
+        state = _find_step(d, text, pos, m, state, depth, use_kernel, s=jnp.int32(s))
+    return state
+
+
+@jax.jit
+def _exact_round(lo_m, hi_m, bb, be, bs, b, e, s):
+    mid = (lo_m + hi_m) // 2
+    mid = jnp.where(hi_m - lo_m > 1, mid, lo_m)
+    ok = (b < e) & (mid > lo_m)
+    return (
+        jnp.where(ok, mid, lo_m),
+        jnp.where(b < e, hi_m, jnp.minimum(mid, hi_m)),
+        jnp.where(ok, b, bb),
+        jnp.where(ok, e, be),
+        jnp.where(ok, s, bs),
+    )
+
+
+@jax.jit
+def _exact_mid(lo_m, hi_m):
+    mid = (lo_m + hi_m) // 2
+    return jnp.where(hi_m - lo_m > 1, mid, lo_m)
+
+
+def probe_exact_hostloop(d, text, pos, seg_lo, depth: int, min_m: int = 0,
+                         seed=None, use_kernel: bool = True):
+    """probe_exact with host-dispatched find chains (same contract)."""
+    w0 = jnp.minimum(depth, (pos - seg_lo + 1)).astype(jnp.int32)
+    lo_m = jnp.minimum(jnp.full_like(w0, min_m), w0) if min_m else jnp.zeros_like(w0)
+    hi_m = w0
+    P = pos.shape[0]
+    bb = jnp.zeros((P,), jnp.int64)
+    be = jnp.full((P,), d.n_entries, jnp.int64)
+    bs = jnp.zeros((P,), jnp.int32)
+    if min_m:
+        bb, be, bs = (
+            seed
+            if seed is not None
+            else find_window_hostloop(d, text, pos, lo_m, depth, use_kernel)
+        )
+        rounds = (depth - min_m).bit_length()
+    else:
+        rounds = max((depth - 1).bit_length(), 1)
+    for _ in range(rounds):
+        mid = _exact_mid(lo_m, hi_m)
+        b, e, s = find_window_hostloop(d, text, pos, mid, depth, use_kernel)
+        lo_m, hi_m, bb, be, bs = _exact_round(lo_m, hi_m, bb, be, bs, b, e, s)
+    return bb, be, bs
+
+
+def probe_ranges_auto(d, text, p0, seg_lo, P: int, depth: int):
+    """probe_ranges via the best path for the active backend."""
+    if use_mxu_chains(d):
+        return probe_ranges_hostloop(d, text, p0, seg_lo, P, depth)
+    return probe_ranges_jit(d, text, p0, seg_lo, P, depth)
+
+
+def find_window_auto(d, text, pos, m, depth: int):
+    if use_mxu_chains(d):
+        return find_window_hostloop(d, text, pos, m, depth)
+    return find_window_jit(d, text, pos, m, depth)
+
+
+def probe_exact_auto(d, text, pos, seg_lo, depth: int, min_m: int = 0, seed=None):
+    if use_mxu_chains(d):
+        return probe_exact_hostloop(d, text, pos, seg_lo, depth, min_m, seed)
+    return probe_exact_jit(d, text, pos, seg_lo, depth, min_m, seed)
+
+
+def use_mxu_chains(d) -> bool:
+    """True when the host-dispatched MXU chain path should serve probes:
+    a rank4 table exists (structure fits VMEM) and a real accelerator is
+    active (on CPU the fori-loop XLA path is strictly better)."""
+    import os
+
+    if os.environ.get("BGT_NO_MXU_CHAINS"):
+        return False
+    if d.rank4_table is None:
+        return False
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False

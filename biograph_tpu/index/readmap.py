@@ -293,9 +293,10 @@ class Readmap:
         ONE find_window(depth) chain over all lanes replaces the restart
         chain + exact recompute — zero host round trips inside the loop."""
         from biograph_tpu.index.probes import (
-            find_window_jit,
-            probe_exact_jit,
-            probe_ranges_jit,
+            find_window_auto as find_window_jit,
+            probe_exact_auto as probe_exact_jit,
+            probe_ranges_auto as probe_ranges_jit,
+            use_mxu_chains,
         )
 
         d = self.seqset.d
@@ -316,7 +317,15 @@ class Readmap:
             p0 = jnp.asarray(r0 * Lp, jnp.int64)
             pos = jnp.arange(P, dtype=jnp.int64) + r0 * Lp
             if uniform:
-                b, e, s = _uniform_probe(d, text, pos, Lp, depth)
+                if use_mxu_chains(d):
+                    from biograph_tpu.index.probes import find_window_hostloop
+
+                    b, e, s = find_window_hostloop(
+                        d, text, pos, jnp.full((P,), depth, jnp.int32), depth
+                    )
+                    b, e, s = _row_mask(b, e, s, pos, Lp, depth)
+                else:
+                    b, e, s = _uniform_probe(d, text, pos, Lp, depth)
             else:
                 seg = pos // Lp * Lp
                 b, e, s, restarted = probe_ranges_jit(d, text, p0, seg, P, depth)
@@ -407,6 +416,13 @@ class Readmap:
 from functools import partial
 import jax
 from jax import lax
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _row_mask(b, e, s, pos, Lp: int, depth: int):
+    """Invalidate windows that would cross a row boundary (j < depth-1)."""
+    ok = (pos % Lp) + 1 >= depth
+    return b, jnp.where(ok, e, b), s
 
 
 @partial(jax.jit, static_argnums=(3, 4))

@@ -79,9 +79,9 @@ MAXA = 8192  # max anchors returned per probe batch (truncation is counted)
 # per-chunk reference walk (ref_map analog, modules/variants/ref_map.h:49):
 # anchor detection probes every genome position as an independent lane
 from biograph_tpu.index.probes import (
-    find_window_jit as _find_window_jit,
-    probe_exact_jit as _probe_exact_jit,
-    probe_ranges_jit as _probe_jit,
+    find_window_auto as _find_window_jit,
+    probe_exact_auto as _probe_exact_jit,
+    probe_ranges_auto as _probe_jit,
 )
 
 
@@ -283,7 +283,7 @@ def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
 
     # seed state is built ON DEVICE inside the jitted wavefront (the initial
     # push_front included): only five [Ap] anchor arrays cross the link
-    out = _wavefront_jit(
+    out = _wavefront_run(
         d,
         jnp.asarray(packed_pad),
         trunc_tables[0],
@@ -403,25 +403,17 @@ def _trunc_tables(ss: Seqset, c: int):
     return hit
 
 
-@_partial(jax.jit, static_argnums=(6, 7, 8, 9))
-def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int, k: int, min_w: int, probe_ctx: int):
-    """The whole beam extension as one device program (fori over steps).
-
-    `seed` carries only the per-anchor inputs (begin/end/size/ab/policy/
-    min_local, each [Ap]); the initial alt-base push and all derived state
-    are built here so nothing but those five arrays crosses the host link.
-    """
+@_partial(jax.jit, static_argnums=(2,))
+def _wavefront_seed_jit(d, seed, MAXP: int):
+    """Initial wavefront state from the per-anchor seed arrays: the first
+    alt-base push and all derived state, built on device."""
     A = seed["begin"].shape[0]
-    kmask = jnp.uint64((1 << (2 * k)) - 1)
-    pos_mask = jnp.uint64((1 << POS_BITS) - 1)
-    npk = packed.shape[0]
-
     r0 = d.push_front(
         SeqsetRanges(seed["begin"], seed["end"], seed["size"]),
         3 - seed["ab"],
     )
     alive0 = r0.begin < r0.end
-    st = dict(
+    return dict(
         begin=r0.begin,
         end=r0.end,
         size=r0.size,
@@ -440,17 +432,25 @@ def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int, k: in
         out_support=jnp.zeros((A,), jnp.int64),
     )
 
-    def body(carry):
-        step_i, st = carry
+
+def _wavefront_body(d, packed, prev_lt, next_lt, n_packed, st, step_i,
+                    MAXP: int, k: int, min_w: int, probe_ctx: int,
+                    use_kernel: bool):
+    """One beam-extension step (shared by the device while_loop and the
+    host-dispatched MXU step path)."""
+    kmask = jnp.uint64((1 << (2 * k)) - 1)
+    pos_mask = jnp.uint64((1 << POS_BITS) - 1)
+    npk = packed.shape[0]
+    if True:
         done = st["done"]
         cur = SeqsetRanges(st["begin"], st["end"], st["size"])
         # all 4 children per lane from one fused rank4 pass; candidate alt
         # base bb pushes complement 3-bb -> flip columns into bb order.
-        # use_kernel=False: a pallas_call nested inside this fori_loop
-        # crashes the TPU worker at >512 lanes on the axon toolchain (two
-        # reproduced kernel faults); the MXU kernel serves flat batched
-        # rank calls until the Mosaic nesting fault is fixed.
-        nb4, ne4 = d.push4(cur, use_kernel=False)
+        # use_kernel=False inside the while_loop: a pallas_call nested in a
+        # device loop crashes the TPU worker at >512 lanes on the axon
+        # toolchain (two reproduced kernel faults); the host-dispatched step
+        # path passes use_kernel=True with the pallas call at top level.
+        nb4, ne4 = d.push4(cur, use_kernel=use_kernel)
         Bc = nb4[:, ::-1]
         Ec = ne4[:, ::-1]
         W = Ec - Bc  # [A, 4]
@@ -520,7 +520,7 @@ def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int, k: in
         out_len = jnp.where(newly, path_len, st["out_len"])
         out_support = jnp.where(newly, support, st["out_support"])
         done = done | newly
-        return step_i + 1, dict(
+        return dict(
             begin=cur2.begin,
             end=cur2.end,
             size=cur2.size,
@@ -537,14 +537,76 @@ def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int, k: in
             out_support=out_support,
         )
 
-    # early-exit while: most lanes rejoin or die within ~read-length steps,
-    # so running all MAXP iterations would pay 5-10x the needed sequential
-    # latency (the dominant cost of a tiny-batch device loop)
+
+@_partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int,
+                   k: int, min_w: int, probe_ctx: int):
+    """The whole beam extension as one device program (early-exit while).
+
+    Most lanes rejoin or die within ~read-length steps, so running all MAXP
+    iterations would pay 5-10x the needed sequential latency."""
+    st = _wavefront_seed_jit(d, seed, MAXP)
+
     def cond(carry):
         step_i, st = carry
         return (step_i < MAXP) & jnp.any(~st["done"])
 
+    def body(carry):
+        step_i, st = carry
+        return step_i + 1, _wavefront_body(
+            d, packed, prev_lt, next_lt, n_packed, st, step_i,
+            MAXP, k, min_w, probe_ctx, False,
+        )
+
     _, st = lax.while_loop(cond, body, (jnp.asarray(1, jnp.int32), st))
+    return st
+
+
+@_partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def _wavefront_step_jit(d, packed, prev_lt, next_lt, n_packed, st, step_i,
+                        MAXP: int, k: int, min_w: int, probe_ctx: int):
+    """One host-dispatched beam step with the MXU rank kernel at top level
+    (pallas cannot nest inside device loops on this toolchain)."""
+    return _wavefront_body(
+        d, packed, prev_lt, next_lt, n_packed, st,
+        jnp.asarray(step_i, jnp.int32), MAXP, k, min_w, probe_ctx, True,
+    )
+
+
+@jax.jit
+def _undone_count(st):
+    return jnp.sum(~st["done"])
+
+
+CHECK_EVERY = 48  # host-loop wavefront: steps between done-fetches
+
+
+def _wavefront_run(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int,
+                   k: int, min_w: int, probe_ctx: int):
+    """Dispatch the wavefront on the best path for the active backend.
+
+    CPU / no-kernel: one jitted early-exit while_loop.  Accelerator with a
+    VMEM-resident rank table: a host loop of async step dispatches (MXU
+    push4 per step), checking the done count only every CHECK_EVERY steps —
+    the host enqueues work far ahead and pays one round trip per check
+    instead of per step."""
+    from biograph_tpu.index.probes import use_mxu_chains
+
+    if not use_mxu_chains(d):
+        return _wavefront_jit(
+            d, packed, prev_lt, next_lt, n_packed, seed,
+            MAXP, k, min_w, probe_ctx,
+        )
+    st = _wavefront_seed_jit(d, seed, MAXP)
+    step = 1
+    while step < MAXP:
+        st = _wavefront_step_jit(
+            d, packed, prev_lt, next_lt, n_packed, st,
+            jnp.int32(step), MAXP, k, min_w, probe_ctx,
+        )
+        step += 1
+        if step % CHECK_EVERY == 0 and int(_undone_count(st)) == 0:
+            break
     return st
 
 
