@@ -306,6 +306,20 @@ def probe_exact_hostloop(d, text, pos, seg_lo, depth: int, min_m: int = 0,
     return bb, be, bs
 
 
+@jax.jit
+def _packbits_jit(mask):
+    return jnp.packbits(mask)
+
+
+def fetch_mask(mask) -> "np.ndarray":
+    """Fetch a device bool mask as packed bits (8x less link traffic; the
+    relay moves ~1-2 MB/s, so a raw [131072] bool costs ~0.1s per fetch)."""
+    import numpy as np
+
+    n = mask.shape[0]
+    return np.unpackbits(np.asarray(_packbits_jit(mask)))[:n].astype(bool)
+
+
 def probe_ranges_auto(d, text, p0, seg_lo, P: int, depth: int):
     """probe_ranges via the best path for the active backend."""
     if use_mxu_chains(d):

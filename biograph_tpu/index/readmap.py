@@ -55,6 +55,29 @@ class Readmap:
         return np.repeat(np.arange(n, dtype=np.int64), counts)
 
     @cached_property
+    def length_groups(self):
+        """Per-entry attached-read counts grouped by (read length, strand).
+
+        Returns (lens int32 [D], counts int32 [D, 2, n_entries]) where
+        counts[d, 0] counts attached reads of length lens[d] whose
+        is_forward is False and counts[d, 1] those with True — exactly the
+        split the coverage walk needs (the complement walk flips strand).
+        With D small (uniform libraries have D == 1) coverage counting
+        needs no per-read gather loop and NO kmax truncation at all."""
+        n = len(self.offsets) - 1
+        ent = self.entry_of_rm
+        lens = np.unique(self.read_lengths) if self.num_entries else np.zeros(
+            0, np.int32
+        )
+        counts = np.zeros((len(lens), 2, n), np.int32)
+        fwd = np.asarray(self.is_forward)
+        for d, m in enumerate(lens):
+            sel = self.read_lengths == m
+            counts[d, 0] = np.bincount(ent[sel & ~fwd], minlength=n)
+            counts[d, 1] = np.bincount(ent[sel & fwd], minlength=n)
+        return np.asarray(lens, np.int32), counts
+
+    @cached_property
     def min_read_len(self) -> int:
         return int(self.read_lengths.min(initial=0))
 
@@ -293,6 +316,7 @@ class Readmap:
         ONE find_window(depth) chain over all lanes replaces the restart
         chain + exact recompute — zero host round trips inside the loop."""
         from biograph_tpu.index.probes import (
+            fetch_mask,
             find_window_auto as find_window_jit,
             probe_exact_auto as probe_exact_jit,
             probe_ranges_auto as probe_ranges_jit,
@@ -334,7 +358,7 @@ class Readmap:
                 # min_read_len can never count a read — filter both before
                 # paying the exact recompute
                 li = np.arange(P)
-                rst = np.asarray(restarted) & ((li % Lp) < lp[r0 + li // Lp])
+                rst = fetch_mask(restarted) & ((li % Lp) < lp[r0 + li // Lp])
                 rst &= (li % Lp) + 1 >= min_rl  # window can't fit a read
                 if rst.any():
                     idx = np.nonzero(rst)[0]
@@ -346,7 +370,7 @@ class Readmap:
                     fb, fe, fs = find_window_jit(
                         d, text, pos_p, jnp.full((m,), min_rl, jnp.int32), depth
                     )
-                    alive = np.asarray(fb < fe)
+                    alive = fetch_mask(fb < fe)
                     if alive.any():
                         idx2 = np.nonzero(alive)[0]
                         m2 = 1 << max((len(idx2) - 1).bit_length(), 0)
@@ -367,17 +391,34 @@ class Readmap:
                         b = b.at[di].set(b2)
                         e = e.at[di].set(e2)
                         s = s.at[di].set(s2)
-            outs.append(
-                _coverage_count(
-                    d,
-                    jnp.asarray(self.offsets),
-                    jnp.asarray(self.read_lengths),
-                    jnp.asarray(self.is_forward),
-                    b, e, s,
-                    jnp.asarray(lp[r0 : r0 + rows]),
-                    rows, Lp, kmax, min_rl,
+            lens, grp = self.length_groups
+            if 0 < len(lens) <= 8:
+                # grouped counting: per-entry (length, strand) totals give
+                # EXACT depth with D tiny passes — no per-read K-loop, no
+                # kmax truncation at any duplication level
+                outs.append(
+                    _coverage_count_grouped(
+                        d,
+                        jnp.asarray(lens),
+                        jnp.asarray(grp),
+                        b, e, s,
+                        jnp.asarray(lp[r0 : r0 + rows]),
+                        rows, Lp, min_rl,
+                    )
+                    + (0,)
                 )
-            )
+            else:
+                outs.append(
+                    _coverage_count(
+                        d,
+                        jnp.asarray(self.offsets),
+                        jnp.asarray(self.read_lengths),
+                        jnp.asarray(self.is_forward),
+                        b, e, s,
+                        jnp.asarray(lp[r0 : r0 + rows]),
+                        rows, Lp, kmax, min_rl,
+                    )
+                )
         fwd = jnp.concatenate([o[0] for o in outs])
         rev = jnp.concatenate([o[1] for o in outs])
         starts = jnp.concatenate([o[2] for o in outs])
@@ -436,6 +477,47 @@ def _uniform_probe(d, text, pos, Lp: int, depth: int):
     b, e, s = find_window(d, text, pos, jnp.full((P,), depth, jnp.int32), depth)
     ok = (pos % Lp) + 1 >= depth
     return b, jnp.where(ok, e, b), s
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9))
+def _coverage_count_grouped(d, lens, grp, begin, end, size, lengths,
+                            B: int, L: int, min_rl: int = 1):
+    """Exact read counting via per-entry (length, strand) group totals.
+
+    Same semantics as _coverage_count but with the K-loop over attached
+    reads replaced by D passes over precomputed counts (Readmap.
+    length_groups) — exact at any duplication level, no kmax cap.
+    lens: int32 [D]; grp: int32 [D, 2, n_entries]."""
+    n_entries = d.n_entries
+    D = lens.shape[0]
+    begin = begin.reshape(B, L)
+    end = end.reshape(B, L)
+    size = size.reshape(B, L)
+    j = jnp.arange(L)[None, :]
+    active = j < lengths[:, None]
+    unique = active & (begin + 1 == end) & (size >= min_rl)
+    e = jnp.clip(begin, 0, n_entries - 1)
+    starts = jnp.zeros((2, B, L), jnp.int32)
+    ends = jnp.zeros((2, B, L), jnp.int32)
+    b2 = jnp.broadcast_to(jnp.arange(B)[:, None], (B, L))
+    for di in range(D):  # D is tiny (1 for uniform libraries)
+        m = lens[di]
+        start_pos = j + 1 - m
+        match = unique & (m <= size) & (start_pos >= 0)
+        sp = jnp.clip(start_pos, 0, L - 1).astype(jnp.int64)
+        for s_i in range(2):
+            cnt = jnp.where(match, jnp.take(grp[di, s_i], e), 0).astype(
+                jnp.int32
+            )
+            starts = starts.at[s_i, b2, sp].add(cnt)
+            ends = ends.at[s_i].add(cnt)
+    covs = []
+    for s_i in range(2):
+        run = jnp.cumsum(starts[s_i], axis=1) - jnp.cumsum(
+            jnp.pad(ends[s_i], ((0, 0), (1, 0)))[:, :L], axis=1
+        )
+        covs.append(run)
+    return covs[0], covs[1], starts.sum(axis=0), ends.sum(axis=0)
 
 
 @partial(jax.jit, static_argnums=(8, 9, 10, 11))

@@ -79,6 +79,7 @@ MAXA = 8192  # max anchors returned per probe batch (truncation is counted)
 # per-chunk reference walk (ref_map analog, modules/variants/ref_map.h:49):
 # anchor detection probes every genome position as an independent lane
 from biograph_tpu.index.probes import (
+    fetch_mask as _fetch_mask,
     find_window_auto as _find_window_jit,
     probe_exact_auto as _probe_exact_jit,
     probe_ranges_auto as _probe_jit,
@@ -115,18 +116,15 @@ def anchor_scan(d, ref2, begin, end, size, p0, seg_hi, min_anchor_ctx: int,
     flat = good.reshape(-1)
     n_raw = jnp.sum(flat)
     n_anchors = jnp.minimum(n_raw, MAXA)
-    # compact indices of set mask bits to the front
-    key = (~flat).astype(jnp.int32)
+    # compact set mask bits to the front by cumsum-scatter (O(P), replacing
+    # a [4P]-row sort that dominated the anchor pass on big probe batches);
+    # overflow rows land on a dropped MAXA slot
+    cidx = jnp.cumsum(flat.astype(jnp.int64)) - 1
+    tgt = jnp.where(flat & (cidx < MAXA), cidx, MAXA)
     idx = jnp.arange(flat.shape[0], dtype=jnp.int64)
-    _, sidx = lax.sort((key, idx), num_keys=1, is_stable=True)
-    top = sidx[:MAXA]
-    li = (top // 4).astype(jnp.int64)
-    ab = (top % 4).astype(jnp.int64)
-    # counts ride a tiny first fetch; the anchor columns come back as ONE
-    # stacked array the caller slices device-side to the live prefix — per
-    # batch the host link sees two small transfers, not seven MAXA-row ones
-    counts = jnp.stack([n_anchors, n_raw])
-    stacked = jnp.stack(
+    li = idx // 4
+    ab = idx % 4
+    rows = jnp.stack(
         [
             p0 + li,
             ab,
@@ -134,7 +132,12 @@ def anchor_scan(d, ref2, begin, end, size, p0, seg_hi, min_anchor_ctx: int,
             jnp.take(end, li),
             jnp.take(size, li).astype(jnp.int64),
         ]
-    )
+    )  # [5, 4P]
+    stacked = jnp.zeros((5, MAXA + 1), jnp.int64).at[:, tgt].set(rows)[:, :MAXA]
+    # counts ride a tiny first fetch; the anchor columns come back as ONE
+    # stacked array the caller slices device-side to the live prefix — per
+    # batch the host link sees two small transfers, not seven MAXA-row ones
+    counts = jnp.stack([n_anchors, n_raw])
     return counts, stacked
 
 
@@ -148,12 +151,15 @@ def wavefront_assemble(
     opt: DiscoverOptions,
     stats: dict | None = None,
     ref_limit: int | None = None,
+    ref_dev=None,
 ) -> List[Assembly]:
     """Extend alt branches through the seqset; rejoin to reference.
 
     anchors: (a_pos, ab, begin, end, size) — compact per-anchor probe
     ranges straight from the device anchor scan (no per-position arrays
-    cross the host/device link).
+    cross the host/device link).  ref_dev: the doubled reference already on
+    device (uploaded once by the caller) — span k-mer tables are built from
+    it on device.
     """
     d = ss.d
     n_anchor = len(anchors[0])
@@ -162,6 +168,8 @@ def wavefront_assemble(
     ref = np.asarray(ref_codes)
     if ref_limit is None:
         ref_limit = len(ref)
+    if ref_dev is None:
+        ref_dev = jnp.asarray(ref)
 
     # group anchors by genome position so every batch's rejoin span fits the
     # packed k-mer table's POS_BITS budget up front — no recursive splitting,
@@ -192,6 +200,7 @@ def wavefront_assemble(
                 opt,
                 ref_limit,
                 trunc_tables,
+                ref_dev,
             )
         )
         done_anchors += len(sel)
@@ -212,7 +221,7 @@ N_POLICY = 4  # beam clones per anchor (2 junction choices x 2 ranks)
 
 
 def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
-                    trunc_tables=None):
+                    trunc_tables=None, ref_dev=None):
     """One beam batch: each anchor is explored by N_POLICY clone lanes.
 
     Where several child bases are viable (repeat junctions), clone j of an
@@ -246,14 +255,14 @@ def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
             parts.extend(
                 _assemble_batch(
                     d, ref, tuple(a[sel] for a in anchors), opt,
-                    ref_limit, trunc_tables,
+                    ref_limit, trunc_tables, ref_dev,
                 )
             )
         return parts
-    span = ref[lo_flat : min(hi_flat + 1, ref_limit)]
-    if len(span) < k:
+    span_len = min(hi_flat + 1, ref_limit) - lo_flat
+    if span_len < k:
         return []
-    packed = _span_kmers(span, k)
+    n_packed = span_len - k + 1
 
     # replicate each anchor into N_POLICY clone lanes
     rep = np.repeat(np.arange(A0), N_POLICY)
@@ -263,18 +272,23 @@ def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
     abp = ab[rep]
 
     # pad lanes and the span table to pow2 buckets for jit shape reuse; lanes
-    # use a coarse ladder (min 1024 = a full beam batch) and the span table a
-    # 4x ladder so shape combos — and so XLA compiles — stay rare
-    Ap = max(_next_pow2(A), 1024)
+    # use a pow2 ladder (min 128) and the span table a 4x ladder so shape
+    # combos — and so XLA compiles — stay rare (the persistent cache holds
+    # the handful of (Ap, npk) wavefront programs across processes)
+    Ap = max(_next_pow2(A), 128)
     # Pad rows are all-ones; their kmer field decodes to the poly-T k-mer, so
     # rejoin hits must also check the position field is inside the real span
     # (guard in _wavefront_jit via n_packed) or a T-homopolymer walk would
     # match a pad row and fabricate a rejoin at local position 2^POS_BITS-1.
     npk = 16384
-    while npk < len(packed):
+    while npk < n_packed:
         npk *= 4
-    packed_pad = np.full(npk, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
-    packed_pad[: len(packed)] = packed
+    if ref_dev is None:
+        ref_dev = jnp.asarray(ref)
+    packed_dev = _span_kmers_dev(
+        ref_dev, jnp.asarray(lo_flat, jnp.int64),
+        jnp.asarray(span_len, jnp.int64), npk, k,
+    )
 
     def pad(x, fill=0, dtype=None):
         out = np.full(Ap, fill, dtype or np.asarray(x).dtype)
@@ -285,10 +299,10 @@ def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
     # push_front included): only five [Ap] anchor arrays cross the link
     out = _wavefront_run(
         d,
-        jnp.asarray(packed_pad),
+        packed_dev,
         trunc_tables[0],
         trunc_tables[1],
-        jnp.asarray(len(packed), jnp.int64),
+        jnp.asarray(n_packed, jnp.int64),
         dict(
             begin=pad(a_begin[rep], 0, np.int64),
             end=pad(a_end[rep], 0, np.int64),
@@ -539,13 +553,9 @@ def _wavefront_body(d, packed, prev_lt, next_lt, n_packed, st, step_i,
 
 
 @_partial(jax.jit, static_argnums=(6, 7, 8, 9))
-def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int,
-                   k: int, min_w: int, probe_ctx: int):
-    """The whole beam extension as one device program (early-exit while).
-
-    Most lanes rejoin or die within ~read-length steps, so running all MAXP
-    iterations would pay 5-10x the needed sequential latency."""
-    st = _wavefront_seed_jit(d, seed, MAXP)
+def _wavefront_loop_jit(d, packed, prev_lt, next_lt, n_packed, st, MAXP: int,
+                        k: int, min_w: int, probe_ctx: int):
+    """Early-exit while loop over beam steps from a full state dict."""
 
     def cond(carry):
         step_i, st = carry
@@ -560,6 +570,19 @@ def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int,
 
     _, st = lax.while_loop(cond, body, (jnp.asarray(1, jnp.int32), st))
     return st
+
+
+@_partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int,
+                   k: int, min_w: int, probe_ctx: int):
+    """The whole beam extension as one device program (early-exit while).
+
+    Most lanes rejoin or die within ~read-length steps, so running all MAXP
+    iterations would pay 5-10x the needed sequential latency."""
+    st = _wavefront_seed_jit(d, seed, MAXP)
+    return _wavefront_loop_jit(
+        d, packed, prev_lt, next_lt, n_packed, st, MAXP, k, min_w, probe_ctx
+    )
 
 
 @_partial(jax.jit, static_argnums=(7, 8, 9, 10))
@@ -640,6 +663,28 @@ def _span_kmers(span: np.ndarray, k: int):
     return packed
 
 
+@_partial(jax.jit, static_argnums=(3, 4))
+def _span_kmers_dev(ref2_dev, lo, span_len, npk: int, k: int):
+    """_span_kmers built ON DEVICE from the already-uploaded reference:
+    no host rolling pass and — decisive over a slow device link — no
+    multi-MB table upload per beam batch.  Returns sorted uint64 [npk];
+    rows past the real window count are all-ones pads (sort-last; the
+    wavefront's n_packed guard rejects them)."""
+    i = jnp.arange(npk, dtype=jnp.int64)
+    n2 = ref2_dev.shape[0]
+    acc = jnp.zeros((npk,), jnp.uint64)
+    for j in range(k):
+        c = jnp.take(ref2_dev, jnp.clip(lo + i + j, 0, n2 - 1)).astype(jnp.uint64)
+        acc = (acc << jnp.uint64(2)) | c
+    valid = (i + k) <= span_len
+    packed = jnp.where(
+        valid,
+        (acc << jnp.uint64(POS_BITS)) | i.astype(jnp.uint64),
+        jnp.uint64(0xFFFFFFFFFFFFFFFF),
+    )
+    return jnp.sort(packed)
+
+
 def _span_lookup_after(packed: np.ndarray, kmers: np.ndarray, min_pos: np.ndarray):
     """For each kmer, smallest span position >= min_pos where it occurs; -1
     if none."""
@@ -718,7 +763,7 @@ def discover_variants(
             # skip their exact recompute
             lane_pos = p0 + np.arange(P)
             rst = (
-                np.asarray(restarted)
+                _fetch_mask(restarted)
                 & (lane_pos <= p_last)
                 & (lane_pos - ctx_lo + 1 >= opt.min_anchor_ctx)
             )
@@ -741,7 +786,7 @@ def discover_variants(
                     jnp.full((m,), opt.min_anchor_ctx, jnp.int32),
                     opt.probe_ctx,
                 )
-                alive = np.asarray(fb < fe)
+                alive = _fetch_mask(fb < fe)
                 if alive.any():
                     idx2 = np.nonzero(alive)[0]
                     m2 = _next_pow2(len(idx2))
@@ -794,6 +839,7 @@ def discover_variants(
         asms = wavefront_assemble(
             ss, ref2, anchors, opt, stats=stats,
             ref_limit=(2 * G if rev_half else G),
+            ref_dev=ref2_dev,
         )
         if rev_half:
             asms = [

@@ -117,7 +117,7 @@ def test_sharded_wavefront_bitexact(setup, rng):
         out_support=jnp.zeros((A,), jnp.int64),
     )
     tt = D._trunc_tables(ss, probe_ctx)
-    want = D._wavefront_jit(
+    want = D._wavefront_loop_jit(
         ss.d, jnp.asarray(packed_pad), tt[0], tt[1],
         jnp.asarray(len(packed), jnp.int64),
         dict(st), MAXP, k, min_w, probe_ctx,
