@@ -750,69 +750,98 @@ def discover_variants(
     anchor_parts: dict = {}
     span = max(hi - lo, 1)
     P = chunk_batch or min(max(_next_pow2(span), 4096), 131072)
-    for rev_half, ctx_lo, p_first, p_last, seg_hi in segments:
-        ctx_lo_dev = jnp.asarray(ctx_lo, jnp.int64)
-        seg_hi_dev = jnp.asarray(seg_hi, jnp.int64)
-        for p0 in range(p_first, p_last + 1, P):
-            b, e, s, restarted = _probe_jit(
-                ss.d, ref2_dev, jnp.asarray(p0, jnp.int64), ctx_lo_dev,
-                P, opt.probe_ctx,
+    # The probe/filter/anchor pipeline runs in DISPATCH WAVES: every batch's
+    # chain is enqueued before any batch's results are fetched, so each
+    # fetch waits only for its own data while every other batch's compute
+    # (and transfers) proceed behind it — over a high-latency device link
+    # the syncs stop serializing the whole genome.
+    batches = [
+        (rev_half, ctx_lo, p0, p_last, seg_hi)
+        for rev_half, ctx_lo, p_first, p_last, seg_hi in segments
+        for p0 in range(p_first, p_last + 1, P)
+    ]
+    # wave 1: all probe chains
+    probe_h = [
+        list(
+            _probe_jit(
+                ss.d, ref2_dev, jnp.asarray(p0, jnp.int64),
+                jnp.asarray(ctx_lo, jnp.int64), P, opt.probe_ctx,
             )
-            # lanes past the segment end, or too close to the segment start
-            # to ever reach min_anchor_ctx of context, can never anchor —
-            # skip their exact recompute
-            lane_pos = p0 + np.arange(P)
-            rst = (
-                _fetch_mask(restarted)
-                & (lane_pos <= p_last)
-                & (lane_pos - ctx_lo + 1 >= opt.min_anchor_ctx)
-            )
-            if rst.any():
-                # anchor-candidate filter: a restarted lane only matters if
-                # some window of >= min_anchor_ctx bases ending there exists
-                # (its chain state is a valid lower bound otherwise, and a
-                # lane whose longest window is shorter can't pass the
-                # size >= min_anchor_ctx anchor gate).  In zero-coverage
-                # stretches — most of a genome at low depth — this kills the
-                # (expensive) binary-search recompute entirely.
-                idx = np.nonzero(rst)[0]
-                m = _next_pow2(len(idx))
-                idx_p = np.concatenate(
-                    [idx, np.full(m - len(idx), idx[-1])]
-                ).astype(np.int64)
-                pos_p = jnp.asarray(idx_p + p0)
-                fb, fe, fs = _find_window_jit(
+        )
+        for (rev_half, ctx_lo, p0, p_last, seg_hi) in batches
+    ]
+    # wave 2: restart masks (bit-packed); lanes past the segment end, or too
+    # close to the segment start to reach min_anchor_ctx of context, can
+    # never anchor — skip their exact recompute
+    rst_list = []
+    for (rev_half, ctx_lo, p0, p_last, seg_hi), h in zip(batches, probe_h):
+        lane_pos = p0 + np.arange(P)
+        rst_list.append(
+            _fetch_mask(h[3])
+            & (lane_pos <= p_last)
+            & (lane_pos - ctx_lo + 1 >= opt.min_anchor_ctx)
+        )
+    # wave 3: anchor-candidate filters — a restarted lane only matters if
+    # some window of >= min_anchor_ctx bases ending there exists (its chain
+    # state is a valid lower bound otherwise, and a lane whose longest
+    # window is shorter can't pass the size >= min_anchor_ctx anchor gate).
+    # In zero-coverage stretches — most of a genome at low depth — this
+    # kills the (expensive) binary-search recompute entirely.
+    filt = {}
+    for i, rst in enumerate(rst_list):
+        if rst.any():
+            _, ctx_lo, p0, _, _ = batches[i]
+            idx = np.nonzero(rst)[0]
+            m = _next_pow2(len(idx))
+            idx_p = np.concatenate(
+                [idx, np.full(m - len(idx), idx[-1])]
+            ).astype(np.int64)
+            pos_p = jnp.asarray(idx_p + p0)
+            filt[i] = (
+                idx_p,
+                pos_p,
+                _find_window_jit(
                     ss.d, ref2_dev, pos_p,
                     jnp.full((m,), opt.min_anchor_ctx, jnp.int32),
                     opt.probe_ctx,
-                )
-                alive = _fetch_mask(fb < fe)
-                if alive.any():
-                    idx2 = np.nonzero(alive)[0]
-                    m2 = _next_pow2(len(idx2))
-                    sel = np.concatenate(
-                        [idx2, np.full(m2 - len(idx2), idx2[-1])]
-                    )
-                    selj = jnp.asarray(sel)
-                    pos2 = jnp.take(pos_p, selj)
-                    b2, e2, s2 = _probe_exact_jit(
-                        ss.d, ref2_dev, pos2, ctx_lo_dev,
-                        opt.probe_ctx, opt.min_anchor_ctx,
-                        (
-                            jnp.take(fb, selj),
-                            jnp.take(fe, selj),
-                            jnp.take(fs, selj),
-                        ),
-                    )
-                    di = jnp.take(jnp.asarray(idx_p), selj)
-                    b = b.at[di].set(b2)
-                    e = e.at[di].set(e2)
-                    s = s.at[di].set(s2)
-            counts, stacked = _anchor_jit(
-                ss.d, ref2_dev, b, e, s, jnp.asarray(p0, jnp.int64),
-                jnp.minimum(seg_hi_dev, p0 + P),  # batch owns its P positions
+                ),
+            )
+    # waves 4-5: exact recompute of surviving lanes, scattered back
+    for i, (idx_p, pos_p, (fb, fe, fs)) in filt.items():
+        alive = _fetch_mask(fb < fe)
+        if not alive.any():
+            continue
+        _, ctx_lo, p0, _, _ = batches[i]
+        idx2 = np.nonzero(alive)[0]
+        m2 = _next_pow2(len(idx2))
+        sel = np.concatenate([idx2, np.full(m2 - len(idx2), idx2[-1])])
+        selj = jnp.asarray(sel)
+        pos2 = jnp.take(pos_p, selj)
+        b2, e2, s2 = _probe_exact_jit(
+            ss.d, ref2_dev, pos2, jnp.asarray(ctx_lo, jnp.int64),
+            opt.probe_ctx, opt.min_anchor_ctx,
+            (jnp.take(fb, selj), jnp.take(fe, selj), jnp.take(fs, selj)),
+        )
+        di = jnp.take(jnp.asarray(idx_p), selj)
+        h = probe_h[i]
+        h[0] = h[0].at[di].set(b2)
+        h[1] = h[1].at[di].set(e2)
+        h[2] = h[2].at[di].set(s2)
+    # wave 6: anchor scans
+    anchor_h = []
+    for (rev_half, ctx_lo, p0, p_last, seg_hi), h in zip(batches, probe_h):
+        anchor_h.append(
+            _anchor_jit(
+                ss.d, ref2_dev, h[0], h[1], h[2], jnp.asarray(p0, jnp.int64),
+                jnp.asarray(min(seg_hi, p0 + P), jnp.int64),
                 opt.min_anchor_ctx, opt.min_branch_width,
             )
+        )
+        h[0] = h[1] = h[2] = h[3] = None  # release probe state buffers
+    # waves 7-8: anchor counts, then live anchor columns
+    for (rev_half, ctx_lo, p0, p_last, seg_hi), (counts, stacked) in zip(
+        batches, anchor_h
+    ):
             n, n_raw = (int(x) for x in np.asarray(counts))
             stats["anchors_found"] += n_raw
             if n_raw > n:
