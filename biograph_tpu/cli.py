@@ -165,10 +165,14 @@ def cmd_create(args):
         kc.total,
         args.kmer_size,
     )
+    progress.add("num_reads", int(batch.num_reads))
+    progress.add("num_corrected", int(n_corrected))
+    progress.add("num_seqset_entries", int(ss.n_entries))
     qc = {
         "timings": timings,
         "total_s": time.time() - t_start,
         "kmer_quality": kq,
+        **progress.stats_dict(),  # per-stage wall/cpu + counters
     }
     with open(os.path.join(args.out, "qc", "create_stats.json"), "w") as f:
         json.dump(qc, f, indent=1)
@@ -287,6 +291,7 @@ def cmd_discovery(args):
                 bg.seqset, ref, region=region, opt=opt, readmap=bg.readmap
             )
         n_wave = len(recs)
+        n_sv = 0
         if bg.readmap is not None and not getattr(args, "no_sv", False):
             # pair/split-evidence SV pass (pop_tracer analog): events beyond
             # the wavefront's path cap, merged into the same record stream
@@ -304,9 +309,28 @@ def cmd_discovery(args):
                 and (region is None or _rec_in_region(ref, r, region))
             ]
             recs = sorted(recs + sv, key=lambda r: (r["chrom"], r["pos"]))
+        n_sv = len(recs) - n_wave
+        if getattr(args, "exclude", None):
+            excl = _load_bed(ref, args.exclude)
+            n0 = len(recs)
+            recs = [
+                r
+                for r in recs
+                if not _flat_overlaps(
+                    excl,
+                    ref.contig_by_name(r["chrom"]).start + r["pos"] - 1,
+                    ref.contig_by_name(r["chrom"]).start
+                    + r["pos"]
+                    - 1
+                    + max(len(r["ref"]), 1),
+                )
+            ]
+            if n0 != len(recs):
+                print(f"exclude: dropped {n0 - len(recs)} calls in {args.exclude}")
         print(
-            f"discovery: {n_wave} assembled + {len(recs)-n_wave} SV records "
-            f"({time.time()-t0:.1f}s)"
+            f"discovery: {n_wave} assembled + {n_sv} SV records"
+            f"{' -> %d after exclusion' % len(recs) if len(recs) != n_wave + n_sv else ''}"
+            f" ({time.time()-t0:.1f}s)"
         )
         write_discovery_vcf(args.out, ref, recs, sample=args.sample, opt=opt)
     else:
@@ -324,6 +348,16 @@ def cmd_discovery(args):
             min_depth=args.min_depth,
         )
         placed = int((pl.pos >= 0).sum())
+        if getattr(args, "exclude", None):
+            excl = _load_bed(ref, args.exclude)
+            n0 = len(calls)
+            calls = [
+                c
+                for c in calls
+                if not _flat_overlaps(excl, c.flat_pos, c.flat_pos + 1)
+            ]
+            if n0 != len(calls):
+                print(f"exclude: dropped {n0 - len(calls)} calls in {args.exclude}")
         print(
             f"discovery: placed {placed}/{batch.num_reads} reads, "
             f"{len(calls)} calls ({time.time()-t0:.1f}s)"
@@ -336,6 +370,41 @@ def _rec_in_region(ref, rec, region):
     c = ref.contig_by_name(rec["chrom"])
     flat = c.start + rec["pos"] - 1
     return region[0] <= flat < region[1]
+
+
+def _load_bed(ref, path):
+    """BED (contig, start, end; 0-based half-open) -> sorted flat intervals.
+    The rvg_exclude analog's input: known-variant / blacklist regions
+    (modules/variants/rvg_exclude.h — suppresses calls matching an exclusion
+    set; here region-based, the offline equivalent)."""
+    import numpy as np
+
+    iv = []
+    with open(path) as f:
+        for line in f:
+            if not line.strip() or line.startswith(("#", "track", "browser")):
+                continue
+            fields = line.split("\t")
+            c = ref.contig_by_name(fields[0])
+            iv.append((c.start + int(fields[1]), c.start + int(fields[2])))
+    iv.sort()
+    merged = []  # overlap-free so a single bisect answers intersection
+    for lo, hi in iv:
+        if merged and lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return np.asarray(merged, np.int64).reshape(-1, 2)
+
+
+def _flat_overlaps(iv, lo, hi) -> bool:
+    """True if [lo,hi) intersects any interval in the sorted [N,2] array."""
+    import numpy as np
+
+    if len(iv) == 0:
+        return False
+    i = int(np.searchsorted(iv[:, 0], hi))  # first interval starting >= hi
+    return i > 0 and iv[i - 1, 1] > lo
 
 
 def cmd_coverage(args):
@@ -797,6 +866,12 @@ def main(argv=None):
         help="engine knob override (any DiscoverOptions field; repeatable; "
         "also settable via BGT_OPT_<FIELD> env or BGT_CONFIG json)",
     )
+    pd.add_argument(
+        "--exclude",
+        metavar="BED",
+        help="drop calls overlapping these regions (rvg_exclude-style "
+        "known-variant/blacklist filter)",
+    )
     pd.set_defaults(fn=cmd_discovery)
 
     pcov = sub.add_parser("coverage", help="annotate + genotype a VCF (pcmp)")
@@ -899,6 +974,16 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     _force_platform(args)
+    profile_dir = os.environ.get("BGT_PROFILE")
+    if profile_dir:
+        # per-kernel device profiling (runtime_stats::save_cpuprofile_to
+        # analog, main/main.h:57): one xplane trace per command, viewable in
+        # tensorboard/xprof — covers every XLA/Pallas kernel launch
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            args.fn(args)
+        return
     args.fn(args)
 
 

@@ -69,8 +69,29 @@ class VcfWriter:
             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t%s\n"
             % "\t".join(self.samples)
         )
+        # ordering canary (the reference's assembly-pipeline order verifier /
+        # sorted_output_pipeline_step invariant, modules/variants/assemble.cpp):
+        # records must arrive chrom-grouped with non-decreasing positions —
+        # a violated invariant means an upstream merge/sort bug, so fail loudly
+        # instead of emitting a silently unsorted VCF.
+        self._last: Tuple[str, int] | None = None
+        self._done_chroms: set = set()
 
     def write(self, rec: VcfRecord):
+        if self._last is not None:
+            lc, lp = self._last
+            if rec.chrom == lc:
+                if rec.pos < lp:
+                    raise ValueError(
+                        f"VCF order violation: {rec.chrom}:{rec.pos} after {lc}:{lp}"
+                    )
+            else:
+                self._done_chroms.add(lc)
+                if rec.chrom in self._done_chroms:
+                    raise ValueError(
+                        f"VCF order violation: contig {rec.chrom} re-entered after {lc}"
+                    )
+        self._last = (rec.chrom, rec.pos)
         qual = "." if rec.qual is None else ("%g" % rec.qual)
         # rec.fmt: one dict (single sample) or list of dicts (multi-sample)
         fmts = rec.fmt if isinstance(rec.fmt, list) else [rec.fmt]

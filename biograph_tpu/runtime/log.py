@@ -83,23 +83,51 @@ class Progress:
     _t0: float = field(default_factory=time.time)
     _last_print: float = 0.0
     timings: dict = field(default_factory=dict)
+    # runtime_stats analog (modules/io/runtime_stats.h:14-50): per-stage
+    # wall + cpu_user + cpu_sys + end_time, plus free-form counters
+    # (autostats analog, modules/io/autostats.h:25)
+    stages: list = field(default_factory=list)
+    counters: dict = field(default_factory=dict)
 
     @contextmanager
     def stage(self, name: str, weight: float = 1.0):
         sub = _Stage(self, name)
         t0 = time.time()
+        c0 = os.times()
         self.logger.info(f"{self.label}/{name}: start")
         try:
             yield sub
         finally:
             dt = time.time() - t0
+            c1 = os.times()
             self.timings[name] = round(dt, 3)
+            self.stages.append(
+                {
+                    "name": name,
+                    "end_time": int(time.time()),
+                    "wall_seconds": round(dt, 3),
+                    "cpu_user_seconds": round(c1.user - c0.user, 3),
+                    "cpu_sys_seconds": round(c1.system - c0.system, 3),
+                }
+            )
             self.logger.info(f"{self.label}/{name}: done", seconds=round(dt, 2))
+
+    def add(self, name: str, value):
+        """Record a named stat (runtime_stats::add analog)."""
+        self.counters[name] = value
+
+    def count(self, name: str, delta: int = 1):
+        """Bump a counter (autostats counter analog)."""
+        self.counters[name] = self.counters.get(name, 0) + delta
 
     def save_timings(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:
             json.dump(self.timings, f, indent=1)
+
+    def stats_dict(self) -> dict:
+        """The qc/create_stats.json payload (runtime_stats::save analog)."""
+        return {"stages": self.stages, **({"counters": self.counters} if self.counters else {})}
 
 
 class _Stage:

@@ -27,6 +27,7 @@ Stages (each one or two jitted device programs):
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import List
 
@@ -749,7 +750,13 @@ def discover_variants(
     all_asms: List[Assembly] = []
     anchor_parts: dict = {}
     span = max(hi - lo, 1)
-    P = chunk_batch or min(max(_next_pow2(span), 4096), 131072)
+    from biograph_tpu.index.probes import use_mxu_chains as _use_mxu
+
+    # accelerator chains are launch-latency-bound: fewer, wider probe
+    # batches (1M lanes) amortize the per-step dispatch; the CPU backend
+    # prefers cache-sized batches
+    P_cap = (1 << 20) if _use_mxu(ss.d) else (1 << 17)
+    P = chunk_batch or min(max(_next_pow2(span), 4096), P_cap)
     # The probe/filter/anchor pipeline runs in DISPATCH WAVES: every batch's
     # chain is enqueued before any batch's results are fetched, so each
     # fetch waits only for its own data while every other batch's compute
@@ -760,6 +767,8 @@ def discover_variants(
         for rev_half, ctx_lo, p_first, p_last, seg_hi in segments
         for p0 in range(p_first, p_last + 1, P)
     ]
+    _t = time.time()  # stage wall marks -> stats["stage_s"] (autostats analog)
+    stage_s = stats.setdefault("stage_s", {})
     # wave 1: all probe chains
     probe_h = [
         list(
@@ -770,6 +779,8 @@ def discover_variants(
         )
         for (rev_half, ctx_lo, p0, p_last, seg_hi) in batches
     ]
+    stage_s["probe_dispatch"] = stage_s.get("probe_dispatch", 0.0) + (time.time() - _t)
+    _t = time.time()
     # wave 2: restart masks (bit-packed); lanes past the segment end, or too
     # close to the segment start to reach min_anchor_ctx of context, can
     # never anchor — skip their exact recompute
@@ -781,6 +792,8 @@ def discover_variants(
             & (lane_pos <= p_last)
             & (lane_pos - ctx_lo + 1 >= opt.min_anchor_ctx)
         )
+    stage_s["probe_masks"] = stage_s.get("probe_masks", 0.0) + (time.time() - _t)
+    _t = time.time()
     # wave 3: anchor-candidate filters — a restarted lane only matters if
     # some window of >= min_anchor_ctx bases ending there exists (its chain
     # state is a valid lower bound otherwise, and a lane whose longest
@@ -806,6 +819,8 @@ def discover_variants(
                     opt.probe_ctx,
                 ),
             )
+    stage_s["probe_filter"] = stage_s.get("probe_filter", 0.0) + (time.time() - _t)
+    _t = time.time()
     # waves 4-5: exact recompute of surviving lanes, scattered back
     for i, (idx_p, pos_p, (fb, fe, fs)) in filt.items():
         alive = _fetch_mask(fb < fe)
@@ -827,6 +842,8 @@ def discover_variants(
         h[0] = h[0].at[di].set(b2)
         h[1] = h[1].at[di].set(e2)
         h[2] = h[2].at[di].set(s2)
+    stage_s["probe_exact"] = stage_s.get("probe_exact", 0.0) + (time.time() - _t)
+    _t = time.time()
     # wave 6: anchor scans
     anchor_h = []
     for (rev_half, ctx_lo, p0, p_last, seg_hi), h in zip(batches, probe_h):
@@ -858,6 +875,8 @@ def discover_variants(
                 anchor_parts.setdefault(rev_half, []).append(
                     (live[0], live[1], live[2], live[3], live[4])
                 )
+    stage_s["anchors"] = stage_s.get("anchors", 0.0) + (time.time() - _t)
+    _t = time.time()
     # assemble once per orientation over ALL collected anchors: with sparse
     # anchors (a whole genome yields a few hundred), per-probe-batch assembly
     # ran dozens of tiny wavefronts whose fixed cost (state setup, span
@@ -886,6 +905,8 @@ def discover_variants(
                 for a in asms
             ]
         all_asms.extend(asms)
+    stage_s["wavefront"] = stage_s.get("wavefront", 0.0) + (time.time() - _t)
+    _t = time.time()
     # dedup identical bubbles across batches/orientations BEFORE the
     # (expensive) coverage scoring — fwd and rev mostly rediscover the same
     # assemblies, and scoring is the costliest stage on-chip
@@ -903,7 +924,10 @@ def discover_variants(
         # where unsupported repeat-mediated giant "deletions" would otherwise
         # pay huge decomposition DPs
         all_asms = [a for a in all_asms if a.support >= opt.min_alt_support]
+    stage_s["score"] = stage_s.get("score", 0.0) + (time.time() - _t)
+    _t = time.time()
     all_records.extend(extract_variants(all_asms, ref, reference, opt))
+    stage_s["extract"] = stage_s.get("extract", 0.0) + (time.time() - _t)
     # genotype from support vs local ref coverage
     return _dedup_records(all_records)
 

@@ -87,5 +87,7 @@ def test_hiv_iterative_recovers_divergent_runs():
         stats=stats,
     )
     snap = json.load(open(SNAP))
+    # snapshot history: 145 under the kmax=16-capped depth counting; 144 once
+    # Readmap.length_groups made depth exact (one borderline-hom patch flips)
     assert len(recs) == snap["n_iterative_records"], (len(recs), stats)
     assert len(recs) >= 3 * snap["n_records"]  # the point of iterating
