@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from biograph_tpu.index.seqset import SeqsetRanges
 
@@ -169,19 +170,27 @@ find_window_jit = jax.jit(find_window, static_argnums=(4,))
 # ---------------------------------------------------------------------------
 
 
+def _sel4(b, c0, c1, c2, c3):
+    """Per-lane 4-way select — lax.select_n lowers to elementwise selects,
+    where a jnp.take / take_along_axis on the same data lowers to an XLA
+    gather that costs ~10ms per million lanes on TPU."""
+    return lax.select_n(b, c0, c1, c2, c3)
+
+
 def _push4_select(d, begin, end, size, b, use_kernel: bool):
     """push_front via ONE stacked rank4 evaluation (both range ends in a
     single kernel launch), selecting the pushed base's column."""
     P = begin.shape[0]
     r4 = d.rank4(jnp.concatenate([begin, end]), use_kernel=use_kernel)
-    b64 = b.astype(jnp.int64)
-    fb = jnp.take(d.fixed, b64)
-    rb = jnp.take_along_axis(r4[:P], b64[:, None], 1)[:, 0].astype(jnp.int64)
-    re = jnp.take_along_axis(r4[P:], b64[:, None], 1)[:, 0].astype(jnp.int64)
-    nb = fb + rb
-    ne = fb + re
+    b2 = jnp.concatenate([b, b])
+    rsel = _sel4(b2, r4[:, 0], r4[:, 1], r4[:, 2], r4[:, 3]).astype(jnp.int64)
+    fb = _sel4(
+        b, *(jnp.broadcast_to(d.fixed[j], (P,)) for j in range(4))
+    )
+    nb = fb + rsel[:P]
+    ne = fb + rsel[P:]
     new_size = size + 1
-    sizes_nb = jnp.take(d.entry_sizes, jnp.minimum(nb, d.n_entries - 1))
+    sizes_nb = d.sizes_at(nb, use_kernel)
     kick = (nb < ne) & (sizes_nb < new_size)
     nb = nb + kick.astype(nb.dtype)
     was_valid = begin < end
@@ -193,19 +202,37 @@ def _push4_select(d, begin, end, size, b, use_kernel: bool):
 from functools import partial as _partial
 
 
+@_partial(jax.jit, static_argnums=(1, 2))
+def _pad_text(text, P: int, depth: int):
+    """text padded with `depth` zeros in front and P + depth behind, so every
+    per-step base vector of a contiguous probe chain is a length-P
+    dynamic_slice (bandwidth-speed) instead of a 1M-lane gather (~11ms)."""
+    return jnp.concatenate(
+        [
+            jnp.zeros((depth,), text.dtype),
+            text,
+            jnp.zeros((P + depth,), text.dtype),
+        ]
+    )
+
+
 @_partial(jax.jit, static_argnums=(5, 6))
-def _probe_step(d, text, pos, w0, state, depth: int, use_kernel: bool, s=0):
+def _probe_step_sl(d, textp, start0, w0, state, depth: int, use_kernel: bool,
+                   s=0):
+    """One probe-chain step over CONTIGUOUS lanes: bases come from a slice of
+    the padded text at start0 + s (start0 = p0 + pad_front - (depth-1))."""
     begin, end, size, restarted = state
-    n2 = text.shape[0]
+    P = begin.shape[0]
     s = jnp.asarray(s, jnp.int32)
-    idx = jnp.clip(pos - (depth - 1) + s.astype(jnp.int64), 0, n2 - 1)
-    b = (3 - jnp.take(text, idx)).astype(jnp.int32)
+    seg = lax.dynamic_slice_in_dim(textp, start0 + s.astype(jnp.int64), P)
+    b = (3 - seg).astype(jnp.int32)
     started = s >= (depth - w0)
     nb, ne, nsize = _push4_select(d, begin, end, size, b, use_kernel)
     ok = nb < ne
-    b64 = b.astype(jnp.int64)
-    nb = jnp.where(ok, nb, jnp.take(d.fixed, b64))
-    ne = jnp.where(ok, ne, jnp.take(d.fixed, b64 + 1))
+    fb = _sel4(b, *(jnp.broadcast_to(d.fixed[j], (P,)) for j in range(4)))
+    fe = _sel4(b, *(jnp.broadcast_to(d.fixed[j + 1], (P,)) for j in range(4)))
+    nb = jnp.where(ok, nb, fb)
+    ne = jnp.where(ok, ne, fe)
     nsize = jnp.where(ok, nsize, 1)
     restarted = restarted | (started & ~ok & (size > 0))
     return (
@@ -216,13 +243,25 @@ def _probe_step(d, text, pos, w0, state, depth: int, use_kernel: bool, s=0):
     )
 
 
-@_partial(jax.jit, static_argnums=(5, 6))
-def _find_step(d, text, pos, m, state, depth: int, use_kernel: bool, s=0):
-    begin, end, size = state
+@_partial(jax.jit, static_argnums=(2,))
+def _window_bases(text, pos, depth: int):
+    """Pre-gathered per-lane base matrix [P, depth] for non-contiguous find
+    chains: ONE gather reused by every step (and, in probe_exact, every
+    binary-search round) instead of a fresh gather per step."""
     n2 = text.shape[0]
+    idx = jnp.clip(
+        pos[:, None] - (depth - 1) + jnp.arange(depth, dtype=jnp.int64)[None, :],
+        0,
+        n2 - 1,
+    )
+    return (3 - jnp.take(text, idx)).astype(jnp.int32)
+
+
+@_partial(jax.jit, static_argnums=(4, 5))
+def _find_step_w(d, win, m, state, depth: int, use_kernel: bool, s=0):
+    begin, end, size = state
     s = jnp.asarray(s, jnp.int32)
-    idx = jnp.clip(pos - (depth - 1) + s.astype(jnp.int64), 0, n2 - 1)
-    b = (3 - jnp.take(text, idx)).astype(jnp.int32)
+    b = lax.dynamic_slice_in_dim(win, s, 1, axis=1)[:, 0]
     started = s >= (depth - m)
     nb, ne, nsize = _push4_select(d, begin, end, size, b, use_kernel)
     return (
@@ -237,6 +276,8 @@ def probe_ranges_hostloop(d, text, p0, seg_lo, P: int, depth: int,
     """probe_ranges as a host loop of async step dispatches (MXU path)."""
     pos = p0 + jnp.arange(P, dtype=jnp.int64)
     w0 = jnp.minimum(depth, (pos - seg_lo + 1)).astype(jnp.int32)
+    textp = _pad_text(text, P, depth)
+    start0 = p0 + 1  # p0 + pad_front - (depth - 1), pad_front == depth
     state = (
         jnp.zeros((P,), jnp.int64),
         jnp.full((P,), d.n_entries, jnp.int64),
@@ -244,19 +285,24 @@ def probe_ranges_hostloop(d, text, p0, seg_lo, P: int, depth: int,
         jnp.zeros((P,), bool),
     )
     for s in range(depth):
-        state = _probe_step(d, text, pos, w0, state, depth, use_kernel, s=jnp.int32(s))
+        state = _probe_step_sl(
+            d, textp, start0, w0, state, depth, use_kernel, s=jnp.int32(s)
+        )
     return state
 
 
-def find_window_hostloop(d, text, pos, m, depth: int, use_kernel: bool = True):
+def find_window_hostloop(d, text, pos, m, depth: int, use_kernel: bool = True,
+                         win=None):
     P = pos.shape[0]
+    if win is None:
+        win = _window_bases(text, pos, depth)
     state = (
         jnp.zeros((P,), jnp.int64),
         jnp.full((P,), d.n_entries, jnp.int64),
         jnp.zeros((P,), jnp.int32),
     )
     for s in range(depth):
-        state = _find_step(d, text, pos, m, state, depth, use_kernel, s=jnp.int32(s))
+        state = _find_step_w(d, win, m, state, depth, use_kernel, s=jnp.int32(s))
     return state
 
 
@@ -282,11 +328,14 @@ def _exact_mid(lo_m, hi_m):
 
 def probe_exact_hostloop(d, text, pos, seg_lo, depth: int, min_m: int = 0,
                          seed=None, use_kernel: bool = True):
-    """probe_exact with host-dispatched find chains (same contract)."""
+    """probe_exact with host-dispatched find chains (same contract).  The
+    per-lane base windows are gathered ONCE and reused by every
+    binary-search round's find chain."""
     w0 = jnp.minimum(depth, (pos - seg_lo + 1)).astype(jnp.int32)
     lo_m = jnp.minimum(jnp.full_like(w0, min_m), w0) if min_m else jnp.zeros_like(w0)
     hi_m = w0
     P = pos.shape[0]
+    win = _window_bases(text, pos, depth)
     bb = jnp.zeros((P,), jnp.int64)
     be = jnp.full((P,), d.n_entries, jnp.int64)
     bs = jnp.zeros((P,), jnp.int32)
@@ -294,14 +343,14 @@ def probe_exact_hostloop(d, text, pos, seg_lo, depth: int, min_m: int = 0,
         bb, be, bs = (
             seed
             if seed is not None
-            else find_window_hostloop(d, text, pos, lo_m, depth, use_kernel)
+            else find_window_hostloop(d, text, pos, lo_m, depth, use_kernel, win)
         )
         rounds = (depth - min_m).bit_length()
     else:
         rounds = max((depth - 1).bit_length(), 1)
     for _ in range(rounds):
         mid = _exact_mid(lo_m, hi_m)
-        b, e, s = find_window_hostloop(d, text, pos, mid, depth, use_kernel)
+        b, e, s = find_window_hostloop(d, text, pos, mid, depth, use_kernel, win)
         lo_m, hi_m, bb, be, bs = _exact_round(lo_m, hi_m, bb, be, bs, b, e, s)
     return bb, be, bs
 

@@ -70,16 +70,22 @@ class Seqset:
     def d(self):
         """Device-resident arrays bundle (jnp)."""
         from biograph_tpu.ops.ltsearch import LtSearch
-        from biograph_tpu.ops.rank4 import build_rank4_table
+        from biograph_tpu.ops.rank4 import build_bytes_table, build_rank4_table
 
         # The MXU rank4 kernel needs a real TPU backend (Pallas on the CPU
         # backend only runs interpreted) and a VMEM-resident structure
         table = None
+        sizes_table = None
         try:
             if jax.devices()[0].platform != "cpu":
                 table = build_rank4_table(self.prev_words, self.prev_cum)
+                if table is not None:
+                    # clipped at 255: the kick test only ever compares against
+                    # chain window sizes (<= probe depth + 1, far below 255)
+                    sizes_table = build_bytes_table(np.asarray(self.entry_sizes))
         except Exception:
             table = None
+            sizes_table = None
         return _SeqsetDevice(
             fixed=jnp.asarray(self.fixed),
             prev_words=jnp.asarray(self.prev_words),
@@ -90,6 +96,7 @@ class Seqset:
             n_entries=self.n_entries,
             shared_lt=LtSearch.build(np.asarray(self.shared)),
             rank4_table=table,
+            sizes_table=sizes_table,
         )
 
     # ---------------- convenience (host-side, small queries) -------------
@@ -165,6 +172,7 @@ class _SeqsetDevice:
     n_entries: int
     shared_lt: object = None  # LtSearch over shared (push_front_drop)
     rank4_table: jnp.ndarray | None = None  # MXU rank kernel table (ops/rank4)
+    sizes_table: jnp.ndarray | None = None  # MXU byte-gather table (entry_sizes)
 
     def tree_flatten(self):
         children = (
@@ -176,6 +184,7 @@ class _SeqsetDevice:
             self.pop_sel,
             self.shared_lt,
             self.rank4_table,
+            self.sizes_table,
         )
         return children, self.n_entries
 
@@ -191,6 +200,7 @@ class _SeqsetDevice:
             n_entries=aux,
             shared_lt=children[6],
             rank4_table=children[7],
+            sizes_table=children[8],
         )
 
     # -- primitive ops (all batched) --
@@ -256,6 +266,25 @@ class _SeqsetDevice:
         ne = jnp.where(was_valid, ne, r.begin)
         return SeqsetRanges(begin=nb, end=ne, size=jnp.where(was_valid, new_size, r.size))
 
+    def sizes_at(self, entry, use_kernel: bool = True):
+        """entry_sizes[min(entry, n-1)], kernel-gathered when available.
+
+        Values are exact below 256 (the byte table clips) — callers compare
+        against chain window sizes <= probe depth + 1, far below the clip.
+        Same use_kernel discipline as rank4 (no pallas inside device loops)."""
+        from biograph_tpu.ops.rank4 import gather_bytes_pallas
+
+        idx = jnp.minimum(entry, self.n_entries - 1)
+        if (
+            use_kernel
+            and self.sizes_table is not None
+            and idx.size >= 256
+        ):
+            shp = idx.shape
+            out = gather_bytes_pallas(self.sizes_table, idx.reshape(-1))
+            return out.reshape(shp)
+        return jnp.take(self.entry_sizes, idx)
+
     def rank4(self, pos, use_kernel: bool = True):
         """All-4-bases rank at each position: int32 [B, 4].
 
@@ -288,7 +317,7 @@ class _SeqsetDevice:
         nb = self.fixed[None, :4] + r4b
         ne = self.fixed[None, :4] + r4e
         new_size = (r.size + 1)[:, None]
-        sizes_nb = jnp.take(self.entry_sizes, jnp.minimum(nb, self.n_entries - 1))
+        sizes_nb = self.sizes_at(nb, use_kernel)
         kick = (nb < ne) & (sizes_nb < new_size)
         nb = nb + kick.astype(nb.dtype)
         was_valid = (r.begin < r.end)[:, None]

@@ -149,6 +149,72 @@ def rank4_pallas(table: jnp.ndarray, pos: jnp.ndarray, interpret: bool = False):
     return out.T[:B]
 
 
+def build_bytes_table(values: np.ndarray):
+    """Pack a small byte-valued array for the one-hot-matmul gather kernel.
+
+    values: int array [n], each in [0, 255] after clipping.  Returns bf16
+    [32, nwp] (column w holds values[32w..32w+31]) or None when the array
+    exceeds the kernel's VMEM budget.  Out-of-range query indices read 0."""
+    vals = np.minimum(np.asarray(values, np.int64), 255)
+    n = len(vals)
+    nw = -(-n // 32) if n else 0
+    if nw == 0 or nw > MAX_NW:
+        return None
+    nwp = 512
+    while nwp < nw + 1:
+        nwp *= 2
+    if nwp > MAX_NW:
+        return None
+    pad = np.zeros(nwp * 32, np.float32)
+    pad[:n] = vals
+    return jnp.asarray(pad.reshape(nwp, 32).T, jnp.bfloat16)
+
+
+def _gather_bytes_kernel(idx_ref, table_ref, out_ref):
+    """One grid step: Q_BLOCK indices -> their byte values via MXU one-hot."""
+    idx = idx_ref[...]  # i32 [1, Q]
+    nwp = table_ref.shape[1]
+    W = lax.shift_right_logical(idx, jnp.int32(5))
+    rem = lax.bitwise_and(idx, jnp.int32(31))
+    iota = lax.broadcasted_iota(jnp.int32, (nwp, Q_BLOCK), 0)
+    eq = (iota == W).astype(jnp.bfloat16)
+    sel = jnp.dot(
+        table_ref[...], eq, preferred_element_type=jnp.float32
+    )  # [32, Q]: bytes are exact in bf16, f32 accumulate
+    riota = lax.broadcasted_iota(jnp.int32, (32, Q_BLOCK), 0)
+    pick = (riota == jnp.broadcast_to(rem, (32, Q_BLOCK))).astype(jnp.float32)
+    out_ref[...] = jnp.sum(sel * pick, axis=0, keepdims=True).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def gather_bytes_pallas(table: jnp.ndarray, idx: jnp.ndarray,
+                        interpret: bool = False):
+    """values[idx] for a byte table packed by build_bytes_table.
+
+    idx: int [B] (any int dtype, must be in [0, 32*nwp)).  Returns int32 [B].
+    Replaces an XLA gather that costs ~9ms per million lanes on TPU with one
+    MXU pass (~2ms at 1M)."""
+    B = idx.shape[0]
+    Bp = -(-B // Q_BLOCK) * Q_BLOCK
+    i32 = jnp.zeros((1, Bp), jnp.int32).at[0, :B].set(idx.astype(jnp.int32))
+    grid = Bp // Q_BLOCK
+    out = pl.pallas_call(
+        _gather_bytes_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, Q_BLOCK), lambda i: (jnp.int32(0), i)),
+            pl.BlockSpec(
+                (table.shape[0], table.shape[1]),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, Q_BLOCK), lambda i: (jnp.int32(0), i)),
+        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        interpret=interpret,
+    )(i32, table)
+    return out[0, :B]
+
+
 def rank4_xla(prev_words, prev_cum, pos):
     """XLA gather fallback with the same [B, 4] contract."""
     pos = jnp.asarray(pos)

@@ -380,21 +380,20 @@ def make_sharded_wavefront(mesh: Mesh, n_entries: int, axis: str = "model"):
     """The wavefront beam step loop under shard_map — a faithful mirror of
     variants/discover._wavefront_jit with the structure sharded over `axis`.
 
-    Returns fn(*arrays.device_args(), fixed, packed, n_packed, state_tuple)
-    -> final state tuple, bit-identical to the single-device wavefront."""
-    from biograph_tpu.variants.discover import POS_BITS
+    Returns fn(*arrays.device_args(), fixed, span_k, span_key2, n_packed,
+    state_tuple) -> final state tuple, bit-identical to the single-device
+    wavefront (span_k/span_key2: the (K, key2) table of _span_kmers_dev)."""
+    from biograph_tpu.variants.discover import _rejoin_lookup
 
     n = n_entries
 
-    def body_fn(words, cum, lo, shared, sizes, pop_sel, elo, fixed, packed,
-                n_packed, begin, end, size, path, path_len, support,
+    def body_fn(words, cum, lo, shared, sizes, pop_sel, elo, fixed, span_k,
+                span_key2, n_packed, begin, end, size, path, path_len, support,
                 n_junction, roll, done, policy, min_local, rejoin, out_len,
                 out_support, MAXP, k, min_w, probe_ctx):
         env = _local_env(words, cum, lo, shared, sizes, pop_sel, elo, fixed, n, axis)
         A = begin.shape[0]
         kmask = jnp.uint64((1 << (2 * k)) - 1)
-        pos_mask = jnp.uint64((1 << POS_BITS) - 1)
-        npk = packed.shape[0]
 
         def body(step_i, st):
             (begin, end, size, path, path_len, support, n_junction, roll,
@@ -438,14 +437,9 @@ def make_sharded_wavefront(mesh: Mesh, n_entries: int, axis: str = "model"):
             )
             done2 = done | ~ext
             can = ext & (path_len2 > k)
-            q = (roll2 << jnp.uint64(POS_BITS)) | jnp.clip(
-                min_local, 0, (1 << POS_BITS) - 1
-            ).astype(jnp.uint64)
-            li = jnp.searchsorted(packed, q)
-            lic = jnp.clip(li, 0, npk - 1)
-            hit = packed[lic]
-            found = can & (li < n_packed) & ((hit >> jnp.uint64(POS_BITS)) == roll2)
-            jpos = (hit & pos_mask).astype(jnp.int64)
+            found, jpos = _rejoin_lookup(
+                (span_k, span_key2), n_packed, roll2, min_local, can
+            )
             newly = found & (rejoin < 0)
             rejoin2 = jnp.where(newly, jpos, rejoin)
             out_len2 = jnp.where(newly, path_len2, out_len)
@@ -465,20 +459,21 @@ def make_sharded_wavefront(mesh: Mesh, n_entries: int, axis: str = "model"):
     spec_s = (P(axis),) * 7
 
     def make(MAXP, k, min_w, probe_ctx):
-        def f(words, cum, lo, shared, sizes, pop_sel, elo, fixed, packed,
-              n_packed, *st):
+        def f(words, cum, lo, shared, sizes, pop_sel, elo, fixed, span_k,
+              span_key2, n_packed, *st):
             return body_fn(
-                words, cum, lo, shared, sizes, pop_sel, elo, fixed, packed,
-                n_packed, *st, MAXP, k, min_w, probe_ctx
+                words, cum, lo, shared, sizes, pop_sel, elo, fixed, span_k,
+                span_key2, n_packed, *st, MAXP, k, min_w, probe_ctx
             )
 
-        # replicated args: fixed, packed, n_packed + the 14 lane-state arrays
-        # (policy/min_local ride along read-only; 12 arrays come back)
+        # replicated args: fixed, span table pair, n_packed + the 14
+        # lane-state arrays (policy/min_local ride along read-only; 12 come
+        # back)
         return jax.jit(
             shard_map(
                 f,
                 mesh=mesh,
-                in_specs=spec_s + (P(),) * 17,
+                in_specs=spec_s + (P(),) * 18,
                 out_specs=(P(),) * 12,
             )
         )

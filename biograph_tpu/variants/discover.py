@@ -105,7 +105,12 @@ def anchor_scan(d, ref2, begin, end, size, p0, seg_hi, min_anchor_ctx: int,
     # candidate alt base bb pushes complement 3-bb -> flip columns
     nb4, ne4 = d.push4(r)
     W4 = (ne4 - nb4)[:, ::-1]
-    nxt = jnp.take(ref2, jnp.clip(pos + 1, 0, n2 - 1)).astype(jnp.int32)
+    # contiguous lanes: the next-ref-base vector is a slice, not a gather
+    # (lanes whose pos+1 lands past n2 are masked by the seg_hi gate below)
+    refp = jnp.concatenate([ref2, jnp.zeros((P + 1,), ref2.dtype)])
+    nxt = lax.dynamic_slice_in_dim(refp, jnp.clip(p0 + 1, 0, n2), P).astype(
+        jnp.int32
+    )
     base_ids = jnp.arange(4)[None, :]
     good = (
         (W4 >= min_branch_width)
@@ -115,26 +120,27 @@ def anchor_scan(d, ref2, begin, end, size, p0, seg_hi, min_anchor_ctx: int,
         & (begin < end)[:, None]
     )
     flat = good.reshape(-1)
-    n_raw = jnp.sum(flat)
+    # compaction by searchsorted over the inclusive cumsum: the k-th set bit
+    # is the first index whose running count reaches k+1.  MAXA-sized gathers
+    # replace a [4P]-element scatter (whose overflow-slot collisions
+    # serialized on TPU).
+    cs = jnp.cumsum(flat.astype(jnp.int64))
+    n_raw = cs[-1]
     n_anchors = jnp.minimum(n_raw, MAXA)
-    # compact set mask bits to the front by cumsum-scatter (O(P), replacing
-    # a [4P]-row sort that dominated the anchor pass on big probe batches);
-    # overflow rows land on a dropped MAXA slot
-    cidx = jnp.cumsum(flat.astype(jnp.int64)) - 1
-    tgt = jnp.where(flat & (cidx < MAXA), cidx, MAXA)
-    idx = jnp.arange(flat.shape[0], dtype=jnp.int64)
-    li = idx // 4
-    ab = idx % 4
-    rows = jnp.stack(
+    src = jnp.searchsorted(cs, jnp.arange(1, MAXA + 1, dtype=jnp.int64))
+    valid = src < flat.shape[0]
+    srcc = jnp.clip(src, 0, flat.shape[0] - 1)
+    li = srcc // 4
+    ab = srcc % 4
+    stacked = jnp.stack(
         [
-            p0 + li,
-            ab,
-            jnp.take(begin, li),
-            jnp.take(end, li),
-            jnp.take(size, li).astype(jnp.int64),
+            jnp.where(valid, p0 + li, 0),
+            jnp.where(valid, ab, 0),
+            jnp.where(valid, jnp.take(begin, li), 0),
+            jnp.where(valid, jnp.take(end, li), 0),
+            jnp.where(valid, jnp.take(size, li).astype(jnp.int64), 0),
         ]
-    )  # [5, 4P]
-    stacked = jnp.zeros((5, MAXA + 1), jnp.int64).at[:, tgt].set(rows)[:, :MAXA]
+    )  # [5, MAXA]
     # counts ride a tiny first fetch; the anchor columns come back as ONE
     # stacked array the caller slices device-side to the live prefix — per
     # batch the host link sees two small transfers, not seven MAXA-row ones
@@ -172,20 +178,21 @@ def wavefront_assemble(
     if ref_dev is None:
         ref_dev = jnp.asarray(ref)
 
-    # group anchors by genome position so every batch's rejoin span fits the
-    # packed k-mer table's POS_BITS budget up front — no recursive splitting,
-    # stable (pow2) lane shapes for the jit cache
+    # group anchors by genome position.  The (K, key2) span table puts no
+    # limit on a batch's genome span (32-bit positions), so groups are sized
+    # by lane count only.  Beam-step cost on an accelerator is nearly flat in
+    # lane count (fixed kernel-launch overhead dominates up to ~16k lanes),
+    # so the MXU path pools far more anchors per batch than the CPU path —
+    # fewer batches x same per-step cost is a direct wall-clock win.
+    from biograph_tpu.index.probes import use_mxu_chains as _mxu
+
+    eff_width = max(opt.beam_width, 4096) if _mxu(ss.d) else opt.beam_width
     flat_pos = np.asarray(anchors[0])
     order = np.argsort(flat_pos, kind="stable")
-    span_cap = (1 << POS_BITS) - (opt.max_path + opt.rejoin_k + 2)
     groups = []
     start = 0
     for i in range(1, n_anchor + 1):
-        if (
-            i == n_anchor
-            or i - start >= opt.beam_width
-            or flat_pos[order[i]] - flat_pos[order[start]] >= span_cap
-        ):
+        if i == n_anchor or i - start >= eff_width:
             groups.append(order[start:i])
             start = i
 
@@ -248,18 +255,8 @@ def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
     anchor_flat0 = np.asarray(a_pos)
     lo_flat = int(anchor_flat0.min())
     hi_flat = int(min(anchor_flat0.max() + MAXP + k + 2, ref_limit))
-    if hi_flat - lo_flat >= (1 << POS_BITS):
-        order = np.argsort(anchor_flat0)
-        mid = A0 // 2
-        parts = []
-        for sel in (order[:mid], order[mid:]):
-            parts.extend(
-                _assemble_batch(
-                    d, ref, tuple(a[sel] for a in anchors), opt,
-                    ref_limit, trunc_tables, ref_dev,
-                )
-            )
-        return parts
+    # 32-bit span positions in the (K, key2) table: any real scaffold fits
+    assert hi_flat - lo_flat < (1 << 32)
     span_len = min(hi_flat + 1, ref_limit) - lo_flat
     if span_len < k:
         return []
@@ -277,13 +274,13 @@ def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
     # combos — and so XLA compiles — stay rare (the persistent cache holds
     # the handful of (Ap, npk) wavefront programs across processes)
     Ap = max(_next_pow2(A), 128)
-    # Pad rows are all-ones; their kmer field decodes to the poly-T k-mer, so
-    # rejoin hits must also check the position field is inside the real span
-    # (guard in _wavefront_jit via n_packed) or a T-homopolymer walk would
-    # match a pad row and fabricate a rejoin at local position 2^POS_BITS-1.
+    # Pad rows are all-ones in BOTH table arrays; n_packed guards reject them
+    # (a T-homopolymer roll can never equal the 64-bit all-ones sentinel).
+    # 4x ladder keeps shape combos rare; 2x above 1M bounds the memory/sort
+    # overshoot on whole-scaffold spans.
     npk = 16384
     while npk < n_packed:
-        npk *= 4
+        npk *= 4 if npk < (1 << 20) else 2
     if ref_dev is None:
         ref_dev = jnp.asarray(ref)
     packed_dev = _span_kmers_dev(
@@ -448,14 +445,35 @@ def _wavefront_seed_jit(d, seed, MAXP: int):
     )
 
 
+def _rejoin_lookup(span_tab, n_packed, roll, min_local, can):
+    """Nearest span occurrence of each rolling k-mer at/after min_local,
+    within the per-lane rejoin window (2^POS_BITS bases).  span_tab is the
+    (K, key2) pair from _span_kmers_dev.  Returns (found, jpos)."""
+    K, key2 = span_tab
+    npk = K.shape[0]
+    lo = jnp.searchsorted(K, roll)  # run start of the query k-mer
+    q2 = (lo.astype(jnp.uint64) << jnp.uint64(32)) | jnp.clip(
+        min_local, 0, (1 << 32) - 1
+    ).astype(jnp.uint64)
+    idx = jnp.searchsorted(key2, q2)
+    idxc = jnp.clip(idx, 0, npk - 1)
+    jpos = (key2[idxc] & jnp.uint64(0xFFFFFFFF)).astype(jnp.int64)
+    found = (
+        can
+        & (idx < n_packed)
+        & (K[idxc] == roll)
+        & (jpos - min_local < (1 << POS_BITS))
+    )
+    return found, jpos
+
+
 def _wavefront_body(d, packed, prev_lt, next_lt, n_packed, st, step_i,
                     MAXP: int, k: int, min_w: int, probe_ctx: int,
                     use_kernel: bool):
     """One beam-extension step (shared by the device while_loop and the
-    host-dispatched MXU step path)."""
+    host-dispatched MXU step path).  `packed` is the (K, key2) span table
+    pair (see _span_kmers_dev)."""
     kmask = jnp.uint64((1 << (2 * k)) - 1)
-    pos_mask = jnp.uint64((1 << POS_BITS) - 1)
-    npk = packed.shape[0]
     if True:
         done = st["done"]
         cur = SeqsetRanges(st["begin"], st["end"], st["size"])
@@ -520,16 +538,7 @@ def _wavefront_body(d, packed, prev_lt, next_lt, n_packed, st, step_i,
 
         # rejoin: nearest span occurrence of the rolling kmer after the anchor
         can = ext & (path_len > k)
-        q = (roll << jnp.uint64(POS_BITS)) | jnp.clip(
-            st["min_local"], 0, (1 << POS_BITS) - 1
-        ).astype(jnp.uint64)
-        li = jnp.searchsorted(packed, q)
-        lic = jnp.clip(li, 0, npk - 1)
-        hit = packed[lic]
-        # li < n_packed rejects hits on the all-ones pad rows (poly-T kmer
-        # with a bogus position field) — only real span entries can rejoin
-        found = can & (li < n_packed) & ((hit >> jnp.uint64(POS_BITS)) == roll)
-        jpos = (hit & pos_mask).astype(jnp.int64)
+        found, jpos = _rejoin_lookup(packed, n_packed, roll, st["min_local"], can)
         newly = found & (st["rejoin"] < 0)
         rejoin = jnp.where(newly, jpos, st["rejoin"])
         out_len = jnp.where(newly, path_len, st["out_len"])
@@ -643,62 +652,48 @@ def _asm_better(a: Assembly, b: Assembly) -> bool:
     return da < db
 
 
-POS_BITS = 18  # spans up to 256k bases
-
-
-def _span_kmers(span: np.ndarray, k: int):
-    """Sorted packed (kmer << POS_BITS | pos) table of a ref span.
-
-    Packing lets one binary search find the nearest occurrence of a k-mer at
-    or after a given local position (rejoin must land *after* the anchor).
-    Requires 2*k + POS_BITS <= 64 (k=23 -> 64 exactly).
-    """
-    assert 2 * k + POS_BITS <= 64
-    s = span.astype(np.uint64)
-    n = len(s) - k + 1
-    acc = np.zeros(n, np.uint64)
-    for i in range(k):
-        acc = (acc << np.uint64(2)) | s[i : i + n]
-    packed = (acc << np.uint64(POS_BITS)) | np.arange(n, dtype=np.uint64)
-    packed.sort()
-    return packed
+POS_BITS = 18  # per-lane rejoin search window, log2 (span itself unbounded)
 
 
 @_partial(jax.jit, static_argnums=(3, 4))
 def _span_kmers_dev(ref2_dev, lo, span_len, npk: int, k: int):
-    """_span_kmers built ON DEVICE from the already-uploaded reference:
-    no host rolling pass and — decisive over a slow device link — no
-    multi-MB table upload per beam batch.  Returns sorted uint64 [npk];
-    rows past the real window count are all-ones pads (sort-last; the
-    wavefront's n_packed guard rejects them)."""
+    """Span k-mer table built ON DEVICE from the already-uploaded reference.
+
+    Returns (K, key2), both uint64 [npk]:
+      * K    — k-mers of the span sorted ascending (pads sort last as ~0),
+      * key2 — (run_start(K[i]) << 32) | pos[i], ascending.
+    One searchsorted on K finds a query k-mer's run start r; a second
+    searchsorted on key2 for (r << 32 | min_pos) finds that k-mer's nearest
+    occurrence at/after min_pos (positions are the secondary sort key).
+    Unlike the old (kmer << 18 | pos) single-word packing this puts NO limit
+    on the span length (pos is 32-bit), so one beam batch can serve anchors
+    across a whole scaffold instead of 256 kb windows."""
     i = jnp.arange(npk, dtype=jnp.int64)
     n2 = ref2_dev.shape[0]
+    # zero-pad so every slice below fits without clamp distortion (lanes past
+    # span_len are invalidated below; pads are never read by valid lanes)
+    refp = jnp.concatenate([ref2_dev, jnp.zeros((npk,), ref2_dev.dtype)])
     acc = jnp.zeros((npk,), jnp.uint64)
     for j in range(k):
-        c = jnp.take(ref2_dev, jnp.clip(lo + i + j, 0, n2 - 1)).astype(jnp.uint64)
+        # contiguous window: a length-npk slice at lo+j — gathers here cost
+        # ~10ms/iteration on TPU, slices are bandwidth-speed
+        c = lax.dynamic_slice_in_dim(
+            refp, jnp.clip(lo + j, 0, n2), npk
+        ).astype(jnp.uint64)
         acc = (acc << jnp.uint64(2)) | c
     valid = (i + k) <= span_len
-    packed = jnp.where(
-        valid,
-        (acc << jnp.uint64(POS_BITS)) | i.astype(jnp.uint64),
-        jnp.uint64(0xFFFFFFFFFFFFFFFF),
+    ones = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    kmers = jnp.where(valid, acc, ones)
+    pos = jnp.where(valid, i.astype(jnp.uint64), ones)
+    K, P = lax.sort((kmers, pos), num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), K[1:] != K[:-1]]
     )
-    return jnp.sort(packed)
-
-
-def _span_lookup_after(packed: np.ndarray, kmers: np.ndarray, min_pos: np.ndarray):
-    """For each kmer, smallest span position >= min_pos where it occurs; -1
-    if none."""
-    q = (kmers.astype(np.uint64) << np.uint64(POS_BITS)) | np.clip(
-        min_pos, 0, (1 << POS_BITS) - 1
-    ).astype(np.uint64)
-    li = np.searchsorted(packed, q)
-    lic = np.clip(li, 0, len(packed) - 1)
-    hit = packed[lic]
-    same_kmer = (hit >> np.uint64(POS_BITS)) == kmers.astype(np.uint64)
-    ok = (li < len(packed)) & same_kmer
-    pos = (hit & np.uint64((1 << POS_BITS) - 1)).astype(np.int64)
-    return np.where(ok, pos, -1)
+    i0 = lax.cummax(jnp.where(first, i, 0))
+    key2 = jnp.where(
+        K == ones, ones, (i0.astype(jnp.uint64) << jnp.uint64(32)) | P
+    )
+    return K, key2
 
 
 def discover_variants(

@@ -79,3 +79,21 @@ def test_push4_matches_push_front(rng):
         c = d.push_front(r, jnp.full((64,), b, jnp.int32))
         assert (np.asarray(nb4[:, b]) == np.asarray(c.begin)).all()
         assert (np.asarray(ne4[:, b]) == np.asarray(c.end)).all()
+
+
+def test_gather_bytes_interpret(rng):
+    from biograph_tpu.ops.rank4 import build_bytes_table, gather_bytes_pallas
+
+    vals = rng.integers(0, 255, 5000).astype(np.int32)
+    vals[17] = 300  # clips to 255
+    table = build_bytes_table(vals)
+    assert table is not None
+    idx = rng.integers(0, 5000, 4096)
+    got = np.asarray(gather_bytes_pallas(table, jnp.asarray(idx), True))
+    want = np.minimum(vals, 255)[idx]
+    assert (got == want).all()
+    # out-of-range indices (padding region) read 0
+    got2 = np.asarray(
+        gather_bytes_pallas(table, jnp.asarray(np.array([5000, 5321])), True)
+    )
+    assert (got2 == 0).all()

@@ -92,11 +92,12 @@ def test_sharded_wavefront_bitexact(setup, rng):
     ss, ref, mesh, arrays = setup
     MAXP, k, min_w, probe_ctx = 64, 13, 1, 25
     span = ref[900:1200]
-    packed = D._span_kmers(span, k)
-    packed_pad = np.full(
-        D._next_pow2(len(packed)), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64
+    n_packed = len(span) - k + 1
+    npk = D._next_pow2(len(span))
+    span_k, span_key2 = D._span_kmers_dev(
+        jnp.asarray(span), jnp.asarray(0, jnp.int64),
+        jnp.asarray(len(span), jnp.int64), npk, k,
     )
-    packed_pad[: len(packed)] = packed
 
     A = 32
     r = _ranges_from_reads(ss, rng, B=A, plen=probe_ctx)
@@ -118,8 +119,8 @@ def test_sharded_wavefront_bitexact(setup, rng):
     )
     tt = D._trunc_tables(ss, probe_ctx)
     want = D._wavefront_loop_jit(
-        ss.d, jnp.asarray(packed_pad), tt[0], tt[1],
-        jnp.asarray(len(packed), jnp.int64),
+        ss.d, (span_k, span_key2), tt[0], tt[1],
+        jnp.asarray(n_packed, jnp.int64),
         dict(st), MAXP, k, min_w, probe_ctx,
     )
 
@@ -131,8 +132,9 @@ def test_sharded_wavefront_bitexact(setup, rng):
     got = wf(
         *arrays.device_args(),
         jnp.asarray(arrays.fixed),
-        jnp.asarray(packed_pad),
-        jnp.asarray(len(packed), jnp.int64),
+        span_k,
+        span_key2,
+        jnp.asarray(n_packed, jnp.int64),
         st["begin"], st["end"], st["size"], st["path"], st["path_len"],
         st["support"], st["n_junction"], st["roll"], st["done"], st["policy"],
         st["min_local"], st["rejoin"], st["out_len"], st["out_support"],
