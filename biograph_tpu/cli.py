@@ -220,6 +220,128 @@ def _load_reference(path):
     )
 
 
+def cmd_query(args):
+    """Query a seqset for a DNA string: entry count + matching sequences.
+    (reference: bgbinary query, modules/biograph/biograph_query.cpp:56)"""
+    from biograph_tpu.api import BioGraph
+
+    bg = BioGraph(args.biograph)
+    e = bg.find(args.query)
+    if not args.quiet:
+        print(f'Query: "{args.query}"')
+    if not e.valid:
+        if not args.quiet:
+            print("No valid results were found.")
+        return
+    count = e.end - e.begin
+    if not args.quiet:
+        print(f"Query has {e.size} bases.")
+        print(f"{count} seqset entries share this prefix.")
+    limit = count if args.verbose else min(count, 10)
+    ss = bg.seqset
+    for ent in range(e.begin, e.begin + limit):
+        print(ss.entry_sequence(ent))
+    if limit < count and not args.quiet:
+        print(f"... {count - limit} more (use --verbose)")
+
+
+def cmd_dump_flat(args):
+    """Dump every seqset entry's sequence, one per line, in entry order.
+    (reference: bgbinary dump_flat, modules/biograph/dump_biograph_flat.cpp:49)"""
+    import sys
+
+    import jax.numpy as jnp
+    from biograph_tpu.api import BioGraph
+    from biograph_tpu.core import dna as _dna
+
+    bg = BioGraph(args.biograph)
+    ss = bg.seqset
+    sizes = np.asarray(ss.entry_sizes)
+    L = int(sizes.max(initial=0))
+    out = open(args.out, "w") if args.out else sys.stdout
+    for lo in range(0, ss.n_entries, 1 << 14):
+        hi = min(ss.n_entries, lo + (1 << 14))
+        seqs = np.asarray(ss.d.sequences(jnp.asarray(np.arange(lo, hi)), L))
+        for i in range(hi - lo):
+            out.write(_dna.codes_to_seq(seqs[i, : int(sizes[lo + i])]) + "\n")
+    if args.out:
+        out.close()
+        print(f"dump_flat: {ss.n_entries} entries -> {args.out}")
+
+
+def cmd_ref2seqset(args):
+    """Build a seqset from the reference itself, cut into read-size tiles.
+    (reference: bgbinary ref2seqset, modules/biograph/ref_to_seqset.cpp:173 —
+    non-overlapping read_size tiles; suffixes come from seqset expansion)"""
+    from biograph_tpu.build.seqset_build import build_seqset
+    from biograph_tpu.runtime.resources import MemoryBudget
+
+    rs = args.read_size
+    if not 30 <= rs <= 255:
+        raise SystemExit(f"--read-size must be in [30, 255], got {rs}")
+    ref = _load_reference(args.ref)
+    t0 = time.time()
+    flat = np.asarray(ref.flat)
+    is_n = np.asarray(ref.is_n)
+    tiles = []
+    for c in ref.contigs:
+        for lo in range(c.start, c.start + c.length, rs):
+            hi = min(lo + rs, c.start + c.length)
+            if hi - lo >= 30 and not is_n[lo:hi].any():
+                tiles.append(flat[lo:hi])
+    if not tiles:
+        raise SystemExit("ref2seqset: no N-free tiles >= 30 bases")
+    lengths = np.array([len(t) for t in tiles], np.int32)
+    codes = np.zeros((len(tiles), rs), np.uint8)
+    for i, t in enumerate(tiles):
+        codes[i, : len(t)] = t
+    ss = build_seqset(codes, lengths, budget=MemoryBudget.detect())
+    os.makedirs(args.out, exist_ok=True)
+    ss.save(os.path.join(args.out, "seqset"))
+    with open(os.path.join(args.out, "metadata.json"), "w") as f:
+        json.dump(
+            {
+                "biograph_version": "biograph_tpu-0.1",
+                "source": "ref2seqset",
+                "read_size": rs,
+                "num_reads": len(tiles),
+                "num_seqset_entries": int(ss.n_entries),
+                "accession_id": os.path.basename(args.out.rstrip("/")),
+            },
+            f,
+            indent=1,
+        )
+    print(
+        f"ref2seqset: {len(tiles)} tiles x <={rs}bp -> {ss.n_entries} entries "
+        f"({time.time()-t0:.1f}s) -> {args.out}"
+    )
+
+
+def cmd_metadata(args):
+    """Show (and optionally edit) a biograph dir's metadata.
+    (reference: bgbinary metadata, modules/biograph/biograph_info.cpp)"""
+    for path in args.biograph:
+        mpath = os.path.join(path, "metadata.json")
+        meta = json.load(open(mpath)) if os.path.isfile(mpath) else {}
+        changed = False
+        if args.set_sample_id is not None:
+            meta["sample_id"] = args.set_sample_id
+            changed = True
+        if args.set_accession_id is not None:
+            meta["accession_id"] = args.set_accession_id
+            changed = True
+        if changed:
+            with open(mpath, "w") as f:
+                json.dump(meta, f, indent=1)
+        size = 0
+        for root, _dirs, files in os.walk(path):
+            size += sum(
+                os.path.getsize(os.path.join(root, fn)) for fn in files
+            )
+        print(f"{path}: {size/1e6:.1f} MB")
+        print(json.dumps(meta, indent=1))
+
+
 def cmd_kmers(args):
     """reads -> kmer count text (reference: kmerize_reads + kmer_count
     exporter, golden/kmer_count.txt format)."""
@@ -826,6 +948,31 @@ def main(argv=None):
     pb.add_argument("--ref", required=True)
     pb.add_argument("--out", required=True)
     pb.set_defaults(fn=cmd_ref2bwt)
+
+    pqr = sub.add_parser("query", help="query a seqset for a DNA string")
+    pqr.add_argument("--biograph", required=True)
+    pqr.add_argument("--query", required=True)
+    pqr.add_argument("--verbose", action="store_true",
+                     help="print more than 10 matching entries")
+    pqr.add_argument("--quiet", action="store_true")
+    pqr.set_defaults(fn=cmd_query)
+
+    pdf = sub.add_parser("dump_flat", help="dump all seqset entry sequences")
+    pdf.add_argument("--biograph", required=True)
+    pdf.add_argument("--out", help="output file (default stdout)")
+    pdf.set_defaults(fn=cmd_dump_flat)
+
+    pr2s = sub.add_parser("ref2seqset", help="seqset from the reference itself")
+    pr2s.add_argument("--ref", required=True)
+    pr2s.add_argument("--out", required=True)
+    pr2s.add_argument("--read-size", type=int, default=100)
+    pr2s.set_defaults(fn=cmd_ref2seqset)
+
+    pmd = sub.add_parser("metadata", help="show/edit biograph dir metadata")
+    pmd.add_argument("biograph", nargs="+")
+    pmd.add_argument("--set-sample-id", default=None)
+    pmd.add_argument("--set-accession-id", default=None)
+    pmd.set_defaults(fn=cmd_metadata)
 
     pbq = sub.add_parser("bwtquery", help="exact reference lookups via BWT")
     pbq.add_argument("--bwt", required=True, help="ref2bwt artifact")

@@ -152,3 +152,61 @@ def test_cli_full_pipeline_ecoli(tmp_path):
     r2 = _run(args + ["--resume"], timeout=300)
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert r2.stdout.count("skipping") >= 3
+
+
+def test_cli_dev_commands(tmp_path):
+    """query / dump_flat / ref2seqset / metadata dev-command parity
+    (reference: bgbinary dev commands, modules/biograph/main.cpp:62-70)."""
+    bgt = str(tmp_path / "quick.bgt")
+    r = _run(
+        [
+            "create",
+            "--reads", os.path.join(GOLDEN, "quick_e_coli.fq"),
+            "--out", bgt,
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # query: a read prefix must be found; a garbage string must not
+    read1 = open(os.path.join(GOLDEN, "quick_e_coli.fq")).readlines()[1].strip()
+    r = _run(["query", "--biograph", bgt, "--query", read1[:20]])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "entries share this prefix" in r.stdout
+    body = [l for l in r.stdout.splitlines() if set(l) <= set("ACGT") and l]
+    assert body and all(s.startswith(read1[:20]) for s in body)
+    r = _run(["query", "--biograph", bgt, "--query", "GTCA" * 10])
+    assert r.returncode == 0
+    assert "No valid results" in r.stdout
+
+    # dump_flat: every line is a distinct entry sequence, count matches
+    flat = tmp_path / "flat.txt"
+    r = _run(["dump_flat", "--biograph", bgt, "--out", str(flat)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = flat.read_text().splitlines()
+    meta = json.load(open(os.path.join(bgt, "metadata.json")))
+    assert len(lines) == meta["num_seqset_entries"]
+    assert len(set(lines)) == len(lines)
+    assert lines == sorted(lines)  # seqset entries are suffix-sorted
+
+    # ref2seqset on the lambda reference: every 100bp tile findable
+    out2 = str(tmp_path / "lambda_ref.bgt")
+    r = _run(
+        [
+            "ref2seqset",
+            "--ref", os.path.join(LAMBDA, "ref_lambda"),
+            "--out", out2,
+            "--read-size", "100",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta2 = json.load(open(os.path.join(out2, "metadata.json")))
+    assert meta2["num_reads"] >= 480  # 48.5kb / 100
+    r = _run(["query", "--biograph", out2, "--query", read1[:20]])
+    assert r.returncode == 0  # absent from lambda: clean no-result
+    assert "No valid results" in r.stdout
+
+    # metadata: displays and edits sample_id
+    r = _run(["metadata", bgt, "--set-sample-id", "S1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"sample_id": "S1"' in r.stdout
+    assert json.load(open(os.path.join(bgt, "metadata.json")))["sample_id"] == "S1"
