@@ -456,17 +456,33 @@ def cmd_discovery(args):
         )
         write_discovery_vcf(args.out, ref, recs, sample=args.sample, opt=opt)
     else:
-        from biograph_tpu.io.fastq import read_fastq
         from biograph_tpu.variants.pileup import (
             run_pileup_pipeline,
             write_pileup_vcf,
         )
 
-        batch = read_fastq(args.reads)
+        if args.reads:
+            from biograph_tpu.io.fastq import read_fastq
+
+            batch = read_fastq(args.reads)
+            codes, lengths, num_reads = batch.codes, batch.lengths, batch.num_reads
+        elif args.biograph:
+            # reference parity: bgbinary discovery reads the .bg itself —
+            # reconstruct the read set from seqset+readmap
+            from biograph_tpu.api import BioGraph
+            from biograph_tpu.variants.pop_tracer import reads_from_readmap
+
+            bg = BioGraph(args.biograph)
+            if bg.readmap is None:
+                raise SystemExit(f"{args.biograph}: no readmap")
+            codes, lengths, _mate = reads_from_readmap(bg.readmap)
+            num_reads = len(lengths)
+        else:
+            raise SystemExit("discovery --mode pileup needs --reads or --biograph")
         pl, counts, calls = run_pileup_pipeline(
             ref,
-            batch.codes,
-            batch.lengths,
+            codes,
+            lengths,
             min_depth=args.min_depth,
         )
         placed = int((pl.pos >= 0).sum())
@@ -481,7 +497,7 @@ def cmd_discovery(args):
             if n0 != len(calls):
                 print(f"exclude: dropped {n0 - len(calls)} calls in {args.exclude}")
         print(
-            f"discovery: placed {placed}/{batch.num_reads} reads, "
+            f"discovery: placed {placed}/{num_reads} reads, "
             f"{len(calls)} calls ({time.time()-t0:.1f}s)"
         )
         write_pileup_vcf(args.out, ref, counts, calls, sample=args.sample)

@@ -210,3 +210,81 @@ def test_cli_dev_commands(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert '"sample_id": "S1"' in r.stdout
     assert json.load(open(os.path.join(bgt, "metadata.json")))["sample_id"] == "S1"
+
+
+@pytest.mark.slow
+def test_cli_tool_commands(tmp_path):
+    """One pass over the remaining CLI surface — upgrade, stats, refhash,
+    export_fastq, merge, kmers, ref2bwt, bwtquery, vdb, discovery — so a
+    wiring-level break in any subcommand fails a test (the round-1 coverage
+    NameError survived because only the library layer was tested)."""
+    # upgrade a reference .bg to native .bgt
+    bgt = str(tmp_path / "father.bgt")
+    r = _run(["upgrade", "--in", os.path.join(LAMBDA, "father_lambda.bg"), "--out", bgt])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = _run(["stats", bgt])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "seqset entries" in r.stdout
+
+    r = _run(["refhash", "--ref", os.path.join(LAMBDA, "ref_lambda")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.strip()
+
+    fq = tmp_path / "reads.fq"
+    r = _run(["export_fastq", "--biograph", bgt, "--out", str(fq)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    n_reads = sum(1 for l in open(fq) if l.startswith("@"))
+    assert n_reads > 1000
+
+    # kmers on the exported reads
+    kc = tmp_path / "kmers.txt"
+    r = _run(["kmers", "--reads", str(fq), "--out", str(kc)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert sum(1 for _ in open(kc)) > 1000
+
+    # merge father with itself -> idempotent entry count
+    merged = str(tmp_path / "merged.bgt")
+    r = _run(["merge", "--biographs", bgt, bgt, "--out", merged])
+    assert r.returncode == 0, r.stderr[-2000:]
+    m_in = json.load(open(os.path.join(bgt, "metadata.json")))
+    m_out = json.load(open(os.path.join(merged, "metadata.json")))
+    assert m_out["num_seqset_entries"] == m_in["num_seqset_entries"]
+
+    # ref2bwt + bwtquery: a known lambda substring occurs exactly once
+    bwt = str(tmp_path / "ref.bwt")
+    r = _run(["ref2bwt", "--ref", os.path.join(LAMBDA, "ref_lambda"), "--out", bwt])
+    assert r.returncode == 0, r.stderr[-2000:]
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.core import dna as _dna
+
+    ref = Reference.from_reference_dir(os.path.join(LAMBDA, "ref_lambda"))
+    probe = _dna.codes_to_seq(ref.flat[5000:5040])
+    r = _run(["bwtquery", "--bwt", bwt, "--seq", probe])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "occurrence(s)" in r.stdout and "positions: 5000" in r.stdout
+
+    # discovery CLI (pileup mode) on the upgraded biograph
+    dvcf = tmp_path / "d.vcf"
+    r = _run(
+        [
+            "discovery", "--mode", "pileup", "--biograph", bgt,
+            "--ref", os.path.join(LAMBDA, "ref_lambda"), "--out", str(dvcf),
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    n_calls = sum(1 for l in open(dvcf) if not l.startswith("#"))
+    assert n_calls >= 8  # the reference's own 8 lambda calls
+
+    # vdb ingest/list/query/export roundtrip
+    db = str(tmp_path / "vdb")
+    r = _run(["vdb", "ingest", "--db", db, "--vcf", str(dvcf), "--sample", "father"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run(["vdb", "list", "--db", db])
+    assert r.returncode == 0 and "father" in r.stdout
+    r = _run(["vdb", "query", "--db", db, "--sample", "father", "--limit", "5"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out_vcf = tmp_path / "export.vcf"
+    r = _run(["vdb", "export", "--db", db, "--sample", "father", "--out", str(out_vcf)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert sum(1 for l in open(out_vcf) if not l.startswith("#")) == n_calls
