@@ -355,6 +355,112 @@ def probe_exact_hostloop(d, text, pos, seg_lo, depth: int, min_m: int = 0,
     return bb, be, bs
 
 
+# Blocked-fused chain programs: the hostloop bodies are pure jittable python
+# loops, so a jit can wrap a BLOCK of steps (pallas kernels land at top trace
+# level — only pallas INSIDE lax loops is off-limits on this toolchain).
+# One device program per CHAIN_BLOCK steps instead of per step divides the
+# fixed per-launch cost by the block size and lets XLA fuse the inter-step
+# glue ops.  Whole-chain fusion is NOT safe: XLA compile time grows
+# superlinearly in unrolled rank4 steps (measured 1.6s at 10 steps but
+# >200s at 25 on XLA:CPU), so blocks stay small.  The block start index
+# rides in traced, so ONE compile serves every full block of a chain.
+import os as _os
+
+CHAIN_BLOCK = int(_os.environ.get("BGT_CHAIN_BLOCK", "8"))
+
+
+@_partial(jax.jit, static_argnums=(5, 6, 7))
+def _probe_block_sl(d, textp, start0, w0, state, depth: int, use_kernel: bool,
+                    nsteps: int, s0=0):
+    s0 = jnp.asarray(s0, jnp.int32)
+    for i in range(nsteps):
+        state = _probe_step_sl(
+            d, textp, start0, w0, state, depth, use_kernel, s=s0 + i
+        )
+    return state
+
+
+@_partial(jax.jit, static_argnums=(4, 5, 6))
+def _find_block_w(d, win, m, state, depth: int, use_kernel: bool,
+                  nsteps: int, s0=0):
+    s0 = jnp.asarray(s0, jnp.int32)
+    for i in range(nsteps):
+        state = _find_step_w(d, win, m, state, depth, use_kernel, s=s0 + i)
+    return state
+
+
+def probe_ranges_fused(d, text, p0, seg_lo, P: int, depth: int,
+                       use_kernel: bool = True):
+    """probe_ranges as a host loop of block-fused step programs."""
+    pos = p0 + jnp.arange(P, dtype=jnp.int64)
+    w0 = jnp.minimum(depth, (pos - seg_lo + 1)).astype(jnp.int32)
+    textp = _pad_text(text, P, depth)
+    start0 = p0 + 1  # p0 + pad_front - (depth - 1), pad_front == depth
+    state = (
+        jnp.zeros((P,), jnp.int64),
+        jnp.full((P,), d.n_entries, jnp.int64),
+        jnp.zeros((P,), jnp.int32),
+        jnp.zeros((P,), bool),
+    )
+    s = 0
+    while s < depth:
+        n = min(CHAIN_BLOCK, depth - s)
+        state = _probe_block_sl(
+            d, textp, start0, w0, state, depth, use_kernel, n, s0=jnp.int32(s)
+        )
+        s += n
+    return state
+
+
+def find_window_fused(d, text, pos, m, depth: int, use_kernel: bool = True,
+                      win=None):
+    """find_window as a host loop of block-fused step programs."""
+    P = pos.shape[0]
+    if win is None:
+        win = _window_bases(text, pos, depth)
+    state = (
+        jnp.zeros((P,), jnp.int64),
+        jnp.full((P,), d.n_entries, jnp.int64),
+        jnp.zeros((P,), jnp.int32),
+    )
+    s = 0
+    while s < depth:
+        n = min(CHAIN_BLOCK, depth - s)
+        state = _find_block_w(d, win, m, state, depth, use_kernel, n,
+                              s0=jnp.int32(s))
+        s += n
+    return state
+
+
+def probe_exact_fused(d, text, pos, seg_lo, depth: int, min_m: int = 0,
+                      seed=None, use_kernel: bool = True):
+    """probe_exact with each binary-search round's find chain block-fused
+    (rounds stay at host granularity; blocks stay CHAIN_BLOCK-sized — see
+    the compile-time note above)."""
+    w0 = jnp.minimum(depth, (pos - seg_lo + 1)).astype(jnp.int32)
+    lo_m = jnp.minimum(jnp.full_like(w0, min_m), w0) if min_m else jnp.zeros_like(w0)
+    hi_m = w0
+    P = pos.shape[0]
+    win = _window_bases(text, pos, depth)
+    bb = jnp.zeros((P,), jnp.int64)
+    be = jnp.full((P,), d.n_entries, jnp.int64)
+    bs = jnp.zeros((P,), jnp.int32)
+    if min_m:
+        bb, be, bs = (
+            seed
+            if seed is not None
+            else find_window_fused(d, text, pos, lo_m, depth, use_kernel, win)
+        )
+        rounds = (depth - min_m).bit_length()
+    else:
+        rounds = max((depth - 1).bit_length(), 1)
+    for _ in range(rounds):
+        mid = _exact_mid(lo_m, hi_m)
+        b, e, s = find_window_fused(d, text, pos, mid, depth, use_kernel, win)
+        lo_m, hi_m, bb, be, bs = _exact_round(lo_m, hi_m, bb, be, bs, b, e, s)
+    return bb, be, bs
+
+
 @jax.jit
 def _packbits_jit(mask):
     return jnp.packbits(mask)
@@ -372,19 +478,19 @@ def fetch_mask(mask) -> "np.ndarray":
 def probe_ranges_auto(d, text, p0, seg_lo, P: int, depth: int):
     """probe_ranges via the best path for the active backend."""
     if use_mxu_chains(d):
-        return probe_ranges_hostloop(d, text, p0, seg_lo, P, depth)
+        return probe_ranges_fused(d, text, p0, seg_lo, P, depth, True)
     return probe_ranges_jit(d, text, p0, seg_lo, P, depth)
 
 
 def find_window_auto(d, text, pos, m, depth: int):
     if use_mxu_chains(d):
-        return find_window_hostloop(d, text, pos, m, depth)
+        return find_window_fused(d, text, pos, m, depth, True)
     return find_window_jit(d, text, pos, m, depth)
 
 
 def probe_exact_auto(d, text, pos, seg_lo, depth: int, min_m: int = 0, seed=None):
     if use_mxu_chains(d):
-        return probe_exact_hostloop(d, text, pos, seg_lo, depth, min_m, seed)
+        return probe_exact_fused(d, text, pos, seg_lo, depth, min_m, seed)
     return probe_exact_jit(d, text, pos, seg_lo, depth, min_m, seed)
 
 

@@ -95,6 +95,33 @@ class ShardedRankArrays:
             jnp.asarray(self.elo),
         )
 
+    def device_args_global(self, mesh: Mesh, axis: str = "model"):
+        """Global jax.Arrays sharded over `axis` — the multi-host data path.
+
+        Under jax.distributed each process materializes ONLY its addressable
+        shards (make_array_from_callback slices the host copy per device), so
+        a seqset larger than one host's HBM loads shard-by-shard.  The
+        reference's analog is each worker mmap'ing its slice of the taskdb
+        manifest; here the mesh assignment IS the manifest.  Single-process
+        meshes get the same layout (useful for tests)."""
+        from jax.sharding import NamedSharding
+
+        sh = NamedSharding(mesh, P(axis))
+
+        def mk(a):
+            a = np.asarray(a)
+            return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+        return (
+            mk(self.words),
+            mk(self.cum),
+            mk(self.lo),
+            mk(self.shared),
+            mk(self.sizes),
+            mk(self.pop_sel),
+            mk(self.elo),
+        )
+
 
 def make_sharded_rank(mesh: Mesh, axis: str = "model"):
     """Build the collective rank function: (shard arrays..., b, pos) -> rank.

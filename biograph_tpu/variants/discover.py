@@ -27,6 +27,7 @@ Stages (each one or two jitted device programs):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import List
@@ -606,12 +607,32 @@ def _wavefront_step_jit(d, packed, prev_lt, next_lt, n_packed, st, step_i,
     )
 
 
+@_partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+def _wavefront_block_jit(d, packed, prev_lt, next_lt, n_packed, st, step0,
+                         nsteps: int, MAXP: int, k: int, min_w: int,
+                         probe_ctx: int, use_kernel: bool = True):
+    """`nsteps` beam steps unrolled into ONE device program (pallas kernels
+    at top trace level).  At wavefront lane counts the per-program launch
+    cost dominates a single step, so fusing blocks divides the fixed
+    overhead by nsteps; step0 stays traced so every block reuses one
+    compiled program.  Blocks stay small: XLA compile time grows
+    superlinearly in unrolled rank steps (see index/probes.py)."""
+    step0 = jnp.asarray(step0, jnp.int32)
+    for i in range(nsteps):
+        st = _wavefront_body(
+            d, packed, prev_lt, next_lt, n_packed, st, step0 + i,
+            MAXP, k, min_w, probe_ctx, use_kernel,
+        )
+    return st
+
+
 @jax.jit
 def _undone_count(st):
     return jnp.sum(~st["done"])
 
 
 CHECK_EVERY = 48  # host-loop wavefront: steps between done-fetches
+WAVE_BLOCK = int(os.environ.get("BGT_WAVE_BLOCK", "8"))  # steps per program
 
 
 def _wavefront_run(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int,
@@ -632,13 +653,17 @@ def _wavefront_run(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int,
         )
     st = _wavefront_seed_jit(d, seed, MAXP)
     step = 1
+    blocks = 0
     while step < MAXP:
-        st = _wavefront_step_jit(
+        n = min(WAVE_BLOCK, MAXP - step)
+        st = _wavefront_block_jit(
             d, packed, prev_lt, next_lt, n_packed, st,
-            jnp.int32(step), MAXP, k, min_w, probe_ctx,
+            jnp.int32(step), n, MAXP, k, min_w, probe_ctx,
         )
-        step += 1
-        if step % CHECK_EVERY == 0 and int(_undone_count(st)) == 0:
+        step += n
+        blocks += 1
+        # done-check cadence ~= CHECK_EVERY steps (one tiny fetch per check)
+        if blocks % max(CHECK_EVERY // WAVE_BLOCK, 1) == 0 and int(_undone_count(st)) == 0:
             break
     return st
 

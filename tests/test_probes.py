@@ -61,3 +61,40 @@ def test_hostloop_matches_fori(small_seqset):
         )
         for a, b in zip(ref, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_chains_match_fori(small_seqset):
+    """Whole-chain fused programs (one jit over all depth steps) must be
+    bit-identical to the fori-loop engine."""
+    from biograph_tpu.index.probes import (
+        find_window_fused,
+        find_window_jit,
+        probe_exact_fused,
+        probe_exact_jit,
+        probe_ranges_fused,
+        probe_ranges_jit,
+    )
+
+    ss, genome = small_seqset
+    d = ss.d
+    text = jnp.asarray(genome)
+    P, depth = 256, 25
+    p0 = jnp.asarray(40, jnp.int64)
+    seg = jnp.asarray(0, jnp.int64)
+    ref = probe_ranges_jit(d, text, p0, seg, P, depth)
+    got = probe_ranges_fused(d, text, p0, seg, P, depth, False)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    pos = p0 + jnp.arange(P, dtype=jnp.int64)
+    m = jnp.full((P,), 20, jnp.int32)
+    ref = find_window_jit(d, text, pos, m, depth)
+    got = find_window_fused(d, text, pos, m, depth, False)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    for min_m in (0, 20):
+        ref = probe_exact_jit(d, text, pos, seg, depth, min_m)
+        got = probe_exact_fused(d, text, pos, seg, depth, min_m, use_kernel=False)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -148,6 +148,54 @@ def test_sharded_wavefront_bitexact(setup, rng):
         ).all(), name
 
 
+def test_block_wavefront_bitexact(setup, rng):
+    """The host-dispatched block-fused wavefront (the TPU MXU path, kernel
+    disabled here) must match the single-program while_loop engine
+    bit-for-bit, for every block size alignment."""
+    from biograph_tpu.variants import discover as D
+
+    ss, ref, mesh, arrays = setup
+    MAXP, k, min_w, probe_ctx = 64, 13, 1, 25
+    span = ref[900:1200]
+    n_packed = len(span) - k + 1
+    npk = D._next_pow2(len(span))
+    packed = D._span_kmers_dev(
+        jnp.asarray(span), jnp.asarray(0, jnp.int64),
+        jnp.asarray(len(span), jnp.int64), npk, k,
+    )
+
+    A = 32
+    r = _ranges_from_reads(ss, rng, B=A, plen=probe_ctx)
+    seed = dict(
+        begin=r.begin,
+        end=r.end,
+        size=r.size,
+        ab=jnp.asarray(np.tile(np.arange(4), A // 4).astype(np.int32)),
+        policy=jnp.asarray(np.tile(np.arange(4), A // 4).astype(np.int32)),
+        min_local=jnp.full((A,), 5, jnp.int64),
+    )
+    tt = D._trunc_tables(ss, probe_ctx)
+    st0 = D._wavefront_seed_jit(ss.d, seed, MAXP)
+    want = D._wavefront_loop_jit(
+        ss.d, packed, tt[0], tt[1], jnp.asarray(n_packed, jnp.int64),
+        {k_: v for k_, v in st0.items()}, MAXP, k, min_w, probe_ctx,
+    )
+    for block in (1, 7, 16):
+        st = {k_: v for k_, v in st0.items()}
+        step = 1
+        while step < MAXP:
+            n = min(block, MAXP - step)
+            st = D._wavefront_block_jit(
+                ss.d, packed, tt[0], tt[1], jnp.asarray(n_packed, jnp.int64),
+                st, jnp.int32(step), n, MAXP, k, min_w, probe_ctx, False,
+            )
+            step += n
+        for name in want:
+            assert (
+                np.asarray(st[name]) == np.asarray(want[name])
+            ).all(), (block, name)
+
+
 def test_distributed_init_single_process():
     """task_mgr_local-style: the multi-host bring-up path runs one-process."""
     from biograph_tpu.parallel.distributed import global_mesh, initialize
