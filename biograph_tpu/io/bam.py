@@ -2,10 +2,10 @@
 
 Counterpart of the reference's BAM/CRAM ingestion
 (modules/build_seqset/read_importer.cpp:543 via htslib sam_read1).  BAM is
-BGZF (concatenated gzip members) over a simple binary record format; both
-layers parse fine with zlib + numpy — no native dependency.  CRAM is not
-supported (the reference shells out to htslib for it; import via
-samtools-converted BAM instead).
+BGZF (concatenated gzip members) over a simple binary record format.  The
+hot layers are native when the C++ library is available: parallel BGZF
+inflate (htslib multi-thread analog) + the record scanner; pure
+zlib + numpy otherwise.  CRAM has its own decoder (io/cram.py).
 
 Emits the same ReadBatch as the FASTQ importer, with pairing derived from
 FLAG bits / read names.
@@ -13,6 +13,7 @@ FLAG bits / read names.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from typing import List, Tuple
@@ -30,21 +31,65 @@ _NIB_TO_CODE[4] = 2  # G
 _NIB_TO_CODE[8] = 3  # T
 
 
-def _bgzf_decompress(buf: bytes) -> bytes:
-    """Decompress all BGZF/gzip members."""
+def _bgzf_bsize(view, pos: int) -> int:
+    """Total size of the BGZF member at pos via its 'BC' extra subfield;
+    -1 when the member is plain gzip (no FEXTRA/BC)."""
+    if not (view[pos + 3] & 4):
+        return -1
+    xlen = view[pos + 10] | (view[pos + 11] << 8)
+    q, xend = pos + 12, pos + 12 + xlen
+    while q + 4 <= xend:
+        slen = view[q + 2] | (view[q + 3] << 8)
+        if view[q] == 0x42 and view[q + 1] == 0x43 and slen == 2:
+            return (view[q + 4] | (view[q + 5] << 8)) + 1
+        q += 4 + slen
+    return -1
+
+
+def _bgzf_decompress(buf) -> bytes:
+    """Decompress all BGZF/gzip members (serial zlib fallback).
+
+    BGZF members are walked by their 'BC' size field so each inflate sees
+    only its own block — a decompressobj over the remaining stream would
+    copy it into unused_data per member (quadratic on multi-thousand-block
+    files).  Plain-gzip members (no BC) take the decompressobj path."""
+    data = bytes(buf) if not isinstance(buf, bytes) else buf
+    view = memoryview(data)
     out = []
     pos = 0
-    n = len(buf)
-    while pos < n:
-        if buf[pos : pos + 2] != b"\x1f\x8b":
+    n = len(view)
+    while pos + 18 <= n:
+        if view[pos] != 0x1F or view[pos + 1] != 0x8B:
             break
+        bsize = _bgzf_bsize(view, pos)
+        if 0 < bsize <= n - pos:
+            out.append(zlib.decompress(view[pos : pos + bsize], wbits=31))
+            pos += bsize
+            continue
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(buf[pos:]))
+        out.append(d.decompress(view[pos:]))
         consumed = n - pos - len(d.unused_data)
         pos += consumed
         if consumed <= 0:
             break
     return b"".join(out)
+
+
+def _load_decompressed(path: str):
+    """mmap the file and BGZF-decompress it, multi-threaded when the native
+    library is present (htslib hts_set_threads analog — BGZF blocks are
+    independent deflate members, so they inflate in parallel); serial zlib
+    otherwise.  Returns a buffer supporting slicing/frombuffer."""
+    raw = np.memmap(path, np.uint8, "r") if os.path.getsize(path) else b""
+    try:
+        from biograph_tpu.native import bgzf_decompress_native
+
+        out = bgzf_decompress_native(raw)
+        if out is not None:
+            return out.tobytes()
+    except Exception:
+        pass
+    return _bgzf_decompress(raw)
 
 
 def read_bam(
@@ -55,8 +100,7 @@ def read_bam(
     Reverse-strand alignments are flipped back to original read orientation
     (matching the reference importer, read_importer.cpp BAM path).
     """
-    raw = open(path, "rb").read()
-    data = _bgzf_decompress(raw)
+    data = _load_decompressed(path)
     if data[:4] != b"BAM\x01":
         raise ValueError(f"{path}: not a BAM file")
     l_text = struct.unpack_from("<i", data, 4)[0]

@@ -40,6 +40,8 @@ def _build_lib() -> str:
         src,
         "-o",
         out + ".tmp",
+        "-lz",
+        "-lpthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(out + ".tmp", out)
@@ -99,8 +101,67 @@ def get_lib():
             ctypes.c_longlong,
             ctypes.c_int,
         ] + [ctypes.c_void_p] * 6 + [ctypes.c_longlong, ctypes.c_longlong]
+        lib.bgzf_scan.restype = ctypes.c_longlong
+        lib.bgzf_scan.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+        ]
+        lib.bgzf_inflate.restype = ctypes.c_int
+        lib.bgzf_inflate.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
         _LIB = lib
         return lib
+
+
+def bgzf_decompress_native(buf, n_threads: int | None = None):
+    """Parallel BGZF decompression (the htslib multi-threaded-reader analog).
+
+    `buf` is any uint8 buffer (bytes or np.memmap).  Returns a uint8 ndarray
+    of the concatenated uncompressed stream, or None when the library is
+    unavailable or a member lacks the BGZF 'BC' marker (caller falls back to
+    serial zlib, which also handles plain gzip)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(buf, np.uint8) if isinstance(buf, bytes) else buf
+    n = len(arr)
+    if n < 18:
+        return None
+    max_blocks = n // 28 + 2  # EOF marker block is 28 bytes, the minimum
+    c_off = np.zeros(max_blocks, np.int64)
+    c_size = np.zeros(max_blocks, np.int32)
+    u_size = np.zeros(max_blocks, np.int32)
+    k = lib.bgzf_scan(
+        arr.ctypes.data, n, c_off.ctypes.data, c_size.ctypes.data,
+        u_size.ctypes.data, max_blocks,
+    )
+    if k <= 0:
+        return None
+    if k == max_blocks and int(c_off[k - 1]) + int(c_size[k - 1]) < n:
+        return None  # scan table too small (shouldn't happen; be safe)
+    u_off = np.zeros(k + 1, np.int64)
+    np.cumsum(u_size[:k], out=u_off[1:])
+    out = np.empty(u_off[k], np.uint8)
+    nt = n_threads or min(os.cpu_count() or 1, 16)
+    rc = lib.bgzf_inflate(
+        arr.ctypes.data, c_off.ctypes.data, c_size.ctypes.data,
+        u_off.ctypes.data, u_size.ctypes.data, k, out.ctypes.data, int(nt),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def bam_scan_native(aln_buf: bytes, keep_unmapped: bool = True):

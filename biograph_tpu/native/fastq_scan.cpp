@@ -14,6 +14,11 @@
 #include <cstdint>
 #include <cstring>
 
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
 namespace {
 
 // A=0 C=1 G=2 T=3, everything else (incl. N) = 0 — matches
@@ -256,6 +261,101 @@ long long bam_scan(const uint8_t* buf, long long n, int keep_unmapped,
     name_off[r] = nb;
   }
   return r;
+}
+
+// ---------------------------------------------------------------------------
+// BGZF (blocked gzip, the BAM container layer): block scan + PARALLEL
+// inflate.  The reference leans on htslib's multi-threaded bgzf reader
+// (modules/build_seqset/read_importer.cpp uses hts_set_threads); here the
+// same trick is 60 lines of zlib: every BGZF member carries its compressed
+// size in the 'BC' extra subfield and its uncompressed size in ISIZE, so
+// blocks inflate independently across threads.
+
+// Scan members: writes per-block compressed offset/size and uncompressed
+// size.  Returns block count; -1 if a member is not BGZF (no BC subfield) —
+// the caller falls back to serial streaming zlib.
+long long bgzf_scan(const uint8_t* buf, long long n, long long* c_off,
+                    int32_t* c_size, int32_t* u_size, long long max_blocks) {
+  long long p = 0, k = 0;
+  while (p + 18 <= n && k < max_blocks) {
+    if (buf[p] != 0x1f || buf[p + 1] != 0x8b) break;
+    if (buf[p + 2] != 8 || !(buf[p + 3] & 4)) return -1;  // no FEXTRA
+    uint16_t xlen;
+    memcpy(&xlen, buf + p + 10, 2);
+    long long xend = p + 12 + xlen;
+    if (xend > n) return -1;
+    long long q = p + 12;
+    long long bsize = -1;
+    while (q + 4 <= xend) {
+      uint8_t si1 = buf[q], si2 = buf[q + 1];
+      uint16_t slen;
+      memcpy(&slen, buf + q + 2, 2);
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        uint16_t bs16;
+        memcpy(&bs16, buf + q + 4, 2);
+        bsize = (long long)bs16 + 1;
+        break;
+      }
+      q += 4 + slen;
+    }
+    if (bsize < 0 || p + bsize > n) return -1;
+    uint32_t isize;
+    memcpy(&isize, buf + p + bsize - 4, 4);
+    c_off[k] = p;
+    c_size[k] = (int32_t)bsize;
+    u_size[k] = (int32_t)isize;
+    k++;
+    p += bsize;
+  }
+  return k;
+}
+
+namespace {
+
+// Inflate one BGZF member's raw-deflate payload into out (u_size bytes).
+int inflate_block(const uint8_t* blk, int32_t c_size, uint8_t* out,
+                  int32_t u_size) {
+  uint16_t xlen;
+  memcpy(&xlen, blk + 10, 2);
+  long long payload = 12 + xlen;
+  z_stream s;
+  memset(&s, 0, sizeof(s));
+  if (inflateInit2(&s, -15) != Z_OK) return -1;
+  s.next_in = const_cast<uint8_t*>(blk + payload);
+  s.avail_in = (uInt)(c_size - payload - 8);  // minus CRC32+ISIZE trailer
+  s.next_out = out;
+  s.avail_out = (uInt)u_size;
+  int rc = inflate(&s, Z_FINISH);
+  inflateEnd(&s);
+  return (rc == Z_STREAM_END && s.total_out == (uLong)u_size) ? 0 : -1;
+}
+
+}  // namespace
+
+// Parallel inflate of scanned blocks into out at u_off.  Returns 0, or -1
+// if any block is corrupt.
+int bgzf_inflate(const uint8_t* buf, const long long* c_off,
+                 const int32_t* c_size, const long long* u_off,
+                 const int32_t* u_size, long long n_blocks, uint8_t* out,
+                 int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  std::vector<int> errs((size_t)n_threads, 0);
+  for (int t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t]() {
+      for (long long i = t; i < n_blocks; i += n_threads) {
+        if (inflate_block(buf + c_off[i], c_size[i], out + u_off[i],
+                          u_size[i]) != 0) {
+          errs[(size_t)t] = -1;
+          return;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int e : errs)
+    if (e != 0) return -1;
+  return 0;
 }
 
 }  // extern "C"

@@ -33,6 +33,25 @@ def test_sam_reverse_strand_restored():
     assert sam.num_reads > 100
 
 
+def test_parallel_bgzf_matches_serial():
+    """Native parallel BGZF inflate must reproduce serial zlib exactly on a
+    real multi-block BAM (and on plain-gzip input it must decline)."""
+    import gzip
+
+    from biograph_tpu.io.bam import _bgzf_decompress
+    from biograph_tpu.native import bgzf_decompress_native
+
+    path = os.path.join(GOLDEN, "SRR003674_10000.bam")
+    raw = np.memmap(path, np.uint8, "r")
+    got = bgzf_decompress_native(raw)
+    assert got is not None, "native bgzf unavailable"
+    want = _bgzf_decompress(bytes(raw))
+    assert got.tobytes() == want and len(want) > len(raw)
+
+    plain = gzip.compress(b"not a bgzf stream" * 100)
+    assert bgzf_decompress_native(plain) is None  # no BC subfield -> decline
+
+
 def test_mate_pairing():
     names = [b"a", b"b", b"a", b"c", b"b"]
     flags = np.array([0x41, 0x41, 0x81, 0x0, 0x81], np.int32)
