@@ -9,6 +9,8 @@ directory:
     <name>.bgt/
         manifest.json     — uuid, artifact type, version, build stamp, scalars
         <part>.npy        — one numpy array per part (mmap-loaded on open)
+        <part>.npy.z      — zlib-coded part (reference codec layer analog,
+                            modules/io/zip_slice.h; decoded on open, no mmap)
 
 The "immutable, versioned artifact per stage" property is what makes the
 pipeline resumable (see biograph_tpu.runtime.stages).
@@ -20,6 +22,7 @@ import json
 import os
 import uuid
 import time
+import zlib
 from typing import Any, Dict
 
 import numpy as np
@@ -44,13 +47,22 @@ class ArtifactWriter:
             self.meta["scalars"].update(metadata)
         os.makedirs(path, exist_ok=True)
 
-    def add_array(self, name: str, arr: np.ndarray):
+    def add_array(self, name: str, arr: np.ndarray, codec: str | None = None):
+        """Write one part.  codec='zlib' stores the array compressed (good
+        for cold/archival parts — qualities, names, report tables); hot
+        parts stay raw .npy so readers mmap them."""
         arr = np.ascontiguousarray(arr)
-        np.save(os.path.join(self.path, name + ".npy"), arr)
-        self.meta["parts"][name] = {
-            "dtype": str(arr.dtype),
-            "shape": list(arr.shape),
-        }
+        part = {"dtype": str(arr.dtype), "shape": list(arr.shape)}
+        if codec == "zlib":
+            payload = zlib.compress(arr.tobytes(), 6)
+            with open(os.path.join(self.path, name + ".npy.z"), "wb") as f:
+                f.write(payload)
+            part["codec"] = "zlib"
+        elif codec is not None:
+            raise ValueError(f"unknown codec {codec!r}")
+        else:
+            np.save(os.path.join(self.path, name + ".npy"), arr)
+        self.meta["parts"][name] = part
 
     def set_scalar(self, name: str, value: Any):
         self.meta["scalars"][name] = value
@@ -94,6 +106,13 @@ class ArtifactReader:
         return self.meta["scalars"].get(name, default)
 
     def array(self, name: str) -> np.ndarray:
+        part = self.meta["parts"].get(name, {})
+        if part.get("codec") == "zlib":
+            with open(os.path.join(self.path, name + ".npy.z"), "rb") as f:
+                raw = zlib.decompress(f.read())
+            return np.frombuffer(raw, dtype=np.dtype(part["dtype"])).reshape(
+                part["shape"]
+            )
         return np.load(
             os.path.join(self.path, name + ".npy"),
             mmap_mode="r" if self._mmap else None,

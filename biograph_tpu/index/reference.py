@@ -100,7 +100,9 @@ class Reference:
     def save(self, path: str):
         with container.ArtifactWriter(path, "reference") as w:
             w.add_array("flat", self.flat)
-            w.add_array("is_n", self.is_n)
+            # long runs of False with rare N blocks: zlib shrinks the mask
+            # ~1000x and it is read once per open (never mmap-queried)
+            w.add_array("is_n", self.is_n, codec="zlib")
             w.set_scalar(
                 "contigs",
                 [[c.name, c.start, c.length] for c in self.contigs],

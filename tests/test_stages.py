@@ -111,3 +111,25 @@ def test_artifact_manifest_and_profiles(tmp_path):
     assert m["stages"]["make"]["outputs"][0]["bytes"] == 100
     assert m["datasets"]["reads"]["records"] == 10
     assert ArtifactInfo.describe(str(out1)).bytes == 100
+
+
+def test_container_codec_roundtrip(tmp_path):
+    """zlib-coded parts must round-trip exactly and coexist with raw parts
+    (reference codec-layer analog, modules/io/zip_slice.h)."""
+    import numpy as np
+
+    from biograph_tpu.core.container import ArtifactReader, ArtifactWriter
+
+    p = str(tmp_path / "a.bgt")
+    mask = np.zeros(100000, bool)
+    mask[500:700] = True
+    mat = np.arange(600, dtype=np.int64).reshape(20, 30)
+    with ArtifactWriter(p, "t") as w:
+        w.add_array("mask", mask, codec="zlib")
+        w.add_array("mat", mat)
+        with pytest.raises(ValueError):
+            w.add_array("bad", mat, codec="lz4")
+    r = ArtifactReader(p, "t")
+    assert (r.array("mask") == mask).all()
+    assert (r.array("mat") == mat).all()
+    assert os.path.getsize(os.path.join(p, "mask.npy.z")) < mask.nbytes // 50
