@@ -72,3 +72,24 @@ def test_golden_structural_equivalence_partitioned():
     suffix_bytes = int(lens.sum()) * 2 * (3 * 4 + 8) * 4
     ss2 = build_seqset(codes, lens, budget=suffix_bytes // 10)
     _assert_same(ss, ss2)
+
+
+def test_partitioned_streams_memmap_reads(rng, tmp_path):
+    """Host-resident (memmap) reads stream through the partitioned build in
+    multiple chunks — neither the read matrix nor the suffix set is ever
+    device-resident at once — and the result is bit-identical."""
+    R, L = 900, 40
+    codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+    lens = rng.integers(25, 41, R).astype(np.int32)
+    codes = np.where(np.arange(L)[None, :] < lens[:, None], codes, 0).astype(
+        np.uint8
+    )
+    full = build_seqset(codes, lens)
+
+    mp = np.memmap(str(tmp_path / "reads.u8"), np.uint8, "w+", shape=(R, L))
+    mp[:] = codes
+    mp.flush()
+    ro = np.memmap(str(tmp_path / "reads.u8"), np.uint8, "r", shape=(R, L))
+    # budget 1<<17 -> chunk_rows ~200: 5+ chunks of 900 rows, several passes
+    small = build_seqset(ro, lens, budget=1 << 17)
+    _assert_same(full, small)
