@@ -26,40 +26,47 @@ def build_readmap(
     mate_of: np.ndarray | None = None,
     entry_words: np.ndarray | None = None,
     entry_lens: np.ndarray | None = None,
+    chunk_rows: int = 1 << 20,
 ) -> Readmap:
     """Build a readmap for reads already incorporated in ``seqset``.
 
-    codes: uint8 [R, L]; lengths: int32 [R]; mate_of: int64 [R] with the mate
-    read index or -1 (mates must be symmetric).
+    codes: uint8 [R, L] (np array or memmap — reads stream to device in
+    ``chunk_rows`` batches, reverse complements computed on device per
+    chunk); lengths: int32 [R]; mate_of: int64 [R] with the mate read index
+    or -1 (mates must be symmetric).
 
     entry_words/entry_lens: packed entry sequences (kept from the build); if
     absent they are reconstructed from the seqset via pop chains.
     """
     R, L = codes.shape
     lengths = np.asarray(lengths, np.int32)
-
-    rc = np.asarray(dna.revcomp_codes(jnp.asarray(codes), jnp.asarray(lengths)))
-    oriented = np.concatenate([codes, rc], axis=0)  # fwd block then rc block
     olens = np.concatenate([lengths, lengths])
 
     if entry_words is None:
         entry_words, entry_lens = reconstruct_entry_words(seqset)
     W = entry_words.shape[1]
-    q_words = dna.pack_codes(jnp.asarray(oriented), jnp.asarray(olens))
-    if q_words.shape[1] < W:
-        q_words = jnp.pad(q_words, ((0, 0), (0, W - q_words.shape[1])))
-    elif q_words.shape[1] > W:
-        raise ValueError("reads longer than seqset max entry length")
+    ew_dev = jnp.asarray(entry_words)
+    el_dev = jnp.asarray(entry_lens)
 
-    entry_ids = np.asarray(
-        sortutil.merge_lower_bound(
-            jnp.asarray(entry_words),
-            jnp.asarray(entry_lens),
-            q_words,
-            jnp.asarray(olens),
-        ),
-        np.int64,
-    )
+    def locate(c_dev, l_dev):
+        q = dna.pack_codes(c_dev, l_dev)
+        if q.shape[1] < W:
+            q = jnp.pad(q, ((0, 0), (0, W - q.shape[1])))
+        elif q.shape[1] > W:
+            raise ValueError("reads longer than seqset max entry length")
+        return np.asarray(
+            sortutil.merge_lower_bound(ew_dev, el_dev, q, l_dev), np.int64
+        )
+
+    # entry of every oriented read: fwd block then rc block, chunked so only
+    # one chunk is ever device-resident
+    entry_ids = np.empty(2 * R, np.int64)
+    for r0 in range(0, R, chunk_rows):
+        r1 = min(R, r0 + chunk_rows)
+        c = jnp.asarray(np.ascontiguousarray(codes[r0:r1]))
+        ln = jnp.asarray(lengths[r0:r1])
+        entry_ids[r0:r1] = locate(c, ln)
+        entry_ids[R + r0 : R + r1] = locate(dna.revcomp_codes(c, ln), ln)
 
     # readmap-entry ordering: sorted by (seqset entry, read length, oriented id)
     # — deterministic, CSR-compatible.

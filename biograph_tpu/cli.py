@@ -58,12 +58,15 @@ def cmd_create(args):
     progress = Progress(label="create")
 
     mate_of = None
+    spill = getattr(args, "spill_dir", None)
     t0 = time.time()
     if len(args.reads) == 1 and args.reads[0].endswith((".bam", ".sam")):
         from biograph_tpu.io.bam import mate_pairs_from_names, read_bam, read_sam
 
-        rd = read_bam if args.reads[0].endswith(".bam") else read_sam
-        batch, _hdr = rd(args.reads[0])
+        if args.reads[0].endswith(".bam"):
+            batch, _hdr = read_bam(args.reads[0], spill_dir=spill)
+        else:
+            batch, _hdr = read_sam(args.reads[0])
         if batch.names is not None:
             mate_of = mate_pairs_from_names(batch.names, batch.flags)
     elif len(args.reads) == 1 and args.reads[0].endswith(".cram"):
@@ -80,7 +83,7 @@ def cmd_create(args):
 
         batch = read_qseq(args.reads[0])
     else:
-        batches = [read_fastq(p) for p in args.reads]
+        batches = [read_fastq(p, spill_dir=spill) for p in args.reads]
         batch = batches[0] if len(batches) == 1 else pad_batches(batches)
     timings["import"] = time.time() - t0
     LOG.info(f"import: {batch.num_reads} reads x <={batch.max_len}bp")
@@ -958,6 +961,11 @@ def main(argv=None):
     pc.add_argument("--min-kmer-count", type=int, default=2)
     pc.add_argument("--max-corrections", type=int, default=8)
     pc.add_argument("--min-good-run", type=int, default=2)
+    pc.add_argument(
+        "--spill-dir",
+        help="spill imported reads to disk memmaps (bounded host RAM; "
+        "combine with BGT_HBM_BUDGET_BYTES for a fully out-of-core create)",
+    )
     pc.set_defaults(fn=cmd_create)
 
     pb = sub.add_parser("ref2bwt", help="build reference BWT/FM-index")

@@ -75,33 +75,37 @@ def _bgzf_decompress(buf) -> bytes:
     return b"".join(out)
 
 
-def _load_decompressed(path: str):
+def _load_decompressed(path: str, spill_dir: str | None = None):
     """mmap the file and BGZF-decompress it, multi-threaded when the native
     library is present (htslib hts_set_threads analog — BGZF blocks are
     independent deflate members, so they inflate in parallel); serial zlib
-    otherwise.  Returns a buffer supporting slicing/frombuffer."""
+    otherwise.  Returns a buffer supporting slicing/frombuffer; with
+    spill_dir the decompressed stream lives on disk, not in RAM."""
     raw = np.memmap(path, np.uint8, "r") if os.path.getsize(path) else b""
     try:
         from biograph_tpu.native import bgzf_decompress_native
 
-        out = bgzf_decompress_native(raw)
+        out = bgzf_decompress_native(raw, spill_dir=spill_dir)
         if out is not None:
-            return out.tobytes()
+            return out
     except Exception:
         pass
     return _bgzf_decompress(raw)
 
 
 def read_bam(
-    path: str, with_names: bool = True, keep_unmapped: bool = True
+    path: str, with_names: bool = True, keep_unmapped: bool = True,
+    spill_dir: str | None = None,
 ) -> Tuple[ReadBatch, dict]:
     """Parse a BAM file -> (ReadBatch, header info).
 
     Reverse-strand alignments are flipped back to original read orientation
     (matching the reference importer, read_importer.cpp BAM path).
+    spill_dir keeps the decompressed stream and the code/qual matrices on
+    disk (memmap) — WGS-scale imports stay within bounded host RAM.
     """
-    data = _load_decompressed(path)
-    if data[:4] != b"BAM\x01":
+    data = _load_decompressed(path, spill_dir)
+    if bytes(data[:4]) != b"BAM\x01":
         raise ValueError(f"{path}: not a BAM file")
     l_text = struct.unpack_from("<i", data, 4)[0]
     off = 8 + l_text
@@ -112,7 +116,7 @@ def read_bam(
         l_name = struct.unpack_from("<i", data, off_n)[0]
         refs_n.append(
             (
-                data[off_n + 4 : off_n + 4 + l_name - 1].decode(),
+                bytes(data[off_n + 4 : off_n + 4 + l_name - 1]).decode(),
                 struct.unpack_from("<i", data, off_n + 4 + l_name)[0],
             )
         )
@@ -122,7 +126,7 @@ def read_bam(
     try:
         from biograph_tpu.native import bam_scan_native
 
-        out = bam_scan_native(data[off_n:], keep_unmapped)
+        out = bam_scan_native(data[off_n:], keep_unmapped, spill_dir=spill_dir)
     except Exception:
         out = None
     if out is not None:
@@ -140,7 +144,7 @@ def read_bam(
     refs = []
     for _ in range(n_ref):
         l_name = struct.unpack_from("<i", data, off)[0]
-        name = data[off + 4 : off + 4 + l_name - 1].decode()
+        name = bytes(data[off + 4 : off + 4 + l_name - 1]).decode()
         l_ref = struct.unpack_from("<i", data, off + 4 + l_name)[0]
         refs.append((name, l_ref))
         off += 8 + l_name

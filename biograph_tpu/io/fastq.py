@@ -51,6 +51,19 @@ def _read_maybe_gz(path: str) -> bytes:
         return f.read()
 
 
+def _buf_maybe_gz(path: str):
+    """File contents with no copy when possible: plain files mmap, gzipped
+    files decompress (RAM)."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+        f.seek(0)
+        if head == b"\x1f\x8b":
+            return gzip.open(f).read()
+    if not os.path.getsize(path):
+        return b""
+    return np.memmap(path, np.uint8, "r")
+
+
 def _split_lines(buf: bytes) -> Tuple[np.ndarray, np.ndarray]:
     """Return (line_starts, line_ends) for every line in buf (no newlines)."""
     arr = np.frombuffer(buf, dtype=np.uint8)
@@ -85,28 +98,39 @@ def read_fastq(
     with_quals: bool = True,
     with_names: bool = False,
     use_native: bool = True,
+    spill_dir: str | None = None,
 ) -> ReadBatch:
     """Parse a (possibly gzipped) FASTQ file into a ReadBatch.
 
     Uses the native C++ scanner (biograph_tpu.native) when available and
     names aren't needed; falls back to the vectorized numpy parser.
+    spill_dir (native path) keeps the code/qual matrices on disk so
+    WGS-scale imports stay within bounded host RAM; plain files are mmap'd,
+    never copied.
     """
-    buf = _read_maybe_gz(path)
+    buf = _buf_maybe_gz(path) if (use_native and not with_names) else _read_maybe_gz(path)
     if use_native and not with_names:
         try:
             from biograph_tpu.native import fastq_scan_native
 
-            out = fastq_scan_native(buf, with_quals=with_quals)
+            out = fastq_scan_native(buf, with_quals=with_quals, spill_dir=spill_dir)
         except ValueError:
             raise ValueError(f"{path}: malformed FASTQ")
         except Exception:
             out = None
         if out is not None:
             codes, quals, lengths = out
-            if codes.shape[0] == 0 and buf.strip():
+            nonblank = (
+                bool(buf.strip())
+                if isinstance(buf, bytes)
+                else bool((~np.isin(buf, np.frombuffer(b" \t\r\n", np.uint8))).any())
+            )
+            if codes.shape[0] == 0 and nonblank:
                 # non-empty file that parsed to zero reads = truncated record
                 raise ValueError(f"{path}: malformed FASTQ (truncated record)")
             return ReadBatch(codes=codes, lengths=lengths, quals=quals)
+    if not isinstance(buf, bytes):
+        buf = bytes(buf)
     arr = np.frombuffer(buf, dtype=np.uint8)
     starts, ends = _split_lines(buf)
     n_lines = len(starts) - (1 if len(starts) and starts[-1] >= len(buf) else 0)

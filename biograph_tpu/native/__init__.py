@@ -125,7 +125,20 @@ def get_lib():
         return lib
 
 
-def bgzf_decompress_native(buf, n_threads: int | None = None):
+def _alloc(shape, dtype, spill_dir, name):
+    """Output buffer: RAM by default, disk-backed memmap under spill_dir —
+    WGS-scale imports hold reads on disk, not in host memory (the
+    reference's analog is part_repo's file-backed partitions)."""
+    if spill_dir is None:
+        return np.zeros(shape, dtype)
+    os.makedirs(spill_dir, exist_ok=True)
+    return np.memmap(
+        os.path.join(spill_dir, name + ".mm"), dtype, "w+", shape=shape
+    )
+
+
+def bgzf_decompress_native(buf, n_threads: int | None = None,
+                           spill_dir: str | None = None):
     """Parallel BGZF decompression (the htslib multi-threaded-reader analog).
 
     `buf` is any uint8 buffer (bytes or np.memmap).  Returns a uint8 ndarray
@@ -153,7 +166,7 @@ def bgzf_decompress_native(buf, n_threads: int | None = None):
         return None  # scan table too small (shouldn't happen; be safe)
     u_off = np.zeros(k + 1, np.int64)
     np.cumsum(u_size[:k], out=u_off[1:])
-    out = np.empty(u_off[k], np.uint8)
+    out = _alloc((int(u_off[k]),), np.uint8, spill_dir, "bgzf_out")
     nt = n_threads or min(os.cpu_count() or 1, 16)
     rc = lib.bgzf_inflate(
         arr.ctypes.data, c_off.ctypes.data, c_size.ctypes.data,
@@ -164,15 +177,20 @@ def bgzf_decompress_native(buf, n_threads: int | None = None):
     return out
 
 
-def bam_scan_native(aln_buf: bytes, keep_unmapped: bool = True):
+def bam_scan_native(aln_buf, keep_unmapped: bool = True,
+                    spill_dir: str | None = None):
     """Parse decompressed BAM alignment records natively.
 
     Returns (codes, quals, lengths, flags, names) or None when the library
-    is unavailable."""
+    is unavailable.  spill_dir puts the code/qual matrices on disk."""
     lib = get_lib()
     if lib is None:
         return None
-    arr = np.frombuffer(aln_buf, np.uint8)
+    arr = (
+        np.frombuffer(aln_buf, np.uint8)
+        if isinstance(aln_buf, bytes)
+        else np.ascontiguousarray(aln_buf)
+    )
     nr = ctypes.c_longlong(0)
     ml = ctypes.c_longlong(0)
     nb = ctypes.c_longlong(0)
@@ -181,8 +199,8 @@ def bam_scan_native(aln_buf: bytes, keep_unmapped: bool = True):
         ctypes.byref(nr), ctypes.byref(ml), ctypes.byref(nb),
     )
     R, L = nr.value, max(ml.value, 1)
-    codes = np.zeros((R, L), np.uint8)
-    quals = np.zeros((R, L), np.uint8)
+    codes = _alloc((R, L), np.uint8, spill_dir, "bam_codes")
+    quals = _alloc((R, L), np.uint8, spill_dir, "bam_quals")
     lengths = np.zeros(R, np.int32)
     flags = np.zeros(R, np.int32)
     name_off = np.zeros(R + 1, np.int64)
@@ -200,16 +218,17 @@ def bam_scan_native(aln_buf: bytes, keep_unmapped: bool = True):
     return codes, quals, lengths, flags, names
 
 
-def fastq_scan_native(buf: bytes, with_quals: bool = True):
+def fastq_scan_native(buf, with_quals: bool = True,
+                      spill_dir: str | None = None):
     """Parse FASTQ bytes with the native scanner.
 
     Returns (codes [R, L], quals [R, L] | None, lengths [R]) or None if the
-    native library is unavailable.
+    native library is unavailable.  spill_dir puts the matrices on disk.
     """
     lib = get_lib()
     if lib is None:
         return None
-    arr = np.frombuffer(buf, np.uint8)
+    arr = np.frombuffer(buf, np.uint8) if isinstance(buf, bytes) else np.ascontiguousarray(buf)
     n_reads = ctypes.c_longlong(0)
     max_len = ctypes.c_longlong(0)
     rc = lib.fastq_dims(
@@ -218,8 +237,12 @@ def fastq_scan_native(buf: bytes, with_quals: bool = True):
     if rc != 0:
         raise ValueError("malformed FASTQ (native scanner)")
     R, L = n_reads.value, max(max_len.value, 1)
-    codes = np.zeros((R, L), np.uint8)
-    quals = np.zeros((R, L), np.uint8) if with_quals else np.zeros((1, 1), np.uint8)
+    codes = _alloc((R, L), np.uint8, spill_dir, "fq_codes")
+    quals = (
+        _alloc((R, L), np.uint8, spill_dir, "fq_quals")
+        if with_quals
+        else np.zeros((1, 1), np.uint8)
+    )
     lengths = np.zeros(R, np.int32)
     got = lib.fastq_scan(
         arr.ctypes.data,

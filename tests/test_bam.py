@@ -59,3 +59,23 @@ def test_mate_pairing():
     assert mate_of[0] == 2 and mate_of[2] == 0
     assert mate_of[1] == 4 and mate_of[4] == 1
     assert mate_of[3] == -1
+
+
+def test_spill_dir_imports_match_ram(tmp_path):
+    """spill_dir imports must be byte-identical to in-RAM imports, with the
+    big matrices living on disk (memmap)."""
+    from biograph_tpu.io.fastq import read_fastq
+
+    fq = "/root/reference/golden/quick_e_coli.fq"
+    a = read_fastq(fq)
+    b = read_fastq(fq, spill_dir=str(tmp_path / "fq"))
+    assert isinstance(b.codes, np.memmap)
+    assert (a.codes == b.codes).all() and (a.lengths == b.lengths).all()
+    assert (a.quals == b.quals).all()
+
+    bam = os.path.join(GOLDEN, "SRR003674_10000.bam")
+    x, _ = read_bam(bam)
+    y, _ = read_bam(bam, spill_dir=str(tmp_path / "bam"))
+    assert isinstance(y.codes, np.memmap)
+    assert (x.codes == y.codes).all() and (x.lengths == y.lengths).all()
+    assert x.names == y.names
