@@ -571,6 +571,7 @@ def cmd_coverage(args):
         ref,
         sample=args.sample,
         features_out=args.features,
+        joint_graph=getattr(args, "joint_graph", False),
     )
     n = len(ann.gt)
     print(f"coverage: {n} records annotated ({time.time()-t0:.1f}s) -> {args.out}")
@@ -1052,6 +1053,12 @@ def main(argv=None):
     pcov.add_argument("--out", required=True)
     pcov.add_argument("--sample", default="SAMPLE")
     pcov.add_argument("--features", help="write classifier feature matrix (.npz)")
+    pcov.add_argument(
+        "--joint-graph",
+        action="store_true",
+        dest="joint_graph",
+        help="re-genotype via the variant-graph path walk (vargraph analog)",
+    )
     pcov.set_defaults(fn=cmd_coverage)
 
     pf = sub.add_parser("full_pipeline", help="reads -> results VCF, all stages")

@@ -90,6 +90,15 @@ class Reference:
         for c in self.contigs:
             if c.name == name:
                 return c
+        # supercontig naming "scaffold:offset" (the reference's flat_ref
+        # exporters emit positions relative to a scaffold's supercontig,
+        # modules/bio_base/flat_ref.h — e.g. golden/pileup.vcf "Chromosome:0")
+        if ":" in name:
+            base, _, off = name.rpartition(":")
+            if off.isdigit():
+                c = self.contig_by_name(base)
+                off = int(off)
+                return Contig(name=name, start=c.start + off, length=c.length - off)
         raise KeyError(name)
 
     def get_codes(self, name: str, start: int = 0, end: int | None = None) -> np.ndarray:

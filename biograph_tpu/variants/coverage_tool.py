@@ -372,15 +372,24 @@ def run_coverage(
     features_out: str | None = None,
     pair_cov: bool = True,
     phase: bool = True,
+    joint_graph: bool = False,
 ):
     """Annotate a VCF with coverage evidence + genotypes (pcmp output).
 
     pair_cov adds the PC INFO field (mate-pair spanning support,
     pair_cov analog); the readmap needs mate-loop pairing for it to be
     non-zero.  phase links read-spanned het pairs into '|'-phased blocks
-    with PS tags (modules/variants/phase.h analog)."""
+    with PS tags (modules/variants/phase.h analog).  joint_graph
+    re-genotypes through the variant-graph path walk (variants/vargraph.py,
+    modules/vargraph analog) and adds VG = best per-edge traversal count."""
     records = read_vcf(vcf_in)
     ann = annotate_coverage(biograph.readmap, reference, records)
+    vg = None
+    if joint_graph:
+        from biograph_tpu.variants.vargraph import evaluate_vargraph
+
+        vg = evaluate_vargraph(biograph.readmap, reference, records)
+        ann.gt[:] = vg.gt
     if pair_cov:
         pc = annotate_pair_coverage(biograph.readmap, reference, records)
     else:
@@ -395,6 +404,7 @@ def run_coverage(
     headers = [
         '##INFO=<ID=DP,Number=1,Type=Integer,Description="Total allele depth">',
         '##INFO=<ID=PC,Number=1,Type=Integer,Description="Read pairs spanning the variant in proper orientation">',
+        '##INFO=<ID=VG,Number=1,Type=Integer,Description="Best variant-graph edge traversal count (joint path context)">',
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
         '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">',
         '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="Allelic depths (ref,alt)">',
@@ -412,6 +422,8 @@ def run_coverage(
             dp = int(ann.alt_depth[i] + ann.ref_depth[i])
             rec.info["DP"] = dp
             rec.info["PC"] = int(pc[i])
+            if vg is not None:
+                rec.info["VG"] = int(max(vg.edge_reads[i].max(initial=0), 0))
             rec.fmt = {
                 "GT": gt[i],
                 "GQ": int(ann.gq[i]),
