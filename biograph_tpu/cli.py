@@ -744,7 +744,11 @@ def cmd_full_pipeline(args):
     results = os.path.join(analysis, "results.vcf")
 
     def stage(name, done_path, fn):
-        if args.resume and os.path.exists(done_path):
+        rerun = getattr(args, "rerun", None)
+        if rerun and name != rerun and os.path.exists(done_path):
+            print(f"[{name}] exists, skipping (--rerun {rerun})")
+            return
+        if args.resume and not rerun and os.path.exists(done_path):
             print(f"[{name}] exists, skipping ({done_path})")
             return
         t0 = time.time()
@@ -1074,6 +1078,12 @@ def main(argv=None):
     pf.add_argument("--classifier-model", help="trained model .npz")
     pf.add_argument("--resume", action="store_true")
     pf.add_argument("--stop", help="halt after the named stage")
+    pf.add_argument(
+        "--rerun",
+        help="force re-execution of ONE named stage, keeping every other "
+        "completed stage's artifact (bgbinary rerun analog, "
+        "modules/main/rerun.cpp)",
+    )
     pf.set_defaults(fn=cmd_full_pipeline)
 
     pg = sub.add_parser("grm", help="SV breakend mappability annotation")

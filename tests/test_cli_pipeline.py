@@ -153,6 +153,19 @@ def test_cli_full_pipeline_ecoli(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert r2.stdout.count("skipping") >= 3
 
+    # rerun: exactly one named stage re-executes (bgbinary rerun analog)
+    body0 = open(results).read()
+    disc = os.path.join(out, "analysis", "discovery.vcf")
+    dt0 = os.path.getmtime(disc)
+    cov = os.path.join(out, "analysis", "coverage.vcf")
+    ct0 = os.path.getmtime(cov)
+    r3 = _run(args + ["--rerun", "discovery"], timeout=1500)
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert os.path.getmtime(disc) > dt0  # discovery reran
+    assert os.path.getmtime(cov) == ct0  # downstream artifact untouched
+    assert open(results).read() == body0
+    assert r3.stdout.count("skipping (--rerun discovery)") >= 2
+
 
 def test_cli_dev_commands(tmp_path):
     """query / dump_flat / ref2seqset / metadata dev-command parity
