@@ -46,6 +46,28 @@ if not _os.environ.get("BGT_NO_COMPILE_CACHE"):
 
 __version__ = "0.1.0"
 
+
+def version() -> str:
+    """Package version (reference SDK `biograph.version()` analog)."""
+    return __version__
+
+
+def build_revision() -> str:
+    """VCS revision of the build (reference `build_revision` analog)."""
+    import os
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=5,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
 from biograph_tpu.core import dna  # noqa: E402
 from biograph_tpu.api import BioGraph, Sequence  # noqa: E402
 from biograph_tpu.index.seqset import Seqset, SeqsetRanges  # noqa: E402

@@ -121,6 +121,75 @@ class SeqsetEntry:
         return f"SeqsetEntry([{self.begin},{self.end}), size={self.size})"
 
 
+class ReadmapRead:
+    """Handle on one readmap entry (reference ReadmapRead analog,
+    python/biograph/__init__.py exports; readmap.h:240 readmap::read)."""
+
+    def __init__(self, readmap, rm_id: int):
+        self._rm = readmap
+        self.rm_id = int(rm_id)
+
+    @property
+    def length(self) -> int:
+        return int(self._rm.read_lengths[self.rm_id])
+
+    @property
+    def is_forward(self) -> bool:
+        return bool(self._rm.is_forward[self.rm_id])
+
+    @property
+    def read_id(self) -> int:
+        return int(self._rm.read_ids[self.rm_id])
+
+    @property
+    def entry_id(self) -> int:
+        return int(self._rm.entry_of_rm[self.rm_id])
+
+    def sequence(self) -> Sequence:
+        import jax.numpy as jnp
+
+        codes = self._rm.seqset.d.sequences(
+            jnp.asarray([self.entry_id], jnp.int64), self.length
+        )
+        return Sequence(np.asarray(codes)[0][: self.length])
+
+    def rev_comp(self) -> "ReadmapRead":
+        rc = int(np.asarray(self._rm.get_rev_comp(np.asarray([self.rm_id])))[0])
+        return ReadmapRead(self._rm, rc)
+
+    def mate(self) -> "ReadmapRead | None":
+        if not bool(np.asarray(self._rm.has_mate(np.asarray([self.rm_id])))[0]):
+            return None
+        m = int(np.asarray(self._rm.get_mate(np.asarray([self.rm_id])))[0])
+        return ReadmapRead(self._rm, m)
+
+    def __repr__(self):
+        return (
+            f"ReadmapRead(rm_id={self.rm_id}, len={self.length}, "
+            f"{'fwd' if self.is_forward else 'rev'})"
+        )
+
+
+class ReferenceRange:
+    """A [start, end) window of one reference contig (ReferenceRange analog)."""
+
+    def __init__(self, reference, contig: str, start: int, end: int):
+        self._ref = reference
+        self.contig = contig
+        self.start = int(start)
+        self.end = int(end)
+
+    @property
+    def size(self) -> int:
+        return self.end - self.start
+
+    def sequence(self) -> Sequence:
+        return Sequence(self._ref.get_codes(self.contig, self.start, self.end))
+
+    def __repr__(self):
+        return f"ReferenceRange({self.contig}:{self.start}-{self.end})"
+
+
 class BioGraph:
     """Open a sample archive: .bgt (this package) or .bg (reference format)."""
 
@@ -182,6 +251,18 @@ class BioGraph:
             jnp.asarray(codes[None, :]), jnp.asarray([len(codes)], jnp.int32)
         )
         return np.asarray(f + r)[0]
+
+    def read(self, rm_id: int) -> ReadmapRead:
+        """Handle on one readmap entry."""
+        if self.readmap is None:
+            raise ValueError("no readmap")
+        return ReadmapRead(self.readmap, rm_id)
+
+    def pair_stats(self) -> dict:
+        """ReadmapPairStats analog: paired/unpaired read + base counts."""
+        if self.readmap is None:
+            raise ValueError("no readmap")
+        return self.readmap.get_pair_stats()
 
     @property
     def num_reads(self) -> int:

@@ -101,6 +101,15 @@ class Reference:
                 return Contig(name=name, start=c.start + off, length=c.length - off)
         raise KeyError(name)
 
+    def make_range(self, name: str, start: int, end: int):
+        """ReferenceRange handle (reference SDK ReferenceRange analog)."""
+        from biograph_tpu.api import ReferenceRange
+
+        c = self.contig_by_name(name)
+        if not (0 <= start <= end <= c.length):
+            raise ValueError(f"{name}:{start}-{end} outside contig of {c.length}")
+        return ReferenceRange(self, name, start, end)
+
     def get_codes(self, name: str, start: int = 0, end: int | None = None) -> np.ndarray:
         c = self.contig_by_name(name)
         end = c.length if end is None else end

@@ -133,3 +133,25 @@ def visualize(bg, ref, contig: str, start: int, end: int, width: int = 80) -> st
         )
         lines.append("".join(marks[off:hi]))
     return "\n".join(lines)
+
+
+def genotyper(total_depth, alt_depth):
+    """Bayesian genotyper over depths (reference python/biograph/utils.py:532).
+
+    Returns (gt, gq) per element: gt in {"0/0", "0/1", "1/1"}; gq the
+    phred-scaled gap to the runner-up state."""
+    import numpy as np
+
+    from biograph_tpu.variants.coverage_tool import genotyper_log10
+
+    n = np.atleast_1d(np.asarray(total_depth, np.int64))
+    a = np.atleast_1d(np.asarray(alt_depth, np.int64))
+    gl = genotyper_log10(np.maximum(n, 1), a)
+    order = np.argsort(-gl, axis=1)
+    best = order[:, 0]
+    gq = np.round(10 * (gl[np.arange(len(n)), best] - gl[np.arange(len(n)), order[:, 1]]))
+    names = np.asarray(["0/0", "0/1", "1/1"])
+    gts = names[best]
+    if np.isscalar(total_depth) or np.ndim(total_depth) == 0:
+        return str(gts[0]), int(gq[0])
+    return gts, gq.astype(np.int64)

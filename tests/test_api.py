@@ -65,3 +65,48 @@ def test_biograph_opens_reference_bg():
 def test_biograph_missing(tmp_path):
     with pytest.raises(FileNotFoundError):
         BioGraph(str(tmp_path / "nope"))
+
+
+def test_sdk_read_handles_and_ranges(sample_bgt):
+    """ReadmapRead / ReadmapPairStats / ReferenceRange / version exports
+    (reference python/biograph/__init__.py export list)."""
+    import biograph_tpu
+    from biograph_tpu.index.reference import Reference
+
+    path, genome, codes = sample_bgt
+    bg = BioGraph(path)
+
+    r = bg.read(0)
+    assert r.length > 0
+    s = r.sequence()
+    assert len(s) == r.length
+    rc = r.rev_comp()
+    assert rc.length == r.length
+    assert str(rc.sequence()) == str(s.rev_comp())
+    assert r.mate() is None or r.mate().length > 0
+
+    stats = bg.pair_stats()
+    assert stats["paired_reads"] + stats["unpaired_reads"] == bg.num_reads
+
+    ref = Reference(
+        flat=genome,
+        is_n=(genome == 255),
+        contigs=[__import__("biograph_tpu.index.reference", fromlist=["Contig"]).Contig("g", 0, len(genome))],
+    )
+    rr = ref.make_range("g", 100, 160)
+    assert rr.size == 60
+    assert str(rr.sequence()) == dna.codes_to_seq(genome[100:160])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ref.make_range("g", 50, len(genome) + 1)
+
+    assert biograph_tpu.version() == biograph_tpu.__version__
+    assert isinstance(biograph_tpu.build_revision(), str)
+
+    from biograph_tpu.utils import genotyper
+
+    gt, gq = genotyper(30, 15)
+    assert gt == "0/1" and gq > 0
+    gts, gqs = genotyper([30, 30, 30], [0, 15, 30])
+    assert list(gts) == ["0/0", "0/1", "1/1"]
