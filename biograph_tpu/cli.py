@@ -873,17 +873,23 @@ def cmd_upgrade(args):
 
 
 def cmd_vdb(args):
-    """Local variant warehouse (reference: biograph vdb, python/biograph/vdb/)."""
+    """Local variant warehouse (reference: biograph vdb, python/biograph/vdb/).
+
+    Command groups mirror vcf_cmd/anno_cmd/study_cmd/query_cmd; the flat
+    ingest/list/query/export spellings are the original VDB-lite surface and
+    keep working on the same sqlite store."""
     from biograph_tpu.tools import vdb
 
-    if args.vdb_cmd == "ingest":
+    c = args.vdb_cmd
+    if c == "ingest":
         n = vdb.ingest(args.db, args.vcf, args.sample)
         print(f"vdb ingest: {n} records from {args.vcf} as {args.sample!r}")
-    elif args.vdb_cmd == "list":
-        meta = vdb.list_samples(args.db)
-        for s, info in sorted(meta.items()):
+        return
+    if c == "list":
+        for s, info in sorted(vdb.list_samples(args.db).items()):
             print(f"{s}\t{info['records']} records\t{info['ingested']}")
-    elif args.vdb_cmd == "query":
+        return
+    if c == "query" and getattr(args, "sql", None) is None:
         rows = vdb.query(
             args.db,
             sample=args.sample,
@@ -899,9 +905,110 @@ def cmd_vdb(args):
                 f"{r['alt']}\t{r['qual']:.0f}\t{r['filter']}\t{r['gt']}"
             )
         print(f"# {len(rows)} rows")
-    elif args.vdb_cmd == "export":
+        return
+    if c == "export" and not hasattr(args, "aid"):
         n = vdb.export(args.db, args.sample, args.out)
         print(f"vdb export: {n} records -> {args.out}")
+        return
+    if c == "vcf" and args.vcf_cmd == "sort":  # pure file op, no warehouse
+        n = vdb.sort_vcf(args.input, args.output, chromosomal=args.chromosomal)
+        print(f"sorted {n} records -> {args.output}")
+        return
+
+    v = vdb.VDB(args.db)
+    try:
+        if c == "query":  # raw SQL (query_cmd.py / Athena analog)
+            for row in v.query(args.sql):
+                print("\t".join("." if x is None else str(x) for x in row))
+        elif c == "vcf":
+            vc = args.vcf_cmd
+            if vc == "import":
+                aid, n = v.import_vcf(
+                    args.input, sample=args.sample, description=args.description,
+                    refname=args.refname, aid=args.aid,
+                )
+                print(f"{aid}\t{n} records")
+            elif vc == "list":
+                for r in v.list_vcfs(args.sample):
+                    print(
+                        f"{r['aid']}\t{r['sample_name']}\t{r['record_count']}"
+                        f"\t{r['refname']}\t{r['imported_on']}"
+                    )
+            elif vc == "export":
+                n = v.export_vcf(args.aid, args.output)
+                print(f"vdb vcf export: {n} records -> {args.output}")
+            elif vc == "delete":
+                print(f"deleted {v.delete_vcf(*args.aid)} dataset(s)")
+            elif vc == "sort":
+                n = vdb.sort_vcf(args.input, args.output, chromosomal=args.chromosomal)
+                print(f"sorted {n} records -> {args.output}")
+        elif c == "anno":
+            ac = args.anno_cmd
+            if ac == "import":
+                aid, n = v.import_anno(args.input, name=args.name, version=args.version)
+                print(f"{aid}\t{n} records")
+            elif ac == "list":
+                for r in v.list_annos():
+                    print(
+                        f"{r['aid']}\t{r['anno_name']}\t{r['version']}"
+                        f"\t{r['record_count']}\t{r['imported_on']}"
+                    )
+            elif ac == "delete":
+                print(f"deleted {v.delete_anno(*args.aid)} annotation(s)")
+        elif c == "study":
+            sc = args.study_cmd
+            if sc == "create":
+                v.create_study(args.study_name)
+                print(f"Study '{args.study_name}' created")
+            elif sc == "list":
+                for name, created in v.list_studies():
+                    print(f"{name:<21} {(created or '')[:19]}")
+            elif sc == "show":
+                s = v.show_study(args.study_name)
+                for k, val in sorted(s["meta"].items()):
+                    print(f"{k:>16}: {val}")
+                print(f"{'checkpoint':>16}: {s['checkpoint']}")
+                print(f"\n{'sample_name':<17}variant_count")
+                for name, count in s["samples"]:
+                    print(f"{name:<17}{count}")
+            elif sc == "add":
+                if args.src_study:
+                    cp = v.copy_from_study(
+                        args.src_study, args.checkpoint, args.study_name, args.sample
+                    )
+                else:
+                    cp = v.add_to_study(args.study_name, args.sample)
+                print(f"Study '{args.study_name}' at checkpoint {cp}")
+            elif sc == "filter":
+                cp, kept = v.filter_study(
+                    args.study_name,
+                    args.include or args.exclude,
+                    exclude=args.include is None,
+                )
+                print(f"checkpoint {cp}: {kept} rows kept")
+            elif sc == "export":
+                n = v.export_study(
+                    args.study_name, args.output, checkpoint=args.checkpoint,
+                    anno=args.anno, square_off=args.square_off,
+                    chromosomal=args.chromosomal,
+                    fields=args.fields.split(":") if args.fields else None,
+                    no_header=args.no_header,
+                )
+                print(f"study export: {n} sites -> {args.output}")
+            elif sc == "revert":
+                cp = v.revert_study(args.study_name, args.checkpoint)
+                print(f"Study '{args.study_name}' reverted to checkpoint {cp}")
+            elif sc == "freeze":
+                v.freeze_study(args.study_name)
+                print(f"Study '{args.study_name}' frozen")
+            elif sc == "unfreeze":
+                v.freeze_study(args.study_name, frozen=False)
+                print(f"Study '{args.study_name}' unfrozen")
+            elif sc == "delete":
+                v.delete_study(args.study_name)
+                print(f"Study '{args.study_name}' deleted")
+    finally:
+        v.close()
 
 
 def cmd_refhash(args):
@@ -1139,14 +1246,16 @@ def main(argv=None):
 
     pv = sub.add_parser("vdb", help="local variant warehouse")
     vsub = pv.add_subparsers(dest="vdb_cmd", required=True)
-    vi = vsub.add_parser("ingest")
+    # flat VDB-lite spellings (kept for compatibility)
+    vi = vsub.add_parser("ingest", help="(flat) import a VCF under a sample name")
     vi.add_argument("--db", required=True)
     vi.add_argument("--vcf", required=True)
     vi.add_argument("--sample", required=True)
-    vl = vsub.add_parser("list")
+    vl = vsub.add_parser("list", help="(flat) list samples")
     vl.add_argument("--db", required=True)
-    vq = vsub.add_parser("query")
+    vq = vsub.add_parser("query", help="filter query, or raw SQL when SQL is given")
     vq.add_argument("--db", required=True)
+    vq.add_argument("sql", nargs="?", help="raw SELECT over the warehouse tables")
     vq.add_argument("--sample")
     vq.add_argument("--chrom")
     vq.add_argument("--pos-min", type=int)
@@ -1154,10 +1263,84 @@ def main(argv=None):
     vq.add_argument("--min-qual", type=float)
     vq.add_argument("--passing", action="store_true")
     vq.add_argument("--limit", type=int, default=50)
-    ve = vsub.add_parser("export")
+    ve = vsub.add_parser("export", help="(flat) export a sample to VCF")
     ve.add_argument("--db", required=True)
     ve.add_argument("--sample", required=True)
     ve.add_argument("--out", required=True)
+    # vcf group (reference: python/biograph/vdb/vcf_cmd.py)
+    pvv = vsub.add_parser("vcf", help="imported-VCF datasets")
+    vvsub = pvv.add_subparsers(dest="vcf_cmd", required=True)
+    x = vvsub.add_parser("import")
+    x.add_argument("--db", required=True)
+    x.add_argument("input")
+    x.add_argument("-s", "--sample", help="sample name (default: from VCF header)")
+    x.add_argument("-d", "--description", default="")
+    x.add_argument("-r", "--refname", help="reference name/hash (default: from file)")
+    x.add_argument("--aid", help="explicit GUID (default: autogenerate)")
+    x = vvsub.add_parser("list")
+    x.add_argument("--db", required=True)
+    x.add_argument("-s", "--sample", help="sample name prefix filter")
+    x = vvsub.add_parser("export")
+    x.add_argument("--db", required=True)
+    x.add_argument("-a", "--aid", required=True)
+    x.add_argument("-o", "--output", default="/dev/stdout")
+    x = vvsub.add_parser("delete")
+    x.add_argument("--db", required=True)
+    x.add_argument("aid", nargs="+")
+    x = vvsub.add_parser("sort")
+    x.add_argument("-i", "--input", default="/dev/stdin")
+    x.add_argument("-o", "--output", default="/dev/stdout")
+    x.add_argument("-c", "--chromosomal", action="store_true",
+                   help="natural order (1,2,10,X) instead of alphabetic")
+    x.set_defaults(db=".")  # sort is file->file; no warehouse needed
+    # anno group (anno_cmd.py)
+    pva = vsub.add_parser("anno", help="annotation datasets")
+    vasub = pva.add_subparsers(dest="anno_cmd", required=True)
+    x = vasub.add_parser("import")
+    x.add_argument("--db", required=True)
+    x.add_argument("input")
+    x.add_argument("-n", "--name", required=True)
+    x.add_argument("-V", "--version", default="1")
+    x = vasub.add_parser("list")
+    x.add_argument("--db", required=True)
+    x = vasub.add_parser("delete")
+    x.add_argument("--db", required=True)
+    x.add_argument("aid", nargs="+")
+    # study group (study_cmd.py)
+    pvs = vsub.add_parser("study", help="checkpointed variant studies")
+    vssub = pvs.add_subparsers(dest="study_cmd", required=True)
+    for name in ("create", "show", "freeze", "unfreeze", "delete"):
+        x = vssub.add_parser(name)
+        x.add_argument("--db", required=True)
+        x.add_argument("study_name")
+    x = vssub.add_parser("list")
+    x.add_argument("--db", required=True)
+    x = vssub.add_parser("add")
+    x.add_argument("--db", required=True)
+    x.add_argument("study_name")
+    x.add_argument("sample", nargs="+", help="sample name (wildcards ok) or aid")
+    x.add_argument("--from", dest="src_study", help="copy from this study")
+    x.add_argument("--checkpoint", type=int, help="with --from: source checkpoint")
+    x = vssub.add_parser("filter")
+    x.add_argument("--db", required=True)
+    x.add_argument("study_name")
+    g = x.add_mutually_exclusive_group(required=True)
+    g.add_argument("-i", "--include", help="keep variants matching this filter")
+    g.add_argument("-e", "--exclude", help="drop variants matching this filter")
+    x = vssub.add_parser("export")
+    x.add_argument("--db", required=True)
+    x.add_argument("study_name")
+    x.add_argument("-o", "--output", default="/dev/stdout")
+    x.add_argument("-a", "--anno")
+    x.add_argument("-c", "--chromosomal", action="store_true")
+    x.add_argument("--fields", help="FORMAT fields to export, ':'-separated")
+    x.add_argument("--checkpoint", type=int)
+    x.add_argument("--square-off", dest="square_off")
+    x.add_argument("--no-header", dest="no_header", action="store_true")
+    x = vssub.add_parser("revert")
+    x.add_argument("--db", required=True)
+    x.add_argument("study_name")
+    x.add_argument("--checkpoint", type=int, help="target (default: back one)")
     pv.set_defaults(fn=cmd_vdb)
 
     args = p.parse_args(argv)
