@@ -98,6 +98,25 @@ def cmd_create(args):
         if R % 2:
             mate_of[-1] = -1
 
+    if getattr(args, "cut_reads", None):
+        from biograph_tpu.io.fastq import cut_reads
+
+        lo, _, hi = args.cut_reads.partition("-")
+        batch = cut_reads(batch, int(lo), int(hi))
+        LOG.info(f"cut_reads: kept bases {lo}-{hi}")
+    if getattr(args, "sample_reads", 0):
+        # sampling runs after pairing so mates of dropped reads just become
+        # unpaired, matching import-time sampling (biograph_create.cpp:125)
+        from biograph_tpu.io.fastq import sample_mask, subset_batch
+
+        keep = sample_mask(batch.num_reads, args.sample_reads)
+        remap = np.full(batch.num_reads, -1, np.int64)
+        remap[keep] = np.arange(int(keep.sum()))
+        batch = subset_batch(batch, keep)
+        if mate_of is not None:
+            mate_of = np.where(mate_of >= 0, remap[mate_of], -1)[keep]
+        LOG.info(f"sample_reads: kept {batch.num_reads} reads")
+
     with progress.stage("kmerize"):
         kc = count_kmers(batch.codes, batch.lengths, k=args.kmer_size)
     timings["kmerize"] = progress.timings["kmerize"]
@@ -1077,6 +1096,18 @@ def main(argv=None):
         "--spill-dir",
         help="spill imported reads to disk memmaps (bounded host RAM; "
         "combine with BGT_HBM_BUDGET_BYTES for a fully out-of-core create)",
+    )
+    pc.add_argument(
+        "--sample-reads",
+        type=float,
+        default=0.0,
+        help="if non-zero, keep this portion of the input reads "
+        "(e.g. 0.25 keeps 1 in 4; biograph_create.cpp:316)",
+    )
+    pc.add_argument(
+        "--cut-reads",
+        help="START-END: keep only these bases of each read, 1-based "
+        "inclusive (biograph_create.cpp:319)",
     )
     pc.set_defaults(fn=cmd_create)
 

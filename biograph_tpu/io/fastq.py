@@ -221,6 +221,59 @@ def _fasta_codes(seq: bytes) -> np.ndarray:
     return dna.encode_ascii(np.frombuffer(seq, dtype=np.uint8))
 
 
+def sample_mask(n_reads: int, fraction: float) -> np.ndarray:
+    """Deterministic read sampling (bool keep-mask).
+
+    Analog of the reference importer's accumulator sampler
+    (modules/biograph/biograph_create.cpp:125-128: accum starts at 0.5,
+    += fraction per read, a read is taken each time it crosses 1):
+    read i is kept iff floor(0.5 + f*(i+1)) > floor(0.5 + f*i)."""
+    if not 0.0 < fraction < 1.0:
+        raise ValueError("--sample-reads fraction must be in (0, 1)")
+    i = np.arange(n_reads + 1, dtype=np.float64)
+    marks = np.floor(0.5 + fraction * i)
+    return (marks[1:] > marks[:-1])
+
+
+def subset_batch(batch: ReadBatch, keep: np.ndarray) -> ReadBatch:
+    """Row-subset a ReadBatch by a bool mask or index array."""
+    names = None
+    if batch.names is not None:
+        idx = np.nonzero(keep)[0] if keep.dtype == bool else keep
+        names = [batch.names[int(i)] for i in idx]
+    return ReadBatch(
+        codes=batch.codes[keep],
+        lengths=batch.lengths[keep],
+        quals=None if batch.quals is None else batch.quals[keep],
+        names=names,
+    )
+
+
+def cut_reads(batch: ReadBatch, start: int, end: int) -> ReadBatch:
+    """Keep only the start-th..end-th base (1-based, inclusive) of each read
+    (analog of read_importer::set_cut_region,
+    modules/build_seqset/read_importer.h:35).  Reads shorter than `start`
+    become zero-length (they are dropped later like uncorrectable reads)."""
+    if not (1 <= start < end):
+        raise ValueError("--cut-reads wants START-END with 1 <= START < END")
+    s, w = start - 1, end - start + 1
+    R, L = batch.codes.shape
+    new_len = np.clip(batch.lengths.astype(np.int64) - s, 0, w).astype(np.int32)
+    wL = max(min(w, L - s), 1)
+    take = batch.codes[:, s : s + wL] if s < L else np.zeros((R, 1), np.uint8)
+    mask = np.arange(take.shape[1])[None, :] < new_len[:, None]
+    quals = None
+    if batch.quals is not None:
+        tq = batch.quals[:, s : s + wL] if s < L else np.zeros((R, 1), np.uint8)
+        quals = np.where(mask, tq, 0)
+    return ReadBatch(
+        codes=np.where(mask, take, 0),
+        lengths=new_len,
+        quals=quals,
+        names=batch.names,
+    )
+
+
 def pad_batches(batches: List[ReadBatch]) -> ReadBatch:
     """Concatenate ReadBatches, padding to the widest."""
     L = max(b.max_len for b in batches)

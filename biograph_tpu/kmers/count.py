@@ -109,7 +109,9 @@ def count_kmers(
     include_revcomp_reads=False matches the kmerize_reads pipeline (each read
     counted once in its stored orientation).
     """
-    if codes.shape[0] == 0:
+    if codes.shape[0] == 0 or codes.shape[1] < k:
+        # no read wide enough to hold a single k-mer (e.g. aggressive
+        # --cut-reads): an empty count, not a zero-size device scatter
         return KmerCounts(k, np.zeros(0, np.uint64), np.zeros(0, np.int64), np.zeros(0, np.int64))
     parts = []
     for lo in range(0, codes.shape[0], batch_rows):

@@ -301,3 +301,52 @@ def test_cli_tool_commands(tmp_path):
     r = _run(["vdb", "export", "--db", db, "--sample", "father", "--out", str(out_vcf)])
     assert r.returncode == 0, r.stderr[-2000:]
     assert sum(1 for l in open(out_vcf) if not l.startswith("#")) == n_calls
+
+
+def test_cli_create_sample_and_cut(tmp_path):
+    """create --sample-reads / --cut-reads importer options
+    (reference: biograph_create.cpp:316-321 + read_importer.h:35)."""
+    import numpy as np
+
+    from biograph_tpu.io.fastq import cut_reads, read_fastq, sample_mask, subset_batch
+
+    src = os.path.join(GOLDEN, "quick_e_coli.fq")
+    full = read_fastq(src)
+    R = full.num_reads
+
+    # deterministic accumulator sampling: ~1 in 4, evenly spread
+    keep = sample_mask(R, 0.25)
+    assert abs(int(keep.sum()) - R // 4) <= 1
+    assert (np.diff(np.nonzero(keep)[0]) == 4).all()
+    sub = subset_batch(full, keep)
+    assert sub.num_reads == int(keep.sum())
+    assert sub.sequence(0) == full.sequence(int(np.nonzero(keep)[0][0]))
+
+    # cutting: bases 5-20 (1-based inclusive) of each read
+    cut = cut_reads(full, 5, 20)
+    assert int(cut.lengths.max()) == 16
+    assert cut.sequence(0) == full.sequence(0)[4:20]
+    # a read shorter than the cut start becomes zero-length
+    tiny = subset_batch(full, np.arange(1))
+    tiny.lengths[:] = 3
+    assert int(cut_reads(tiny, 5, 20).lengths[0]) == 0
+
+    # through the CLI: sampled+cut create produces a valid smaller .bgt
+    bgt = str(tmp_path / "cutsample.bgt")
+    r = _run(
+        [
+            "create",
+            "--reads", src,
+            "--out", bgt,
+            "--sample-reads", "0.25",
+            "--cut-reads", "5-20",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.load(open(os.path.join(bgt, "metadata.json")))
+    assert meta["num_reads"] == int(keep.sum())
+    # every surviving entry is <= the cut width * 2 suffix structure and the
+    # seqset answers a cut read's prefix
+    q = cut.sequence(int(np.nonzero(keep)[0][0]))[:12]
+    r = _run(["query", "--biograph", bgt, "--query", q])
+    assert r.returncode == 0 and "entries share this prefix" in r.stdout
