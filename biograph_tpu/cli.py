@@ -1030,6 +1030,29 @@ def cmd_vdb(args):
         v.close()
 
 
+def cmd_mendelian(args):
+    """Mendelian-error annotation of a family VCF against a pedigree
+    (reference: python/biograph/tools/mendelian_annotator.py)."""
+    from biograph_tpu.tools.mendelian import annotate_vcf
+    from biograph_tpu.utils.pedigree import Pedigree
+
+    ped = Pedigree(args.pedigree)
+    report = annotate_vcf(args.vcf, args.output, ped, ref_count=args.ref_count)
+    base = (
+        args.output[: -len(".vcf.gz")]
+        if args.output.endswith(".vcf.gz")
+        else args.output.rsplit(".vcf", 1)[0]
+    )
+    report.write_json(base + "_stats.json")
+    report.write_text(base + "_stats.txt")
+    overall = report.finalize()["overall"]
+    n_err = sum(c["err"] for c in overall["type_counts"].values())
+    print(
+        f"mendelian: {report.var_count} variants, {n_err} with a family error"
+        f" -> {args.output} (+_stats.json/_stats.txt)"
+    )
+
+
 def cmd_refhash(args):
     """Reference fingerprint (reference: tools/refhash.py)."""
     from biograph_tpu.index.reference import Reference
@@ -1270,6 +1293,18 @@ def main(argv=None):
     pu.add_argument("--in", dest="input", required=True)
     pu.add_argument("--out", required=True)
     pu.set_defaults(fn=cmd_upgrade)
+
+    pmd = sub.add_parser("mendelian", help="trio Mendelian-error annotation")
+    pmd.add_argument("-v", "--vcf", required=True, help="family VCF ('-' = stdin)")
+    pmd.add_argument("-p", "--pedigree", required=True, help="PED file")
+    pmd.add_argument(
+        "-r",
+        "--ref-count",
+        action="store_true",
+        help="count all-hom-ref trios as consistent instead of skipping",
+    )
+    pmd.add_argument("-o", "--output", required=True, help="annotated VCF out")
+    pmd.set_defaults(fn=cmd_mendelian)
 
     ph = sub.add_parser("refhash", help="reference fingerprint")
     ph.add_argument("--ref", required=True)

@@ -155,3 +155,6 @@ def genotyper(total_depth, alt_depth):
     if np.isscalar(total_depth) or np.ndim(total_depth) == 0:
         return str(gts[0]), int(gq[0])
     return gts, gq.astype(np.int64)
+
+
+from biograph_tpu.utils.pedigree import Pedigree, PedSample  # noqa: E402,F401
