@@ -431,9 +431,16 @@ def cmd_discovery(args):
                 region=region,
             )
         else:
+            asm_dump = [] if getattr(args, "assemblies_out", None) else None
             recs = discover_variants(
-                bg.seqset, ref, region=region, opt=opt, readmap=bg.readmap
+                bg.seqset, ref, region=region, opt=opt, readmap=bg.readmap,
+                out_assemblies=asm_dump,
             )
+            if asm_dump is not None:
+                from biograph_tpu.variants.discover import write_assembly_csv
+
+                n = write_assembly_csv(args.assemblies_out, ref, asm_dump)
+                print(f"assemblies: {n} -> {args.assemblies_out}")
         n_wave = len(recs)
         n_sv = 0
         if bg.readmap is not None and not getattr(args, "no_sv", False):
@@ -1202,6 +1209,12 @@ def main(argv=None):
         metavar="FIELD=VALUE",
         help="engine knob override (any DiscoverOptions field; repeatable; "
         "also settable via BGT_OPT_<FIELD> env or BGT_CONFIG json)",
+    )
+    pd.add_argument(
+        "--assemblies-out",
+        metavar="CSV",
+        help="dump the scored wavefront assemblies to this CSV "
+        "(biograph_variants.cpp:546 write_csv_assembly analog)",
     )
     pd.add_argument(
         "--exclude",

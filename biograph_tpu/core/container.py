@@ -9,8 +9,9 @@ directory:
     <name>.bgt/
         manifest.json     — uuid, artifact type, version, build stamp, scalars
         <part>.npy        — one numpy array per part (mmap-loaded on open)
-        <part>.npy.z      — zlib-coded part (reference codec layer analog,
-                            modules/io/zip_slice.h; decoded on open, no mmap)
+        <part>.npy.z      — codec-coded part (zlib/bz2/lzma; reference codec
+                            layer analog, modules/io/zip_slice.h etc.;
+                            decoded on open, no mmap)
 
 The "immutable, versioned artifact per stage" property is what makes the
 pipeline resumable (see biograph_tpu.runtime.stages).
@@ -18,7 +19,9 @@ pipeline resumable (see biograph_tpu.runtime.stages).
 
 from __future__ import annotations
 
+import bz2
 import json
+import lzma
 import os
 import uuid
 import time
@@ -29,6 +32,18 @@ import numpy as np
 
 MANIFEST = "manifest.json"
 FORMAT_VERSION = 1
+
+# codec name -> (compress, decompress); the reference's codec layer offers
+# zip/bzip/tunstall/range_coder (modules/io/*_slice.h) — zlib/bz2 map
+# directly and lzma covers the entropy-coder class
+_CODECS = {
+    "zlib": (lambda b: zlib.compress(b, 6), zlib.decompress),
+    "bz2": (lambda b: bz2.compress(b, 9), bz2.decompress),
+    "lzma": (
+        lambda b: lzma.compress(b, preset=3),
+        lzma.decompress,
+    ),
+}
 
 
 class ArtifactWriter:
@@ -48,18 +63,21 @@ class ArtifactWriter:
         os.makedirs(path, exist_ok=True)
 
     def add_array(self, name: str, arr: np.ndarray, codec: str | None = None):
-        """Write one part.  codec='zlib' stores the array compressed (good
-        for cold/archival parts — qualities, names, report tables); hot
-        parts stay raw .npy so readers mmap them."""
+        """Write one part.  A codec stores the array compressed (good for
+        cold/archival parts — qualities, names, report tables); hot parts
+        stay raw .npy so readers mmap them.  Codecs mirror the reference's
+        codec registry (modules/io/zip_slice.h zlib, bzip_slice bzip2, plus
+        the range-coder class covered here by lzma): 'zlib' (fast), 'bz2'
+        (denser), 'lzma' (densest, slowest)."""
         arr = np.ascontiguousarray(arr)
         part = {"dtype": str(arr.dtype), "shape": list(arr.shape)}
-        if codec == "zlib":
-            payload = zlib.compress(arr.tobytes(), 6)
+        if codec is not None:
+            if codec not in _CODECS:
+                raise ValueError(f"unknown codec {codec!r}")
+            payload = _CODECS[codec][0](arr.tobytes())
             with open(os.path.join(self.path, name + ".npy.z"), "wb") as f:
                 f.write(payload)
-            part["codec"] = "zlib"
-        elif codec is not None:
-            raise ValueError(f"unknown codec {codec!r}")
+            part["codec"] = codec
         else:
             np.save(os.path.join(self.path, name + ".npy"), arr)
         self.meta["parts"][name] = part
@@ -107,9 +125,12 @@ class ArtifactReader:
 
     def array(self, name: str) -> np.ndarray:
         part = self.meta["parts"].get(name, {})
-        if part.get("codec") == "zlib":
+        codec = part.get("codec")
+        if codec is not None:
+            if codec not in _CODECS:
+                raise ValueError(f"{self.path}/{name}: unknown codec {codec!r}")
             with open(os.path.join(self.path, name + ".npy.z"), "rb") as f:
-                raw = zlib.decompress(f.read())
+                raw = _CODECS[codec][1](f.read())
             return np.frombuffer(raw, dtype=np.dtype(part["dtype"])).reshape(
                 part["shape"]
             )

@@ -730,8 +730,13 @@ def discover_variants(
     chunk_batch: int | None = None,
     readmap: Readmap | None = None,
     stats: dict | None = None,
+    out_assemblies: list | None = None,
 ):
     """Top-level driver: reference walk -> anchors -> wavefront -> variants.
+
+    out_assemblies: optional list; the scored, deduped Assembly records are
+    appended to it (the discovery CSV dump's data source, analog of
+    DiscoveryMain::write_csv_assembly, biograph_variants.cpp:546).
 
     region: (flat_start, flat_end) or None for the whole reference.
     Chunks overlap by opt.max_path so bubbles crossing a boundary are seen by
@@ -944,6 +949,8 @@ def discover_variants(
         # where unsupported repeat-mediated giant "deletions" would otherwise
         # pay huge decomposition DPs
         all_asms = [a for a in all_asms if a.support >= opt.min_alt_support]
+    if out_assemblies is not None:
+        out_assemblies.extend(all_asms)
     stage_s["score"] = stage_s.get("score", 0.0) + (time.time() - _t)
     _t = time.time()
     all_records.extend(extract_variants(all_asms, ref, reference, opt))
@@ -1115,6 +1122,29 @@ def write_discovery_vcf(path: str, reference, records, sample="SAMPLE", opt=None
                     fmt={"GT": gt, "DP": alt_d + ref_d},
                 )
             )
+
+
+def write_assembly_csv(path: str, reference, assemblies: List[Assembly]):
+    """Assembly dump CSV (analog of DiscoveryMain::write_csv_assembly,
+    modules/biograph/biograph_variants.cpp:546-565): one row per scored
+    assembly with its bubble coordinates, support, and both sequences."""
+    ref = np.asarray(reference.flat)
+    with open(path, "w") as f:
+        f.write(
+            "scaffold_name,left_offset,right_offset,aid,score,ref_support,"
+            "ref_seq,seq,generated_by\n"
+        )
+        for aid, a in enumerate(assemblies):
+            c = _contig_of(reference, a.anchor)
+            if c is None:
+                continue
+            f.write(
+                f"{c.name},{a.anchor - c.start},{a.rejoin - c.start},{aid},"
+                f"{a.support},{a.ref_support},"
+                f"{dna.codes_to_seq(ref[a.anchor + 1 : a.rejoin])},"
+                f"{dna.codes_to_seq(np.asarray(a.seq, np.uint8))},WAVEFRONT\n"
+            )
+    return len(assemblies)
 
 
 def extract_variants(assemblies: List[Assembly], ref: np.ndarray, reference, opt: DiscoverOptions):

@@ -289,6 +289,28 @@ def test_cli_tool_commands(tmp_path):
     n_calls = sum(1 for l in open(dvcf) if not l.startswith("#"))
     assert n_calls >= 8  # the reference's own 8 lambda calls
 
+    # assemble mode with the assembly CSV dump (write_csv_assembly analog)
+    avcf = tmp_path / "a.vcf"
+    acsv = tmp_path / "asm.csv"
+    r = _run(
+        [
+            "discovery", "--mode", "assemble", "--biograph", bgt,
+            "--ref", os.path.join(LAMBDA, "ref_lambda"), "--out", str(avcf),
+            "--min-depth", "5", "--assemblies-out", str(acsv),
+        ],
+        timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = open(acsv).read().splitlines()
+    assert rows[0].startswith("scaffold_name,left_offset,right_offset")
+    assert len(rows) > 8  # one row per scored assembly
+    import re as _re
+
+    for row in rows[1:3]:
+        f = row.split(",")
+        assert f[0] == "lambda" and int(f[1]) < int(f[2])
+        assert _re.fullmatch(r"[ACGT]*", f[7])
+
     # vdb ingest/list/query/export roundtrip
     db = str(tmp_path / "vdb")
     r = _run(["vdb", "ingest", "--db", db, "--vcf", str(dvcf), "--sample", "father"])

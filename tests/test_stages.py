@@ -133,3 +133,31 @@ def test_container_codec_roundtrip(tmp_path):
     assert (r.array("mask") == mask).all()
     assert (r.array("mat") == mat).all()
     assert os.path.getsize(os.path.join(p, "mask.npy.z")) < mask.nbytes // 50
+
+
+def test_container_codec_family(tmp_path):
+    """Every registered codec (zlib/bz2/lzma — the reference's
+    zip/bzip/entropy-coder classes) round-trips bit-exactly."""
+    import numpy as np
+
+    from biograph_tpu.core.container import ArtifactReader, ArtifactWriter
+
+    rng = np.random.default_rng(7)
+    data = {
+        "runs": np.repeat(rng.integers(0, 4, 300), 37).astype(np.uint8),
+        "floats": rng.normal(size=(64, 33)).astype(np.float32),
+    }
+    for codec in ("zlib", "bz2", "lzma"):
+        p = str(tmp_path / f"{codec}.bgt")
+        with ArtifactWriter(p, "t") as w:
+            for k, v in data.items():
+                w.add_array(k, v, codec=codec)
+        r = ArtifactReader(p, "t")
+        for k, v in data.items():
+            got = r.array(k)
+            assert got.dtype == v.dtype and (got == v).all(), (codec, k)
+        # the compressible part actually compressed
+        assert (
+            os.path.getsize(os.path.join(p, "runs.npy.z"))
+            < data["runs"].nbytes // 10
+        ), codec
