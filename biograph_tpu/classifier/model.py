@@ -73,13 +73,16 @@ def _init(rng, sizes):
     return params
 
 
-def _forward(params, x):
+def _logits(params, x):
     h = x
     n_layers = len([k for k in params if k.startswith("w")])
     for i in range(n_layers - 1):
         h = jax.nn.relu(h @ params[f"w{i}"] + params[f"b{i}"])
-    logits = h @ params[f"w{n_layers-1}"] + params[f"b{n_layers-1}"]
-    return jax.nn.sigmoid(logits[:, 0])
+    return h @ params[f"w{n_layers-1}"] + params[f"b{n_layers-1}"]
+
+
+def _forward(params, x):
+    return jax.nn.sigmoid(_logits(params, x)[:, 0])
 
 
 def train_classifier(
@@ -116,6 +119,116 @@ def train_classifier(
     for _ in range(steps):
         params, state, loss = step(params, state)
     return Classifier(params=params, mean=mean, std=std)
+
+
+GT_CLASSES = ("0/0", "0/1", "1/1")
+
+
+@dataclass
+class GtClassifier:
+    """3-class genotype model (REF/HET/HOM) over the coverage features —
+    counterpart of the reference's gt_classifier RandomForest
+    (python/biograph/classifier/gt_classifier.py:112 run_model)."""
+
+    params: dict
+    mean: np.ndarray
+    std: np.ndarray
+
+    def predict_proba(self, feats: Dict[str, np.ndarray]) -> np.ndarray:
+        x = (stack_features(feats) - self.mean) / self.std
+        return np.asarray(jax.nn.softmax(_logits(self.params, jnp.asarray(x)), axis=-1))
+
+    def predict(self, feats: Dict[str, np.ndarray]) -> np.ndarray:
+        return self.predict_proba(feats).argmax(axis=1)
+
+    def save(self, path: str):
+        flat = {
+            k: np.asarray(v) for k, v in self.params.items()
+        }
+        np.savez(path, mean=self.mean, std=self.std, gt_model=True, **flat)
+
+    @staticmethod
+    def load(path: str) -> "GtClassifier":
+        z = np.load(path)
+        if "gt_model" not in z.files:
+            raise ValueError(f"{path}: not a gt_classifier model")
+        params = {
+            k: jnp.asarray(z[k]) for k in z.files if k[0] in "wb" and k != "mean"
+        }
+        return GtClassifier(params=params, mean=z["mean"], std=z["std"])
+
+
+def train_gt_classifier(
+    feats: Dict[str, np.ndarray],
+    gt_labels: np.ndarray,
+    hidden: int = 32,
+    steps: int = 2000,
+    lr: float = 1e-2,
+    seed: int = 0,
+) -> GtClassifier:
+    """Train the 3-class GT model; gt_labels are ints (0=0/0, 1=0/1, 2=1/1)."""
+    x = stack_features(feats)
+    mean = x.mean(axis=0)
+    std = x.std(axis=0) + 1e-6
+    xn = jnp.asarray((x - mean) / std)
+    y = jnp.asarray(np.asarray(gt_labels, np.int32))
+    params = _init(
+        jax.random.PRNGKey(seed), [x.shape[1], hidden, hidden, len(GT_CLASSES)]
+    )
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        def loss_fn(p):
+            lp = jax.nn.log_softmax(_logits(p, xn), axis=-1)
+            return -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state2 = opt.update(grads, state)
+        return optax.apply_updates(params, updates), state2, loss
+
+    for _ in range(steps):
+        params, state, loss = step(params, state)
+    return GtClassifier(params=params, mean=mean, std=std)
+
+
+def _phred(p: np.ndarray) -> np.ndarray:
+    with np.errstate(divide="ignore"):
+        r = -10.0 * np.log10(np.maximum(p, 0.0))
+    return np.minimum(np.round(np.nan_to_num(r, posinf=99.0)), 99).astype(int)
+
+
+def gt_apply_to_vcf(
+    clf: GtClassifier,
+    vcf_in: str,
+    vcf_out: str,
+    feats: Dict[str, np.ndarray],
+    sample: str = "SAMPLE",
+):
+    """Re-genotype a VCF from the GT model (gt_classifier.py run_model/
+    edit_vcf behavior: GT from argmax class, PL = phred per-class
+    probabilities capped at 99, GQ = second-best PL minus best)."""
+    from biograph_tpu.io.vcf import read_vcf, VcfWriter
+
+    records = read_vcf(vcf_in)
+    proba = clf.predict_proba(feats)
+    assert len(proba) == len(records)
+    pl = _phred(proba)
+    srt = np.sort(pl, axis=1)
+    gq = srt[:, 1] - srt[:, 0]
+    cls = proba.argmax(axis=1)
+    headers = [
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="Phred-scaled genotype likelihoods">',
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">',
+    ]
+    with VcfWriter(vcf_out, sample=sample, extra_headers=headers) as w:
+        for i, rec in enumerate(records):
+            rec.fmt["GT"] = GT_CLASSES[int(cls[i])]
+            rec.fmt["GQ"] = int(gq[i])
+            rec.fmt["PL"] = ",".join(str(int(v)) for v in pl[i])
+            w.write(rec)
+    return cls
 
 
 def apply_to_vcf(

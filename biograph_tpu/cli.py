@@ -748,6 +748,49 @@ def cmd_qual_classifier(args):
         )
 
 
+def cmd_gt_classifier(args):
+    """Train or apply the ML re-genotyper (reference: biograph
+    gt_classifier, python/biograph/classifier/gt_classifier.py)."""
+    import numpy as np
+    from biograph_tpu.classifier.model import (
+        GT_CLASSES,
+        GtClassifier,
+        gt_apply_to_vcf,
+        train_gt_classifier,
+    )
+
+    feats = dict(np.load(args.features))
+    if args.train:
+        from biograph_tpu.io.vcf import read_vcf
+
+        records = read_vcf(args.vcf)
+        gt_map = {g: i for i, g in enumerate(GT_CLASSES)}
+        labels = np.array(
+            [
+                gt_map.get(str(r.fmt.get("GT", "./.")).replace("|", "/"), -1)
+                for r in records
+            ]
+        )
+        keep = labels >= 0
+        if not keep.all():
+            print(f"gt_classifier: skipping {int((~keep).sum())} records "
+                  "with non-diploid/missing GT")
+            feats = {k: v[keep] for k, v in feats.items()}
+            labels = labels[keep]
+        clf = train_gt_classifier(feats, labels)
+        clf.save(args.model)
+        acc = (clf.predict(feats) == labels).mean()
+        print(f"gt_classifier: trained on {len(labels)} records, "
+              f"train acc {acc:.3f} -> {args.model}")
+    else:
+        clf = GtClassifier.load(args.model)
+        cls = gt_apply_to_vcf(clf, args.vcf, args.out, feats, sample=args.sample)
+        import collections
+
+        counts = collections.Counter(GT_CLASSES[c] for c in cls)
+        print(f"gt_classifier: {dict(counts)} -> {args.out}")
+
+
 def cmd_full_pipeline(args):
     """reads + reference -> results VCF, end to end with stage resume.
     (reference: biograph full_pipeline, python/biograph/tools/
@@ -1297,6 +1340,16 @@ def main(argv=None):
     pq.add_argument("--min-prob", type=float, default=0.5)
     pq.add_argument("--sample", default="SAMPLE")
     pq.set_defaults(fn=cmd_qual_classifier)
+
+    pgt = sub.add_parser("gt_classifier", help="ML re-genotyper (GT/GQ/PL)")
+    pgt.add_argument("--vcf", required=True,
+                     help="VCF to re-genotype (or GT label source with --train)")
+    pgt.add_argument("--features", required=True, help="coverage features .npz")
+    pgt.add_argument("--train", action="store_true")
+    pgt.add_argument("--model", required=True, help="model .npz path")
+    pgt.add_argument("--out", help="output VCF (apply mode)")
+    pgt.add_argument("--sample", default="SAMPLE")
+    pgt.set_defaults(fn=cmd_gt_classifier)
 
     ps = sub.add_parser("stats", help="biograph dir stats")
     ps.add_argument("biograph")

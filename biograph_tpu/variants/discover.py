@@ -1160,14 +1160,14 @@ def extract_variants(assemblies: List[Assembly], ref: np.ndarray, reference, opt
         a, j = asm.anchor, asm.rejoin
         ref_seg = ref[a + 1 : j]
         alt_seg = np.asarray(asm.seq, np.uint8)
-        # trim common prefix
-        p = 0
-        while p < min(len(ref_seg), len(alt_seg)) and ref_seg[p] == alt_seg[p]:
-            p += 1
+        # trim common prefix/suffix (vectorized: one compare + argmax each)
+        m = min(len(ref_seg), len(alt_seg))
+        neq = ref_seg[:m] != alt_seg[:m]
+        p = int(np.argmax(neq)) if neq.any() else m
         rs, as_ = ref_seg[p:], alt_seg[p:]
-        q = 0
-        while q < min(len(rs), len(as_)) and rs[len(rs) - 1 - q] == as_[len(as_) - 1 - q]:
-            q += 1
+        m2 = min(len(rs), len(as_))
+        neq2 = rs[len(rs) - m2 :][::-1] != as_[len(as_) - m2 :][::-1]
+        q = int(np.argmax(neq2)) if neq2.any() else m2
         rs = rs[: len(rs) - q]
         as_ = as_[: len(as_) - q]
         pos_flat = a + 1 + p  # first differing base (flat, 0-based)
@@ -1200,15 +1200,14 @@ def extract_variants(assemblies: List[Assembly], ref: np.ndarray, reference, opt
         if len(rs) == len(as_):
             # same-length block: split into primitive SNPs at mismatches
             # (align_splitter analog, modules/variants/align.h:74)
-            for i in range(len(rs)):
-                if rs[i] != as_[i]:
-                    pieces.append(
-                        (
-                            pos_flat + i,
-                            dna.codes_to_seq(rs[i : i + 1]),
-                            dna.codes_to_seq(as_[i : i + 1]),
-                        )
+            for i in np.nonzero(np.asarray(rs) != np.asarray(as_))[0]:
+                pieces.append(
+                    (
+                        pos_flat + int(i),
+                        dna.codes_to_seq(rs[i : i + 1]),
+                        dna.codes_to_seq(as_[i : i + 1]),
                     )
+                )
         elif idx in ops_by_id:
             pieces.extend(
                 _align_decompose(ref, pos_flat, rs, as_, ops=ops_by_id[idx])
@@ -1331,23 +1330,34 @@ def _ops_to_pieces(ref, pos_flat, rs, as_, ops):
 
 
 def _left_normalize(ref, pos, rs, as_):
-    """VCF-style left alignment of an indel/block at flat position pos."""
-    # shift left while the base before equals the last base of the longer arm
-    rs = list(rs)
-    as_ = list(as_)
-    while pos > 0:
-        prev = ref[pos - 1]
-        if len(rs) == 0 and len(as_) > 0 and as_[-1] == prev:
-            as_ = [prev] + as_[:-1]
-            pos -= 1
-        elif len(as_) == 0 and len(rs) > 0 and rs[-1] == prev:
-            rs = [prev] + rs[:-1]
-            pos -= 1
-        else:
-            break
+    """VCF-style left alignment of an indel/block at flat position pos.
+
+    For a pure indel the step-by-step rule (shift while the base before
+    equals the arm's last base, rotating the arm) is equivalent to: shift by
+    the longest s with ref[pos-1-i] == arm[(L-1-i) mod L] for all i < s —
+    computed as one vectorized comparison instead of a Python loop that
+    rebuilt the arm per step (O(shift*L) lists; pathological on long
+    deletions)."""
+    rs = np.asarray(rs, np.uint8)
+    as_ = np.asarray(as_, np.uint8)
+    arm = as_ if len(rs) == 0 else (rs if len(as_) == 0 else None)
+    if arm is not None and len(arm) and pos > 0:
+        L = len(arm)
+        i = np.arange(pos)
+        lhs = ref[pos - 1 - i]
+        rhs = arm[(L - 1 - i) % L]
+        neq = lhs != rhs
+        s = int(np.argmax(neq)) if neq.any() else pos
+        if s:
+            arm = np.roll(arm, s % L)
+            pos -= s
+            if len(rs):
+                rs = arm
+            else:
+                as_ = arm
     anchor_base = ref[pos - 1] if pos > 0 else ref[pos]
-    ref_str = dna.codes_to_seq(np.array([anchor_base] + rs, np.uint8))
-    alt_str = dna.codes_to_seq(np.array([anchor_base] + as_, np.uint8))
+    ref_str = dna.codes_to_seq(np.concatenate([[anchor_base], rs]).astype(np.uint8))
+    alt_str = dna.codes_to_seq(np.concatenate([[anchor_base], as_]).astype(np.uint8))
     return pos - 1, ref_str, alt_str
 
 

@@ -90,3 +90,64 @@ def test_rf_decision_parity_on_proband(rng):
     # and junk records in the proband's coordinate frame still fail
     junk = _synthetic_negatives(rng, 20, f_p)
     assert (clf.predict_proba(junk) < 0.5).mean() > 0.9
+
+
+def _synthetic_homref(rng, n, like):
+    """Hom-ref profiles for the 0/0 class (no alt evidence, deep ref)."""
+    out = {k: np.zeros(n, v.dtype) for k, v in like.items()}
+    out["alt_depth"] = rng.integers(0, 2, n).astype(like["alt_depth"].dtype)
+    out["ref_depth"] = rng.integers(25, 120, n).astype(like["ref_depth"].dtype)
+    out["alt_frac"] = (
+        out["alt_depth"] / np.maximum(out["alt_depth"] + out["ref_depth"], 1)
+    ).astype(np.float32)
+    out["is_snp"] = np.ones(n, like["is_snp"].dtype)
+    out["gq"] = rng.integers(30, 90, n).astype(like["gq"].dtype)
+    out["qual"] = rng.uniform(0, 10, n).astype(np.float32)
+    return out
+
+
+@pytest.mark.slow
+def test_gt_classifier_proband_agreement(rng):
+    """GT re-genotyper (gt_classifier analog): trained on the parents'
+    pcmp coverage profiles + hom-ref synthetics, it must reproduce the
+    pcmp genotyper's proband GTs (reference gt_classifier re-genotypes
+    squareoff VCFs from the same feature frame)."""
+    from biograph_tpu.classifier.model import (
+        GT_CLASSES,
+        GtClassifier,
+        train_gt_classifier,
+    )
+
+    recs_f, f_f = _features_for("father")
+    recs_m, f_m = _features_for("mother")
+    recs_p, f_p = _features_for("proband")
+    gt_map = {g: i for i, g in enumerate(GT_CLASSES)}
+
+    def labels_of(recs):
+        return np.array(
+            [gt_map[str(r.fmt["GT"]).replace("|", "/")] for r in recs]
+        )
+
+    train_pos = _stack([f_f, f_m])
+    y_pos = np.concatenate([labels_of(recs_f), labels_of(recs_m)])
+    n_ref = 2 * len(y_pos)
+    homref = _synthetic_homref(rng, n_ref, train_pos)
+    feats = _stack([train_pos, homref])
+    labels = np.concatenate([y_pos, np.zeros(n_ref, int)])
+    clf = train_gt_classifier(feats, labels, seed=3)
+
+    # train-set separation
+    assert (clf.predict(feats) == labels).mean() > 0.9
+    # proband agreement with the pcmp genotyper
+    pred = clf.predict(f_p)
+    want = labels_of(recs_p)
+    agree = (pred == want).mean()
+    assert agree >= 0.8, list(zip([r.pos for r in recs_p], pred, want))
+    # save/load roundtrip keeps predictions
+    import tempfile, os as _os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "gt.npz")
+        clf.save(p)
+        clf2 = GtClassifier.load(p)
+        assert (clf2.predict(f_p) == pred).all()
