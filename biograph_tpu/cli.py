@@ -1080,6 +1080,28 @@ def cmd_vdb(args):
         v.close()
 
 
+def cmd_export_aligned(args):
+    """Place the biograph's reads and export SAM/BAM over VCF regions
+    (reference: biograph export_aligned, tools/export_aligned.py)."""
+    from biograph_tpu.api import BioGraph
+    from biograph_tpu.tools.export_aligned import export_aligned
+
+    bg = BioGraph(args.biograph)
+    if bg.readmap is None:
+        raise SystemExit(f"{args.biograph}: no readmap")
+    ref = _load_reference(args.ref)
+    n = export_aligned(
+        bg,
+        ref,
+        args.out,
+        vcf_path=args.vcf,
+        window=args.window,
+        max_mismatches=args.max_mismatches,
+        include_unplaced=args.include_unplaced,
+    )
+    print(f"export_aligned: {n} records -> {args.out}")
+
+
 def cmd_mendelian(args):
     """Mendelian-error annotation of a family VCF against a pedigree
     (reference: python/biograph/tools/mendelian_annotator.py)."""
@@ -1359,6 +1381,16 @@ def main(argv=None):
     pu.add_argument("--in", dest="input", required=True)
     pu.add_argument("--out", required=True)
     pu.set_defaults(fn=cmd_upgrade)
+
+    pea = sub.add_parser("export_aligned", help="aligned reads -> SAM/BAM")
+    pea.add_argument("--biograph", required=True)
+    pea.add_argument("--ref", required=True)
+    pea.add_argument("--vcf", help="restrict to windows around these variants")
+    pea.add_argument("--out", required=True, help=".sam or .bam")
+    pea.add_argument("--window", type=int, default=400)
+    pea.add_argument("--max-mismatches", type=int, default=5)
+    pea.add_argument("--include-unplaced", action="store_true")
+    pea.set_defaults(fn=cmd_export_aligned)
 
     pmd = sub.add_parser("mendelian", help="trio Mendelian-error annotation")
     pmd.add_argument("-v", "--vcf", required=True, help="family VCF ('-' = stdin)")
