@@ -1343,11 +1343,18 @@ def _left_normalize(ref, pos, rs, as_):
     arm = as_ if len(rs) == 0 else (rs if len(as_) == 0 else None)
     if arm is not None and len(arm) and pos > 0:
         L = len(arm)
-        i = np.arange(pos)
-        lhs = ref[pos - 1 - i]
-        rhs = arm[(L - 1 - i) % L]
-        neq = lhs != rhs
-        s = int(np.argmax(neq)) if neq.any() else pos
+        # block-wise scan: compare 4096 positions at a time so the common
+        # case (shift of a few bases) costs O(block), not O(pos)
+        s = 0
+        B = 4096
+        while s < pos:
+            n = min(B, pos - s)
+            i = np.arange(s, s + n)
+            neq = ref[pos - 1 - i] != arm[(L - 1 - i) % L]
+            if neq.any():
+                s += int(np.argmax(neq))
+                break
+            s += n
         if s:
             arm = np.roll(arm, s % L)
             pos -= s
