@@ -1022,6 +1022,9 @@ def cmd_vdb(args):
                         f"{r['aid']}\t{r['anno_name']}\t{r['version']}"
                         f"\t{r['record_count']}\t{r['imported_on']}"
                     )
+            elif ac == "export":
+                n = v.export_anno(args.aid, args.output)
+                print(f"vdb anno export: {n} records -> {args.output}")
             elif ac == "delete":
                 print(f"deleted {v.delete_anno(*args.aid)} annotation(s)")
         elif c == "study":
@@ -1150,6 +1153,13 @@ def cmd_stats(args):
         print(json.dumps(bg.readmap.get_pair_stats(), indent=1))
 
 
+def _pkg_version():
+    """biograph version command analog (__main__.py:27 get_version)."""
+    from biograph_tpu import version
+
+    return f"biograph_tpu version {version()}"
+
+
 def _is_artifact(path):
     from biograph_tpu.core import container
 
@@ -1162,6 +1172,9 @@ def main(argv=None):
     )
     p.add_argument("--platform", help="force jax platform (cpu/tpu)")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pver = sub.add_parser("version", help="print the package version")
+    pver.set_defaults(fn=lambda a: print(_pkg_version()))
 
     pr = sub.add_parser("reference", help="build reference artifact")
     pr.add_argument("--in", dest="input", required=True)
@@ -1467,6 +1480,10 @@ def main(argv=None):
     x.add_argument("-V", "--version", default="1")
     x = vasub.add_parser("list")
     x.add_argument("--db", required=True)
+    x = vasub.add_parser("export")
+    x.add_argument("--db", required=True)
+    x.add_argument("-a", "--aid", required=True, help="aid or annotation name")
+    x.add_argument("-o", "--output", default="/dev/stdout")
     x = vasub.add_parser("delete")
     x.add_argument("--db", required=True)
     x.add_argument("aid", nargs="+")

@@ -283,6 +283,35 @@ class VDB:
             )
         ]
 
+    def export_anno(self, aid_or_name: str, out_path: str) -> int:
+        """Write an annotation dataset back out as VCF-like records
+        (anno_cmd.py cmd_export)."""
+        a = self.conn.execute(
+            "SELECT aid FROM annos WHERE aid = ? OR anno_name = ?"
+            " ORDER BY version DESC LIMIT 1",
+            (aid_or_name, aid_or_name),
+        ).fetchone()
+        if not a:
+            raise ValueError(f"no annotation {aid_or_name!r}")
+        rows = self.conn.execute(
+            "SELECT chrom, pos, ref, alt, info FROM anno_data WHERE aid = ?"
+            " ORDER BY chrom, pos",
+            (a[0],),
+        ).fetchall()
+        with open(out_path, "w") as f:
+            f.write("##fileformat=VCFv4.2\n##source=biograph_tpu vdb anno\n")
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+            for chrom, pos, ref, alt, info in rows:
+                kv = json.loads(info)
+                info_s = (
+                    ";".join(
+                        k if v is True else f"{k}={v}" for k, v in sorted(kv.items())
+                    )
+                    or "."
+                )
+                f.write(f"{chrom}\t{pos + 1}\t.\t{ref}\t{alt}\t.\t.\t{info_s}\n")
+        return len(rows)
+
     def delete_anno(self, *aids: str) -> int:
         cur = self.conn.cursor()
         n = 0

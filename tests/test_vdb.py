@@ -193,6 +193,10 @@ def test_anno_join(db, tmp_path):
         name="genes",
     )
     assert db.list_annos()[0]["anno_name"] == "genes"
+    # anno export round-trip (anno_cmd.py cmd_export analog)
+    aout = tmp_path / "anno_out.vcf"
+    assert db.export_anno("genes", str(aout)) == 1
+    assert "GENE=thrA" in aout.read_text()
     db.create_study("a")
     db.add_to_study("a", ["HG002"])
     out = tmp_path / "a.vcf"
