@@ -129,7 +129,21 @@ def cmd_create(args):
         from biograph_tpu.build.correct import correct_reads
 
         t0 = time.time()
-        ks = KmerSet.from_counts(kc, min_count=args.min_kmer_count)
+        kstats = {}
+        ks = KmerSet.from_counts(
+            kc,
+            min_count=args.min_kmer_count,
+            stats_out=kstats,
+            skew_cutoff=args.skew_cutoff,
+            overrep_threshold=args.overrep_threshold,
+            sys_err_thresh=args.sys_err_thresh,
+            rnd_err_thresh=args.rnd_err_thresh,
+        )
+        if kstats.get("SKEWED") or kstats.get("NEAR_OVERREP"):
+            LOG.info(
+                "kmer filter: "
+                + " ".join(f"{k}={v}" for k, v in sorted(kstats.items()))
+            )
         res = correct_reads(
             ks,
             codes,
@@ -1200,6 +1214,19 @@ def main(argv=None):
     pc.add_argument("--min-kmer-count", type=int, default=2)
     pc.add_argument("--max-corrections", type=int, default=8)
     pc.add_argument("--min-good-run", type=int, default=2)
+    pc.add_argument(
+        "--overrep-threshold",
+        type=int,
+        default=0,
+        help="occurrences before overrepresentation filtering kicks in; "
+        "0 disables (biograph_create.cpp:309)",
+    )
+    pc.add_argument("--sys-err-thresh", type=float, default=0.1,
+                    help="systematic error threshold for overrep filtering")
+    pc.add_argument("--rnd-err-thresh", type=float, default=0.005,
+                    help="random error threshold for overrep filtering")
+    pc.add_argument("--skew-cutoff", type=float, default=0.0,
+                    help="fwd/rev strand-skew filter cutoff (0 disables)")
     pc.add_argument(
         "--spill-dir",
         help="spill imported reads to disk memmaps (bounded host RAM; "
