@@ -278,3 +278,62 @@ def test_raw_query_and_sort(db, tmp_path):
     assert sort_vcf(vcf, str(out), chromosomal=True) == 2
     recs = [l.split("\t")[0] for l in out.read_text().splitlines() if not l.startswith("#")]
     assert recs == ["chr2", "chr10"]
+
+
+def test_filter_fuzz_translates_to_valid_sql(db, tmp_path):
+    """Every grammar-valid expression must either translate to SQL sqlite
+    accepts, or raise FilterError — never produce broken SQL (the
+    reference's parser-enforced same guarantee)."""
+    import random
+    import sqlite3
+
+    _load_two_samples(db, tmp_path)
+    rng = random.Random(11)
+    fields = [
+        "chrom", "pos", "ref", "alt", "qual", "filter", "id", "varid",
+        "varend", "reflen", "spans", "sample_name", "aid",
+        "GT", "DP", "GQ", "PL", "SVLEN", "SVTYPE", "info/FOO", "fmt/DP",
+    ]
+    cmps = ["=", "==", "!=", ">", ">=", "<", "<="]
+    strings = ["'PASS'", '"chr1"', "'.'", "'1'"]
+    logicals = ["AND", "OR", "&&", "||", ","]
+
+    def atom():
+        f = rng.choice(fields)
+        c = rng.choice(cmps)
+        r = rng.random()
+        if f in ("GT", "fmt/GT"):
+            rhs = rng.choice(["0/1", "1/1", "0|1", "'./.'"])
+            c = rng.choice(["=", "!="])
+        elif r < 0.4:
+            rhs = str(rng.randint(0, 500))
+        elif r < 0.7:
+            rhs = rng.choice(strings)
+            c = rng.choice(["=", "!="]) if rhs == "'.'" else c
+        else:
+            rhs = f"{rng.randint(1, 50)} + {rng.randint(1, 9)}"
+        return f"{f} {c} {rhs}"
+
+    from biograph_tpu.tools.vdb_filter import FilterError, translate
+
+    n_ok = 0
+    for _ in range(300):
+        n = rng.randint(1, 4)
+        parts = [atom()]
+        for _ in range(n - 1):
+            parts.append(rng.choice(logicals))
+            parts.append(atom())
+        expr = " ".join(parts)
+        if rng.random() < 0.3:
+            expr = f"( {expr} )"
+        try:
+            sql = translate(expr)
+        except FilterError:
+            continue
+        # must be executable against the variants table
+        try:
+            db.conn.execute(f"SELECT COUNT(*) FROM variants WHERE {sql}")
+        except sqlite3.Error as e:
+            raise AssertionError(f"{expr!r} -> {sql!r}: {e}")
+        n_ok += 1
+    assert n_ok > 200  # the grammar above is overwhelmingly valid
