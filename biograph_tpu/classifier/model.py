@@ -22,6 +22,10 @@ import optax
 FEATURES = [
     "alt_depth", "ref_depth", "alt_frac", "var_len", "is_snp", "gq", "qual",
     "pair_cov",
+    # flank + ratio evidence (the reference DataFrame's US/DS coverage and
+    # transform_dp alt-ref ratio features, gt_classifier.py:58-90); absent
+    # in older feature files -> zeros
+    "us_alt", "ds_alt", "us_ref", "ds_ref", "ad_ratio",
 ]
 
 
@@ -33,7 +37,10 @@ def stack_features(feats: Dict[str, np.ndarray]) -> np.ndarray:
             col = np.asarray(feats[name], np.float32)
         else:
             col = np.zeros(n, np.float32)  # older feature files lack pair_cov
-        if name in ("alt_depth", "ref_depth", "gq", "qual", "pair_cov"):
+        if name in (
+            "alt_depth", "ref_depth", "gq", "qual", "pair_cov",
+            "us_alt", "ds_alt", "us_ref", "ds_ref",
+        ):
             col = np.log1p(np.maximum(col, 0))
         if name == "var_len":
             col = np.sign(col) * np.log1p(np.abs(col))

@@ -49,6 +49,14 @@ class CoverageAnnotation:
     gq: np.ndarray  # int32 [N]
     pl: np.ndarray  # int32 [N, 3]
     ad: List[str] = None  # "ref,alt1[,alt2...]" per record (multi-allelic aware)
+    # flank evidence (US/DS upstream/downstream coverage analogs — the
+    # reference pcmp DataFrame's read-length-normalized flank features,
+    # classifier/gt_classifier.py transform_dp): min depth over the window's
+    # upstream / downstream flank per allele
+    us_alt: np.ndarray = None  # int32 [N]
+    ds_alt: np.ndarray = None
+    us_ref: np.ndarray = None
+    ds_ref: np.ndarray = None
 
 
 _DNA_CHARS = frozenset("ACGTacgt")
@@ -156,6 +164,7 @@ def annotate_coverage(
     # boundaries (same policy as discovery's _score_batch).
     WIN_CAP = 192
     all_alt_depths = [np.zeros(max(len(a), 1), np.int32) for a in alts_of]
+    flank_min: dict = {}
     work = [i for i in range(N) if valid[i]]
     for lo in range(0, len(work), batch):
         chunk = work[lo : lo + batch]
@@ -212,6 +221,17 @@ def annotate_coverage(
             depth = int(win.min()) if len(win) else 0
             key = (ri, ai)
             depth_min[key] = min(depth_min.get(key, 1 << 30), depth)
+            # flank minima: upstream = the window's left flank, downstream =
+            # its right flank (split giant alleles contribute the flank each
+            # breakpoint window actually carries)
+            left = tot[i, :lo_b]
+            right = tot[i, hi_b : ql[i]]
+            if len(left):
+                k2 = (ri, ai, "us")
+                flank_min[k2] = min(flank_min.get(k2, 1 << 30), int(left.min()))
+            if len(right):
+                k2 = (ri, ai, "ds")
+                flank_min[k2] = min(flank_min.get(k2, 1 << 30), int(right.min()))
         for (ri, ai), depth in depth_min.items():
             if ai < 0:
                 ref_depth[ri] = depth
@@ -222,6 +242,15 @@ def annotate_coverage(
     best_alt = np.array(
         [int(np.argmax(d)) if valid[i] else 0 for i, d in enumerate(all_alt_depths)]
     )
+    us_alt = np.zeros(N, np.int32)
+    ds_alt = np.zeros(N, np.int32)
+    us_ref = np.zeros(N, np.int32)
+    ds_ref = np.zeros(N, np.int32)
+    for i in range(N):
+        us_alt[i] = flank_min.get((i, int(best_alt[i]), "us"), 0)
+        ds_alt[i] = flank_min.get((i, int(best_alt[i]), "ds"), 0)
+        us_ref[i] = flank_min.get((i, -1, "us"), 0)
+        ds_ref[i] = flank_min.get((i, -1, "ds"), 0)
     alt_depth = np.array(
         [int(d[best_alt[i]]) for i, d in enumerate(all_alt_depths)], np.int32
     )
@@ -264,7 +293,8 @@ def annotate_coverage(
             + ",".join(str(int(x)) for x in all_alt_depths[i])
         )
     return CoverageAnnotation(
-        alt_depth=alt_depth, ref_depth=ref_depth, gt=gt, gq=gq, pl=pl, ad=ad
+        alt_depth=alt_depth, ref_depth=ref_depth, gt=gt, gq=gq, pl=pl, ad=ad,
+        us_alt=us_alt, ds_alt=ds_alt, us_ref=us_ref, ds_ref=ds_ref,
     )
 
 
@@ -460,7 +490,16 @@ def feature_matrix(
         "is_snp": is_snp.astype(np.int8),
         "gq": ann.gq,
         "qual": np.array([r.qual or 0 for r in records], np.float32),
+        # transform_dp's signature alt-vs-ref ratio (gt_classifier.py:73)
+        "ad_ratio": (
+            (ann.alt_depth - ann.ref_depth)
+            / np.maximum(ann.alt_depth + ann.ref_depth, 1)
+        ).astype(np.float32),
     }
+    for name in ("us_alt", "ds_alt", "us_ref", "ds_ref"):
+        col = getattr(ann, name, None)
+        if col is not None:
+            out[name] = np.asarray(col, np.int32)
     if pc is not None:
         out["pair_cov"] = np.asarray(pc, np.int32)
     return out
