@@ -1097,6 +1097,27 @@ def cmd_vdb(args):
         v.close()
 
 
+def cmd_vcf_tools(args):
+    """Cohort VCF utilities (reference: tools/vcf_sample_paste.py,
+    freq_filter.py, vcf_to_ml_table.py)."""
+    from biograph_tpu.tools import vcf_tools
+
+    if args.cmd == "vcf_sample_paste":
+        n = vcf_tools.sample_paste(args.vcfs, args.output)
+        print(f"vcf_sample_paste: {n} records -> {args.output}", file=sys.stderr)
+    elif args.cmd == "freq_filter":
+        stats = vcf_tools.freq_filter(
+            args.variants, args.output,
+            min_observations=args.min_observations,
+            min_individuals=args.individuals,
+            depth_field=args.depth_field,
+        )
+        print(f"freq_filter: {stats}", file=sys.stderr)
+    else:
+        n = vcf_tools.vcf_to_ml_table(args.vcf, args.output)
+        print(f"vcf_to_ml_table: {n} allele rows -> {args.output}", file=sys.stderr)
+
+
 def cmd_export_aligned(args):
     """Place the biograph's reads and export SAM/BAM over VCF regions
     (reference: biograph export_aligned, tools/export_aligned.py)."""
@@ -1421,6 +1442,24 @@ def main(argv=None):
     pu.add_argument("--in", dest="input", required=True)
     pu.add_argument("--out", required=True)
     pu.set_defaults(fn=cmd_upgrade)
+
+    pvp = sub.add_parser("vcf_sample_paste", help="paste single-sample VCFs")
+    pvp.add_argument("vcfs", nargs="+")
+    pvp.add_argument("-o", "--output", default="/dev/stdout")
+    pvp.set_defaults(fn=cmd_vcf_tools)
+
+    pff = sub.add_parser("freq_filter", help="filter VCF by cohort support")
+    pff.add_argument("-v", "--variants", required=True, help="VCF ('-' = stdin)")
+    pff.add_argument("-o", "--output", default="/dev/stdout")
+    pff.add_argument("-m", "--min-observations", type=int, default=1)
+    pff.add_argument("-i", "--individuals", type=int, default=1)
+    pff.add_argument("-d", "--depth-field", default="AD")
+    pff.set_defaults(fn=cmd_vcf_tools)
+
+    pml = sub.add_parser("vcf_to_ml_table", help="VCF -> per-allele ML table")
+    pml.add_argument("vcf")
+    pml.add_argument("-o", "--output", default="/dev/stdout")
+    pml.set_defaults(fn=cmd_vcf_tools)
 
     pea = sub.add_parser("export_aligned", help="aligned reads -> SAM/BAM")
     pea.add_argument("--biograph", required=True)
