@@ -1097,6 +1097,45 @@ def cmd_vdb(args):
         v.close()
 
 
+def cmd_pvcf_pipe(args):
+    """Project-level VCF: union squareoff across samples + Mendelian
+    annotation (reference: tools/pvcf_pipe.py — which ships as a stub whose
+    docstring describes exactly this merge -> per-sample pcmp -> paste ->
+    meanno chain; here it actually runs)."""
+    from biograph_tpu.api import BioGraph
+    from biograph_tpu.tools.squareoff import squareoff
+
+    ref = _load_reference(args.ref)
+    bgs = [BioGraph(p) for p in args.biographs]
+    names = args.samples or [
+        bg.metadata.get("accession_id") or os.path.basename(bg.path.rstrip("/"))
+        for bg in bgs
+    ]
+    if args.pedigree:
+        from biograph_tpu.utils.pedigree import Pedigree
+
+        ped = Pedigree(args.pedigree)
+        missing = [n for n in names if n not in ped]
+        if missing:
+            raise SystemExit(f"samples not in pedigree: {missing}")
+    t0 = time.time()
+    target = args.output if not args.pedigree else args.output + ".sqoff.tmp.vcf"
+    recs = squareoff(args.vcfs, bgs, ref, target, names)
+    print(f"pvcf: {len(recs)} union records x {len(bgs)} samples "
+          f"({time.time()-t0:.1f}s)")
+    if args.pedigree:
+        from biograph_tpu.tools.mendelian import annotate_vcf
+
+        report = annotate_vcf(target, args.output, ped)
+        base = args.output.rsplit(".vcf", 1)[0]
+        report.write_json(base + "_stats.json")
+        report.write_text(base + "_stats.txt")
+        os.remove(target)
+        print(f"pvcf: mendelian-annotated -> {args.output} (+_stats.json/_stats.txt)")
+    else:
+        print(f"pvcf: -> {args.output}")
+
+
 def cmd_vcf_tools(args):
     """Cohort VCF utilities (reference: tools/vcf_sample_paste.py,
     freq_filter.py, vcf_to_ml_table.py)."""
@@ -1442,6 +1481,16 @@ def main(argv=None):
     pu.add_argument("--in", dest="input", required=True)
     pu.add_argument("--out", required=True)
     pu.set_defaults(fn=cmd_upgrade)
+
+    ppv = sub.add_parser("pvcf_pipe", help="project VCF: squareoff + meanno")
+    ppv.add_argument("--biographs", nargs="+", required=True, help=".bgt dirs")
+    ppv.add_argument("--vcfs", nargs="+", required=True,
+                     help="per-sample discovery VCFs forming the union")
+    ppv.add_argument("-r", "--ref", required=True)
+    ppv.add_argument("-p", "--pedigree", help="PED file (enables meanno)")
+    ppv.add_argument("--samples", nargs="+", help="sample names (match PED)")
+    ppv.add_argument("-o", "--output", required=True)
+    ppv.set_defaults(fn=cmd_pvcf_pipe)
 
     pvp = sub.add_parser("vcf_sample_paste", help="paste single-sample VCFs")
     pvp.add_argument("vcfs", nargs="+")

@@ -134,3 +134,50 @@ def test_squareoff_matches_family_pcmp(tmp_path):
                 mism.append((key[0], s, want, got))
     assert tot >= 40
     assert agree >= 0.9 * tot, (agree, tot, mism[:6])
+
+
+@pytest.mark.slow
+def test_pvcf_pipe_trio(tmp_path):
+    """Project-VCF orchestration (pvcf_pipe analog — the reference ships a
+    stub; this one runs): union squareoff across the trio + Mendelian
+    annotation driven by a PED file, through the real CLI."""
+    ped = tmp_path / "trio.ped"
+    ped.write_text(
+        "lamfam\tproband\tfather\tmother\t1\t2\n"
+        "lamfam\tfather\t0\t0\t1\t1\n"
+        "lamfam\tmother\t0\t0\t2\t1\n"
+    )
+    out = tmp_path / "project.vcf"
+    samples = ["father", "mother", "proband"]
+    r = _run(
+        [
+            "pvcf_pipe",
+            "--biographs", *[os.path.join(LAMBDA, f"{s}_lambda.bg") for s in samples],
+            "--vcfs", *[os.path.join(LAMBDA, f"{s}_single_pcmp.vcf") for s in samples],
+            "-r", os.path.join(LAMBDA, "ref_lambda"),
+            "-p", str(ped),
+            "--samples", *samples,
+            "-o", str(out),
+        ],
+        timeout=1500,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    head = [l for l in open(out) if l.startswith("#CHROM")][0]
+    assert head.rstrip().endswith("father\tmother\tproband")
+    body = [l for l in open(out) if not l.startswith("#")]
+    assert len(body) >= 8
+    assert all("sizeCat=" in l for l in body)
+    assert (tmp_path / "project_stats.json").is_file()
+    # an unknown sample name must be rejected against the pedigree
+    r = _run(
+        [
+            "pvcf_pipe",
+            "--biographs", os.path.join(LAMBDA, "father_lambda.bg"),
+            "--vcfs", os.path.join(LAMBDA, "father_single_pcmp.vcf"),
+            "-r", os.path.join(LAMBDA, "ref_lambda"),
+            "-p", str(ped),
+            "--samples", "nobody",
+            "-o", str(tmp_path / "x.vcf"),
+        ]
+    )
+    assert r.returncode != 0 and "not in pedigree" in (r.stderr + r.stdout)
