@@ -1144,6 +1144,9 @@ def cmd_vcf_tools(args):
     if args.cmd == "vcf_sample_paste":
         n = vcf_tools.sample_paste(args.vcfs, args.output)
         print(f"vcf_sample_paste: {n} records -> {args.output}", file=sys.stderr)
+    elif args.cmd == "rvg_cleaner":
+        stats = vcf_tools.rvg_cleaner(args.variants, args.output)
+        print(f"rvg_cleaner: {stats}", file=sys.stderr)
     elif args.cmd == "freq_filter":
         stats = vcf_tools.freq_filter(
             args.variants, args.output,
@@ -1504,6 +1507,11 @@ def main(argv=None):
     pff.add_argument("-i", "--individuals", type=int, default=1)
     pff.add_argument("-d", "--depth-field", default="AD")
     pff.set_defaults(fn=cmd_vcf_tools)
+
+    prc = sub.add_parser("rvg_cleaner", help="drop pair-bare unphased noise")
+    prc.add_argument("-v", "--variants", default="/dev/stdin")
+    prc.add_argument("-o", "--output", default="/dev/stdout")
+    prc.set_defaults(fn=cmd_vcf_tools)
 
     pml = sub.add_parser("vcf_to_ml_table", help="VCF -> per-allele ML table")
     pml.add_argument("vcf")

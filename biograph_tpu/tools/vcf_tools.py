@@ -182,6 +182,67 @@ def hwe_exact(n_het: int, n_hom1: int, n_hom2: int) -> tuple:
     return p_hwe, p_exc
 
 
+# ---------------- rvg_cleaner ----------------
+
+
+def rvg_cleaner(vcf_in: str, out_path: str) -> dict:
+    """Graph-noise cleaner (rvg_cleaner.py): keep SVs; keep small variants
+    with pair evidence or phased with an SV; drop (buffer, then discard)
+    pair-bare small variants whose phase never meets an SV.  The reference
+    keys on its PI/PDP FORMAT fields; this build's equivalents are the PS
+    phase-set FORMAT tag and the PC pair-coverage INFO tag."""
+    fh = _open(vcf_in)
+    out = _open(out_path, "wt")
+    stats = {"sv": 0, "paired": 0, "inphase": 0, "dropped": 0}
+    backlog: dict = {}
+    known_inphase: set = set()
+    cur_chrom = None
+    for line in fh:
+        if line.startswith("#"):
+            out.write(line)
+            continue
+        e = line.rstrip("\n").split("\t")
+        if e[0] != cur_chrom:
+            stats["dropped"] += sum(len(v) for v in backlog.values())
+            backlog = {}
+            known_inphase = set()
+            cur_chrom = e[0]
+        info = dict(
+            kv.partition("=")[::2] for kv in e[7].split(";") if e[7] != "."
+        )
+        fmt = e[8].split(":") if len(e) > 8 else []
+        smp = e[9].split(":") if len(e) > 9 else []
+        ps = None
+        if "PS" in fmt and fmt.index("PS") < len(smp):
+            v = smp[fmt.index("PS")]
+            ps = v if v not in (".", "") else None
+        pc = int(info.get("PC", 0) or 0)
+        if "SVLEN" in info:
+            out.write(line)
+            stats["sv"] += 1
+            if ps is not None:
+                known_inphase.add(ps)
+                for bent in backlog.pop(ps, []):
+                    out.write(bent)
+                    stats["inphase"] += 1
+        elif pc != 0:
+            out.write(line)
+            stats["paired"] += 1
+        elif ps is not None and ps in known_inphase:
+            out.write(line)
+            stats["inphase"] += 1
+        elif ps is not None:
+            backlog.setdefault(ps, []).append(line)
+        else:
+            stats["dropped"] += 1
+    stats["dropped"] += sum(len(v) for v in backlog.values())
+    if fh is not sys.stdin:
+        fh.close()
+    if out is not sys.stdout:
+        out.close()
+    return stats
+
+
 ML_INFO_KEYS = ["AF", "MAF", "AC", "AC_Het", "AC_Hom", "AC_Hemi", "HWE", "ExcHet"]
 
 

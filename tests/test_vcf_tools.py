@@ -131,3 +131,35 @@ def test_vcf_to_ml_table(tmp_path):
     # per-sample AD columns: ref row carries the ref depths, alt row the alt
     assert ref_row[-4:] == ["0", "5", "6", "11"]
     assert alt_row[-4:] == ["9", "4", "3", "0"]
+
+
+def test_rvg_cleaner(tmp_path):
+    """SVs kept; pair-backed smalls kept; phase-linked smalls kept (even
+    retroactively from the backlog); pair-bare unphased noise dropped
+    (rvg_cleaner.py behavior with PS/PC standing in for PI/PDP)."""
+    from biograph_tpu.tools.vcf_tools import rvg_cleaner
+
+    lines = [
+        "##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+        # pair-bare small in phase set 7 BEFORE its SV -> backlog, flushed
+        "1\t50\t.\tA\tT\t9\tPASS\tPC=0\tGT:PS\t0|1:7",
+        # noise: no pairs, no phase
+        "1\t60\t.\tG\tC\t9\tPASS\tPC=0\tGT\t0/1",
+        # pair-backed small -> kept
+        "1\t70\t.\tT\tG\t9\tPASS\tPC=4\tGT\t0/1",
+        # the SV in phase set 7
+        "1\t100\t.\t" + "A" * 60 + "\tA\t50\tPASS\tSVLEN=-59;PC=9\tGT:PS\t1|1:7",
+        # later small in the now-known phase set -> kept directly
+        "1\t200\t.\tC\tA\t9\tPASS\tPC=0\tGT:PS\t1|0:7",
+        # chromosome change resets state: phase 7 no longer known
+        "2\t10\t.\tA\tG\t9\tPASS\tPC=0\tGT:PS\t0|1:7",
+    ]
+    src = tmp_path / "in.vcf"
+    src.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out.vcf"
+    stats = rvg_cleaner(str(src), str(out))
+    body = [l.split("\t")[1] for l in open(out) if not l.startswith("#")]
+    # 70 kept on pairs; SV at 100 flushes backlogged 50; 200 in-phase
+    assert body == ["70", "100", "50", "200"]
+    assert stats == {"sv": 1, "paired": 1, "inphase": 2, "dropped": 2}
