@@ -504,6 +504,10 @@ def use_mxu_chains(d) -> bool:
         return False
     if d.rank4_table is None:
         return False
+    if os.environ.get("BGT_FORCE_MXU_CHAINS"):
+        # correctness A/B: drive the chain-dispatch path on CPU, where
+        # matmuls are f32 (isolates path bugs from chip bf16 effects)
+        return True
     try:
         return jax.devices()[0].platform != "cpu"
     except Exception:
