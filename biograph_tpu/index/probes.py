@@ -461,6 +461,185 @@ def probe_exact_fused(d, text, pos, seg_lo, depth: int, min_m: int = 0,
     return bb, be, bs
 
 
+# ---------------------------------------------------------------------------
+# Segmented work-queue walk: O(P) rank work instead of the probes' O(P*depth)
+#
+# Matching statistics the reference's way (ref_map builds by scanning the
+# reference THROUGH the seqset with push_front_drop, ref_map.h:49), but over
+# SIMD lanes: each lane owns a contiguous slice of positions and walks it
+# sequentially; per dispatched step a lane either ADVANCES one position (its
+# push succeeded — probe semantics: window exists after the short-entry kick)
+# or performs ONE context DROP (the body of seqset.push_front_drop's widen
+# loop, seqset.cpp:350-427, unrolled one iteration per step).  All lanes
+# share one stacked rank4 kernel launch per step, so the hot op stays on the
+# MXU at top trace level.  Total rank work ~ 2*(P + lanes*depth) vs the
+# probe pipeline's P*depth(+exact rounds): ~10x less at depth 25.
+#
+# Output contract: identical to probe_ranges + probe_exact recompute of every
+# restarted lane — for each position j in [p0, p0+P), the seqset range of the
+# longest existing window ending at j with length <= min(depth, j-ctx_lo+1)
+# (capped by a truncate when a push would exceed depth).  Lanes start a
+# `depth`-deep halo before their own slice (clamped at ctx_lo), so the state
+# is exact by the first owned position.  Positions where even the single
+# base does not occur get that base's empty fixed range with size 1, exactly
+# like the probe restart.  Equivalence is test-gated on CPU
+# (tests/test_walk_probes.py).
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+WALK_LANES = int(_os.environ.get("BGT_WALK_LANES", str(1 << 15)))
+
+
+def _walk_step(d, text, carry, depth: int, use_kernel: bool):
+    pos, begin, end, ctx, outb, oute, outc, p0, own_hi = carry
+    S = pos.shape[0]
+    n = d.n_entries
+    n2 = text.shape[0]
+    done = pos >= own_hi
+    b = (3 - jnp.take(text, jnp.clip(pos, 0, n2 - 1))).astype(jnp.int32)
+    # push candidate: one stacked rank4 launch for both range ends
+    r4 = d.rank4(jnp.concatenate([begin, end]), use_kernel=use_kernel)
+    b2 = jnp.concatenate([b, b])
+    rsel = _sel4(b2, r4[:, 0], r4[:, 1], r4[:, 2], r4[:, 3]).astype(jnp.int64)
+    fb = _sel4(b, *(jnp.broadcast_to(d.fixed[j], (S,)) for j in range(4)))
+    fe = _sel4(b, *(jnp.broadcast_to(d.fixed[j + 1], (S,)) for j in range(4)))
+    nb0 = fb + rsel[:S]  # pre-kick child (push_front_drop's fixed_b + sub_b)
+    ne = fb + rsel[S:]
+    nctx = ctx + 1
+    first = jnp.clip(nb0, 0, n - 1)
+    sizes_first = d.sizes_at(first, use_kernel).astype(jnp.int32)
+    kick = (nb0 < ne) & (sizes_first < nctx)
+    nb = nb0 + kick.astype(nb0.dtype)
+    ok = nb < ne  # window exists (post-kick, probe/push_front semantics)
+    invalid_in = begin >= end
+    # advance: push succeeded, or nothing to drop (empty context / invalid
+    # range) -> restart with the single-base range (probe restart semantics)
+    adv = (ok | (ctx == 0) | invalid_in) & ~done
+    ab = jnp.where(ok, nb, fb)
+    ae = jnp.where(ok, ne, fe)
+    actx = jnp.where(ok, nctx, 1)
+    # cap the context at depth (probe windows never exceed depth): widen the
+    # (depth+1)-window range back out to the maximal depth-sharing run
+    over = adv & (actx > depth)
+    # drop: ONE widen iteration of push_front_drop's loop (min_ctx=0,
+    # seqset.cpp:350-427); the post-widen ranks are recomputed by the next
+    # step's rank4, so no extra rank launches here
+    shared_b = jnp.take(d.shared, jnp.clip(begin, 0, n - 1)).astype(jnp.int32)
+    shared_e = jnp.where(
+        end >= n,
+        0,
+        jnp.take(d.shared, jnp.clip(end, 0, n - 1)),
+    ).astype(jnp.int32)
+    drop = jnp.maximum(shared_b, shared_e)
+    # lone-short: a single continuation entry exists but is too short
+    # (sub_b != sub_e pre-kick) — drop to just below its full length
+    drop = jnp.where(
+        nb0 != ne, jnp.maximum(drop, sizes_first - 1), drop
+    )
+    upd_b = (begin > 0) & (shared_b >= drop)
+    upd_e = (end < n) & (shared_e >= drop)
+    # cap-widen and drop-widen are mutually exclusive per lane (over => adv,
+    # drop => ~adv): ONE LtSearch boundary-query pair serves both
+    # (_widen semantics: back from begin+1, forward from end-1, index/
+    # seqset.py _widen)
+    qb = jnp.where(over, ab + 1, jnp.where(upd_b, begin, 1))
+    qe = jnp.where(over, ae - 1, jnp.where(upd_e, end, jnp.int64(n - 1)))
+    lvl = jnp.where(over, depth, drop)
+    wb = d.shared_lt.next_backward_lt(qb, lvl)
+    we = d.shared_lt.next_forward_lt(qe, lvl)
+    ab = jnp.where(over, jnp.maximum(wb, 0), ab)
+    ae = jnp.where(over, we, ae)
+    actx = jnp.minimum(actx, depth)
+    dbegin = jnp.where(upd_b, jnp.maximum(wb, 0), begin)
+    dend = jnp.where(upd_e, we, end)
+    # no-progress safety (push_front_drop marks such lanes dead; here the
+    # lane restarts, which a later step turns into single-base advance)
+    noprog = ~adv & ~done & (drop == ctx) & ~upd_b & ~upd_e
+    dbegin = jnp.where(noprog, jnp.zeros_like(dbegin), dbegin)
+    dend = jnp.where(noprog, jnp.zeros_like(dend), dend)
+    dctx = jnp.where(noprog, 0, drop)
+    # merge: advanced lanes take the (capped) child and move on; dropping
+    # lanes widen in place; done lanes hold
+    begin2 = jnp.where(done, begin, jnp.where(adv, ab, dbegin))
+    end2 = jnp.where(done, end, jnp.where(adv, ae, dend))
+    ctx2 = jnp.where(done, ctx, jnp.where(adv, actx, dctx))
+    # scatter owned outputs (halo and done lanes park at the spill slot P)
+    oidx = jnp.where(adv & (pos >= p0), pos - p0, outb.shape[0] - 1)
+    outb = outb.at[oidx].set(ab)
+    oute = oute.at[oidx].set(ae)
+    outc = outc.at[oidx].set(actx)
+    pos2 = jnp.where(adv, pos + 1, pos)
+    return (pos2, begin2, end2, ctx2, outb, oute, outc, p0, own_hi)
+
+
+@_partial(jax.jit, static_argnums=(3, 4, 5))
+def _walk_block(d, text, carry, depth: int, use_kernel: bool, nsteps: int):
+    """CHAIN_BLOCK walk steps fused into one device program (kernel at top
+    trace level; same dispatch discipline as the probe/wavefront blocks)."""
+    for _ in range(nsteps):
+        carry = _walk_step(d, text, carry, depth, use_kernel)
+    return carry
+
+
+@jax.jit
+def _walk_undone(pos, own_hi):
+    return jnp.sum(pos < own_hi)
+
+
+def walk_ranges_fused(d, text, p0, ctx_lo, P: int, depth: int,
+                      use_kernel: bool = True, lanes: int | None = None):
+    """Per-position maximal-window ranges for [p0, p0+P) — walk engine.
+
+    Returns (begin[P], end[P], size[P]) equal to the probe pipeline's
+    exact values (probe_ranges + probe_exact recompute of every restarted
+    lane); `ctx_lo` clips window left edges (strand-half boundary).
+    """
+    S = max(min(lanes or WALK_LANES, P), 1)
+    L = -(-P // S)
+    p0 = int(p0)
+    own_lo = p0 + _np.arange(S, dtype=_np.int64) * L
+    own_hi = _np.minimum(own_lo + L, p0 + P)
+    start = _np.maximum(own_lo - depth, int(ctx_lo))
+    start = _np.minimum(start, own_hi)
+    carry = (
+        jnp.asarray(start),
+        jnp.zeros((S,), jnp.int64),
+        jnp.full((S,), d.n_entries, jnp.int64),
+        jnp.zeros((S,), jnp.int32),
+        jnp.zeros((P + 1,), jnp.int64),
+        jnp.zeros((P + 1,), jnp.int64),
+        jnp.zeros((P + 1,), jnp.int32),
+        jnp.asarray(p0, jnp.int64),
+        jnp.asarray(own_hi),
+    )
+    # every lane needs own span + halo pushes; drops add a data-dependent
+    # tail, checked by a tiny fetch per block after the guaranteed minimum
+    min_steps = L + depth
+    hard_cap = 4 * min_steps + 256
+    steps = 0
+    while True:
+        carry = _walk_block(d, text, carry, depth, use_kernel, CHAIN_BLOCK)
+        steps += CHAIN_BLOCK
+        if steps >= min_steps and int(_walk_undone(carry[0], carry[8])) == 0:
+            break
+        if steps > hard_cap:
+            raise RuntimeError(
+                f"walk_ranges_fused: no convergence after {steps} steps "
+                f"(L={L}, depth={depth}) — drop loop stuck"
+            )
+    return carry[4][:P], carry[5][:P], carry[6][:P]
+
+
+def use_walk_probes(d) -> bool:
+    """Walk engine gate: default ON wherever the MXU chain path is on
+    (accelerator backends); BGT_WALK_PROBES=0/1 overrides either way."""
+    v = _os.environ.get("BGT_WALK_PROBES")
+    if v is not None:
+        return v not in ("0", "") and d.shared_lt is not None
+    return use_mxu_chains(d) and d.shared_lt is not None
+
+
 @jax.jit
 def _packbits_jit(mask):
     return jnp.packbits(mask)
