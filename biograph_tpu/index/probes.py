@@ -488,7 +488,11 @@ def probe_exact_fused(d, text, pos, seg_lo, depth: int, min_m: int = 0,
 
 import numpy as _np
 
-WALK_LANES = int(_os.environ.get("BGT_WALK_LANES", str(1 << 15)))
+# lane geometry: lanes = min(WALK_LANES max, ceil(P / WALK_OWN)) — each lane
+# owns ~WALK_OWN positions after its depth-long halo, so total steps stay
+# ~WALK_OWN + depth while the per-step rank batch stays MXU-sized
+WALK_LANES = int(_os.environ.get("BGT_WALK_LANES", str(1 << 18)))
+WALK_OWN = int(_os.environ.get("BGT_WALK_OWN", "32"))
 
 
 def _walk_step(d, text, carry, depth: int, use_kernel: bool):
@@ -587,22 +591,12 @@ def _walk_undone(pos, own_hi):
     return jnp.sum(pos < own_hi)
 
 
-def walk_ranges_fused(d, text, p0, ctx_lo, P: int, depth: int,
-                      use_kernel: bool = True, lanes: int | None = None):
-    """Per-position maximal-window ranges for [p0, p0+P) — walk engine.
-
-    Returns (begin[P], end[P], size[P]) equal to the probe pipeline's
-    exact values (probe_ranges + probe_exact recompute of every restarted
-    lane); `ctx_lo` clips window left edges (strand-half boundary).
-    """
-    S = max(min(lanes or WALK_LANES, P), 1)
-    L = -(-P // S)
-    p0 = int(p0)
+def _walk_carry(d, p0: int, ctx_lo: int, P: int, depth: int, S: int, L: int):
     own_lo = p0 + _np.arange(S, dtype=_np.int64) * L
     own_hi = _np.minimum(own_lo + L, p0 + P)
     start = _np.maximum(own_lo - depth, int(ctx_lo))
     start = _np.minimum(start, own_hi)
-    carry = (
+    return (
         jnp.asarray(start),
         jnp.zeros((S,), jnp.int64),
         jnp.full((S,), d.n_entries, jnp.int64),
@@ -613,22 +607,62 @@ def walk_ranges_fused(d, text, p0, ctx_lo, P: int, depth: int,
         jnp.asarray(p0, jnp.int64),
         jnp.asarray(own_hi),
     )
+
+
+def walk_ranges_fused(d, text, p0, ctx_lo, P: int, depth: int,
+                      use_kernel: bool = True, lanes: int | None = None):
+    """Per-position maximal-window ranges for [p0, p0+P) — walk engine.
+
+    Returns (begin[P], end[P], size[P]) equal to the probe pipeline's
+    exact values (probe_ranges + probe_exact recompute of every restarted
+    lane); `ctx_lo` clips window left edges (strand-half boundary).
+    """
+    return walk_ranges_multi(
+        d, text, [(p0, ctx_lo, P)], depth, use_kernel, lanes
+    )[0]
+
+
+def walk_ranges_multi(d, text, reqs, depth: int,
+                      use_kernel: bool = True, lanes: int | None = None):
+    """walk_ranges_fused over several position spans with PIPELINED dispatch.
+
+    reqs: list of (p0, ctx_lo, P) — each walks [p0, p0+P).  Lane counts are
+    sized per span so each lane owns ~WALK_OWN positions (total steps stay
+    ~WALK_OWN + depth regardless of span length).  Phase 1 enqueues every
+    span's guaranteed-minimum step blocks without a single sync — over a
+    high-latency device link the device drains a deep queue while the host
+    keeps feeding it.  Phase 2 polls each span's convergence (one tiny
+    fetch; drop-heavy spans get extra blocks).
+    Returns a list of (begin[P], end[P], size[P]) device arrays."""
+    geom = []
+    carries = []
+    for p0, ctx_lo, P in reqs:
+        S = max(min(lanes or min(WALK_LANES, -(-P // WALK_OWN)), P), 1)
+        L = -(-P // S)
+        geom.append((S, L, P))
+        carries.append(_walk_carry(d, int(p0), int(ctx_lo), P, depth, S, L))
     # every lane needs own span + halo pushes; drops add a data-dependent
     # tail, checked by a tiny fetch per block after the guaranteed minimum
-    min_steps = L + depth
-    hard_cap = 4 * min_steps + 256
-    steps = 0
-    while True:
-        carry = _walk_block(d, text, carry, depth, use_kernel, CHAIN_BLOCK)
-        steps += CHAIN_BLOCK
-        if steps >= min_steps and int(_walk_undone(carry[0], carry[8])) == 0:
-            break
-        if steps > hard_cap:
-            raise RuntimeError(
-                f"walk_ranges_fused: no convergence after {steps} steps "
-                f"(L={L}, depth={depth}) — drop loop stuck"
-            )
-    return carry[4][:P], carry[5][:P], carry[6][:P]
+    steps = [0] * len(carries)
+    for i, carry in enumerate(carries):  # phase 1: async, no syncs
+        while steps[i] < geom[i][1] + depth:
+            carry = _walk_block(d, text, carry, depth, use_kernel, CHAIN_BLOCK)
+            steps[i] += CHAIN_BLOCK
+        carries[i] = carry
+    outs = []
+    for i, carry in enumerate(carries):  # phase 2: converge each span
+        S, L, P = geom[i]
+        hard_cap = 4 * (L + depth) + 256
+        while int(_walk_undone(carry[0], carry[8])) != 0:
+            if steps[i] > hard_cap:
+                raise RuntimeError(
+                    f"walk_ranges_multi: no convergence after {steps[i]} "
+                    f"steps (L={L}, depth={depth}) — drop loop stuck"
+                )
+            carry = _walk_block(d, text, carry, depth, use_kernel, CHAIN_BLOCK)
+            steps[i] += CHAIN_BLOCK
+        outs.append((carry[4][:P], carry[5][:P], carry[6][:P]))
+    return outs
 
 
 def use_walk_probes(d) -> bool:

@@ -312,10 +312,14 @@ class _SeqsetDevice:
         column b equals push_front(r, b).(begin, end).  Costs two rank4
         evaluations instead of eight rank chains; the wavefront's 4-base
         probe is built on this."""
-        r4b = self.rank4(r.begin, use_kernel).astype(jnp.int64)
-        r4e = self.rank4(r.end, use_kernel).astype(jnp.int64)
-        nb = self.fixed[None, :4] + r4b
-        ne = self.fixed[None, :4] + r4e
+        B = r.begin.shape[0]
+        # ONE stacked kernel launch for both range ends: per-launch overhead
+        # (not lane count) dominates wavefront-step cost on the relay chip
+        r4 = self.rank4(
+            jnp.concatenate([r.begin, r.end]), use_kernel
+        ).astype(jnp.int64)
+        nb = self.fixed[None, :4] + r4[:B]
+        ne = self.fixed[None, :4] + r4[B:]
         new_size = (r.size + 1)[:, None]
         sizes_nb = self.sizes_at(nb, use_kernel)
         kick = (nb < ne) & (sizes_nb < new_size)

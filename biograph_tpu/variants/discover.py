@@ -197,22 +197,46 @@ def wavefront_assemble(
             groups.append(order[start:i])
             start = i
 
-    out: List[Assembly] = []
-    done_anchors = 0
     trunc_tables = _trunc_tables(ss, opt.probe_ctx)
-    for sel in groups:
-        out.extend(
-            _assemble_batch(
-                d,
-                ref,
-                tuple(a[sel] for a in anchors),
-                opt,
-                ref_limit,
-                trunc_tables,
-                ref_dev,
+    # start every group (span-table + seed dispatches are async), then — on
+    # the MXU path — advance all groups' beams INTERLEAVED: each group's
+    # done-poll only waits on its own enqueued steps while every other
+    # group's compute drains behind it.  Over a high-latency relay this
+    # keeps the chip busy instead of paying one idle round trip per group.
+    ctxs = [
+        c
+        for sel in groups
+        if (
+            c := _asm_start(
+                d, ref, tuple(a[sel] for a in anchors), opt, ref_limit,
+                trunc_tables, ref_dev,
             )
         )
-        done_anchors += len(sel)
+        is not None
+    ]
+    if _mxu(d):
+        active = list(ctxs)
+        while active:
+            for c in active:  # dispatch wave: async block enqueues
+                target = min(c["step"] + CHECK_EVERY, c["MAXP"])
+                while c["step"] < target:
+                    n = min(WAVE_BLOCK, target - c["step"])
+                    c["st"] = _wavefront_block_jit(
+                        d, c["packed"], trunc_tables[0], trunc_tables[1],
+                        c["n_packed"], c["st"], jnp.int32(c["step"]), n,
+                        c["MAXP"], c["k"], c["min_w"], c["probe_ctx"],
+                    )
+                    c["step"] += n
+            active = [  # poll wave: one tiny fetch per group
+                c
+                for c in active
+                if c["step"] < c["MAXP"] and int(_undone_count(c["st"])) > 0
+            ]
+    out: List[Assembly] = []
+    done_anchors = 0
+    for c in ctxs:
+        out.extend(_asm_finish(d, c))
+        done_anchors += c["n_sel"]
         if len(out) >= opt.max_assemblies:
             if stats is not None and done_anchors < n_anchor:
                 stats["assemblies_truncated"] += n_anchor - done_anchors
@@ -229,25 +253,27 @@ def wavefront_assemble(
 N_POLICY = 4  # beam clones per anchor (2 junction choices x 2 ranks)
 
 
-def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
-                    trunc_tables=None, ref_dev=None):
-    """One beam batch: each anchor is explored by N_POLICY clone lanes.
+def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
+               trunc_tables=None, ref_dev=None):
+    """Host prep + async device dispatch for one beam group; returns the ctx
+    dict the interleaved driver advances (None for an empty group).
 
-    Where several child bases are viable (repeat junctions), clone j of an
-    anchor takes the child ranked by bit (j >> n_junction) & 1 — exploring
-    best/second-best combinations at the first two junctions.  This is the
-    bounded-width analog of the reference tracer's branch search
-    (tracer.cpp path exploration with branch costs); per anchor the
-    best-supported, smallest assembly wins.
+    Each anchor is explored by N_POLICY clone lanes: where several child
+    bases are viable (repeat junctions), clone j of an anchor takes the
+    child ranked by bit (j >> n_junction) & 1 — exploring best/second-best
+    combinations at the first two junctions.  This is the bounded-width
+    analog of the reference tracer's branch search (tracer.cpp path
+    exploration with branch costs); per anchor the best-supported,
+    smallest assembly wins (applied in _asm_finish).
     """
     a_pos, ab, a_begin, a_end, a_size = anchors
     A0 = len(a_pos)
     if A0 == 0:
-        return []
+        return None
     if ref_limit is None:
         ref_limit = len(ref)
     if trunc_tables is None:
-        raise ValueError("_assemble_batch requires trunc_tables")
+        raise ValueError("_asm_start requires trunc_tables")
     MAXP = opt.max_path
     k = opt.rejoin_k
 
@@ -296,25 +322,42 @@ def _assemble_batch(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
 
     # seed state is built ON DEVICE inside the jitted wavefront (the initial
     # push_front included): only five [Ap] anchor arrays cross the link
-    out = _wavefront_run(
-        d,
-        packed_dev,
-        trunc_tables[0],
-        trunc_tables[1],
-        jnp.asarray(n_packed, jnp.int64),
-        dict(
-            begin=pad(a_begin[rep], 0, np.int64),
-            end=pad(a_end[rep], 0, np.int64),
-            size=pad(a_size[rep].astype(np.int32)),
-            ab=pad(abp.astype(np.int32), 0, np.int32),
-            policy=pad(policy.astype(np.int32)),
-            min_local=pad((anchor_flat - lo_flat + 1).astype(np.int64)),
-        ),
-        MAXP,
-        k,
-        opt.min_extend_width,
-        opt.probe_ctx,
+    seed = dict(
+        begin=pad(a_begin[rep], 0, np.int64),
+        end=pad(a_end[rep], 0, np.int64),
+        size=pad(a_size[rep].astype(np.int32)),
+        ab=pad(abp.astype(np.int32), 0, np.int32),
+        policy=pad(policy.astype(np.int32)),
+        min_local=pad((anchor_flat - lo_flat + 1).astype(np.int64)),
     )
+    n_packed_dev = jnp.asarray(n_packed, jnp.int64)
+    from biograph_tpu.index.probes import use_mxu_chains as _mxu_gate
+
+    if _mxu_gate(d):
+        # interleaved driver advances st block-by-block (pallas at top level)
+        st = _wavefront_seed_jit(d, seed, MAXP)
+        step = 1
+    else:
+        # CPU / no-kernel: one jitted early-exit while_loop runs to the end
+        st = _wavefront_jit(
+            d, packed_dev, trunc_tables[0], trunc_tables[1], n_packed_dev,
+            seed, MAXP, k, opt.min_extend_width, opt.probe_ctx,
+        )
+        step = MAXP
+    return dict(
+        st=st, step=step, packed=packed_dev, n_packed=n_packed_dev,
+        MAXP=MAXP, k=k, min_w=opt.min_extend_width, probe_ctx=opt.probe_ctx,
+        rep=rep, anchor_flat=anchor_flat, lo_flat=lo_flat, A=A, Ap=Ap,
+        n_sel=A0,
+    )
+
+
+def _asm_finish(d, c):
+    """Fetch one finished beam group's rejoined lanes and build Assembly
+    records (per anchor the best-supported, smallest bubble wins)."""
+    out = c["st"]
+    Ap, A, MAXP, k = c["Ap"], c["A"], c["MAXP"], c["k"]
+    rep, anchor_flat, lo_flat = c["rep"], c["anchor_flat"], c["lo_flat"]
     # transfer only rejoined lanes (device-side compaction): the path matrix
     # is the bulk of the output and most lanes never rejoin.  All scalar
     # outputs ride ONE stacked transfer — each fetch over the device link
@@ -596,17 +639,6 @@ def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int,
     )
 
 
-@_partial(jax.jit, static_argnums=(7, 8, 9, 10))
-def _wavefront_step_jit(d, packed, prev_lt, next_lt, n_packed, st, step_i,
-                        MAXP: int, k: int, min_w: int, probe_ctx: int):
-    """One host-dispatched beam step with the MXU rank kernel at top level
-    (pallas cannot nest inside device loops on this toolchain)."""
-    return _wavefront_body(
-        d, packed, prev_lt, next_lt, n_packed, st,
-        jnp.asarray(step_i, jnp.int32), MAXP, k, min_w, probe_ctx, True,
-    )
-
-
 @_partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
 def _wavefront_block_jit(d, packed, prev_lt, next_lt, n_packed, st, step0,
                          nsteps: int, MAXP: int, k: int, min_w: int,
@@ -631,41 +663,10 @@ def _undone_count(st):
     return jnp.sum(~st["done"])
 
 
-CHECK_EVERY = 48  # host-loop wavefront: steps between done-fetches
+# host-loop wavefront: steps between done-fetches (one tiny sync each; with
+# interleaved groups the fetch overlaps other groups' queued compute)
+CHECK_EVERY = int(os.environ.get("BGT_CHECK_EVERY", "48"))
 WAVE_BLOCK = int(os.environ.get("BGT_WAVE_BLOCK", "8"))  # steps per program
-
-
-def _wavefront_run(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int,
-                   k: int, min_w: int, probe_ctx: int):
-    """Dispatch the wavefront on the best path for the active backend.
-
-    CPU / no-kernel: one jitted early-exit while_loop.  Accelerator with a
-    VMEM-resident rank table: a host loop of async step dispatches (MXU
-    push4 per step), checking the done count only every CHECK_EVERY steps —
-    the host enqueues work far ahead and pays one round trip per check
-    instead of per step."""
-    from biograph_tpu.index.probes import use_mxu_chains
-
-    if not use_mxu_chains(d):
-        return _wavefront_jit(
-            d, packed, prev_lt, next_lt, n_packed, seed,
-            MAXP, k, min_w, probe_ctx,
-        )
-    st = _wavefront_seed_jit(d, seed, MAXP)
-    step = 1
-    blocks = 0
-    while step < MAXP:
-        n = min(WAVE_BLOCK, MAXP - step)
-        st = _wavefront_block_jit(
-            d, packed, prev_lt, next_lt, n_packed, st,
-            jnp.int32(step), n, MAXP, k, min_w, probe_ctx,
-        )
-        step += n
-        blocks += 1
-        # done-check cadence ~= CHECK_EVERY steps (one tiny fetch per check)
-        if blocks % max(CHECK_EVERY // WAVE_BLOCK, 1) == 0 and int(_undone_count(st)) == 0:
-            break
-    return st
 
 
 def _asm_better(a: Assembly, b: Assembly) -> bool:
@@ -794,6 +795,43 @@ def discover_variants(
     ]
     _t = time.time()  # stage wall marks -> stats["stage_s"] (autostats analog)
     stage_s = stats.setdefault("stage_s", {})
+    from biograph_tpu.index.probes import use_walk_probes as _use_walk
+    from biograph_tpu.index.probes import walk_ranges_multi as _walk_multi
+
+    if _use_walk(ss.d):
+        # walk engine: per-position maximal-window ranges via segmented
+        # sequential walks (ref_map's scan-the-reference-through-the-seqset,
+        # modules/variants/ref_map.h:49, over SIMD lanes) — O(P + lanes*depth)
+        # rank launches instead of the probe pipeline's O(P*depth) plus the
+        # restarted-lane binary-search recompute; output contract identical
+        # (tests/test_walk_probes.py), so the anchor scan consumes it as-is.
+        seg_nb = [
+            len(range(p_first, p_last + 1, P))
+            for (_, _, p_first, p_last, _) in segments
+        ]
+        seg_walk = _walk_multi(
+            ss.d, ref2_dev,
+            [
+                (p_first, ctx_lo, nb * P)
+                for (_, ctx_lo, p_first, _, _), nb in zip(segments, seg_nb)
+            ],
+            opt.probe_ctx, use_kernel=_use_mxu(ss.d),
+        )
+        # per-batch views are device-side slices of the segment walk output
+        # (the anchor scan keeps its one compiled [P] program; no transfers)
+        probe_h = [
+            [b[j * P : (j + 1) * P], e[j * P : (j + 1) * P],
+             s[j * P : (j + 1) * P], None]
+            for (b, e, s), nb in zip(seg_walk, seg_nb)
+            for j in range(nb)
+        ]
+        stage_s["walk"] = stage_s.get("walk", 0.0) + (time.time() - _t)
+        _t = time.time()
+        return _discover_finish(
+            ss, reference, ref, ref2, ref2_dev, batches, probe_h, opt,
+            stats, stage_s, anchor_parts, all_asms, all_records, readmap,
+            out_assemblies, G, P, _t,
+        )
     # wave 1: all probe chains
     probe_h = [
         list(
@@ -869,6 +907,19 @@ def discover_variants(
         h[2] = h[2].at[di].set(s2)
     stage_s["probe_exact"] = stage_s.get("probe_exact", 0.0) + (time.time() - _t)
     _t = time.time()
+    return _discover_finish(
+        ss, reference, ref, ref2, ref2_dev, batches, probe_h, opt,
+        stats, stage_s, anchor_parts, all_asms, all_records, readmap,
+        out_assemblies, G, P, _t,
+    )
+
+
+def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
+                     opt, stats, stage_s, anchor_parts, all_asms,
+                     all_records, readmap, out_assemblies, G, P, _t):
+    """Anchor scan -> wavefront -> score -> extract (shared by the walk-engine
+    and probe-pipeline front ends; probe_h = per-batch [begin, end, size, _]
+    device arrays)."""
     # wave 6: anchor scans
     anchor_h = []
     for (rev_half, ctx_lo, p0, p_last, seg_hi), h in zip(batches, probe_h):
