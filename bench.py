@@ -44,17 +44,19 @@ def _pipeline_rate(platform: str):
         ss = build_seqset(batch.codes, batch.lengths)
         rm = build_readmap(ss, batch.codes, batch.lengths)
         t1 = time.time()
-        recs = discover_variants(ss, ref, opt=opt, readmap=rm)
-        return t1 - t0, time.time() - t1, recs
+        stats = {}
+        recs = discover_variants(ss, ref, opt=opt, readmap=rm, stats=stats)
+        return t1 - t0, time.time() - t1, recs, stats
 
     once()  # warmup: compiles (persisted to the on-disk cache)
-    tb, tc, recs = once()
+    tb, tc, recs, stats = once()
     dt = tb + tc
     return {
         "reads_per_s": n_reads / dt,
         "build_s": round(tb, 2),
         "call_s": round(tc, 2),
         "records": len(recs),
+        "stage_s": {k: round(v, 2) for k, v in stats.get("stage_s", {}).items()},
     }
 
 
@@ -214,7 +216,9 @@ def main():
                 "unit": "reads/s",
                 "vs_baseline": vs,
                 "platform": "tpu",
-                "tpu_stages": {k: tpu[k] for k in ("build_s", "call_s", "records")},
+                "tpu_stages": {
+                    k: tpu[k] for k in ("build_s", "call_s", "records", "stage_s")
+                },
                 "cpu_reads_per_s": round((cpu or {}).get("reads_per_s", 0.0), 1),
                 "cpu_stages": (
                     {k: cpu[k] for k in ("build_s", "call_s", "records")}

@@ -445,11 +445,23 @@ def cmd_discovery(args):
                 region=region,
             )
         else:
+            from biograph_tpu.runtime.log import maybe_profile
+
             asm_dump = [] if getattr(args, "assemblies_out", None) else None
-            recs = discover_variants(
-                bg.seqset, ref, region=region, opt=opt, readmap=bg.readmap,
-                out_assemblies=asm_dump,
-            )
+            disc_stats = {}
+            with maybe_profile("discovery"):
+                recs = discover_variants(
+                    bg.seqset, ref, region=region, opt=opt, readmap=bg.readmap,
+                    out_assemblies=asm_dump, stats=disc_stats,
+                )
+            if getattr(args, "stats", None):
+                # engine counters + per-stage wall seconds (bgbinary --stats
+                # / runtime_stats analog, modules/io/runtime_stats.h:14-50)
+                disc_stats["stage_s"] = {
+                    k: round(v, 3) for k, v in disc_stats.get("stage_s", {}).items()
+                }
+                with open(args.stats, "w") as f:
+                    json.dump(disc_stats, f, indent=1)
             if asm_dump is not None:
                 from biograph_tpu.variants.discover import write_assembly_csv
 
@@ -1377,6 +1389,12 @@ def main(argv=None):
         metavar="FIELD=VALUE",
         help="engine knob override (any DiscoverOptions field; repeatable; "
         "also settable via BGT_OPT_<FIELD> env or BGT_CONFIG json)",
+    )
+    pd.add_argument(
+        "--stats",
+        metavar="JSON",
+        help="write engine counters + per-stage wall seconds here "
+        "(bgbinary --stats analog)",
     )
     pd.add_argument(
         "--assemblies-out",

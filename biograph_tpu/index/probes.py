@@ -715,12 +715,13 @@ def use_mxu_chains(d) -> bool:
 
     if os.environ.get("BGT_NO_MXU_CHAINS"):
         return False
+    if os.environ.get("BGT_FORCE_MXU_CHAINS"):
+        # correctness A/B: drive the chain-dispatch path on CPU (isolates
+        # dispatch-topology bugs from chip bf16 effects; with no rank4
+        # table the kernel calls fall back to the XLA gather rank)
+        return True
     if d.rank4_table is None:
         return False
-    if os.environ.get("BGT_FORCE_MXU_CHAINS"):
-        # correctness A/B: drive the chain-dispatch path on CPU, where
-        # matmuls are f32 (isolates path bugs from chip bf16 effects)
-        return True
     try:
         return jax.devices()[0].platform != "cpu"
     except Exception:

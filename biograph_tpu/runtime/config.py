@@ -29,6 +29,8 @@ def _coerce(value: str, like):
         return int(value)
     if isinstance(like, float):
         return float(value)
+    if isinstance(like, tuple):  # e.g. trace_offsets=1234,5678
+        return tuple(int(x) for x in value.split(",") if x.strip())
     return value
 
 

@@ -70,6 +70,25 @@ class Logger:
 LOG = Logger()
 
 
+@contextmanager
+def maybe_profile(tag: str):
+    """Per-kernel device profiling (gperftools --cpuprofile-dir analog,
+    modules/main/main.h:57): when BGT_PROFILE_DIR is set, wrap the block in
+    a jax.profiler trace — per-XLA-op timings land in
+    $BGT_PROFILE_DIR/<tag>/ and open in TensorBoard/xprof/Perfetto."""
+    base = os.environ.get("BGT_PROFILE_DIR")
+    if not base:
+        yield
+        return
+    import jax
+
+    out = os.path.join(base, tag)
+    os.makedirs(out, exist_ok=True)
+    LOG.info(f"profiling {tag} -> {out}")
+    with jax.profiler.trace(out):
+        yield
+
+
 @dataclass
 class Progress:
     """A stage-progress tree (progress_handler_t + subprogress analog).

@@ -44,7 +44,30 @@ from biograph_tpu.index.readmap import Readmap
 
 @dataclass
 class DiscoverOptions:
-    """Engine knobs (analog of assemble_options, modules/variants/assemble.h:475)."""
+    """Engine knobs (analog of assemble_options, modules/variants/assemble.h:475).
+
+    Reference-knob mapping (assemble.h field -> here):
+      bidir_min_anchor_len / min_overlap  -> min_anchor_ctx / probe_ctx
+      bidir_max_branch_steps              -> max_path
+      max_next_paths / max_rejoins        -> branch_clones (beam clones/anchor)
+      read_ahead_distance                 -> read_ahead_distance (rejoin window)
+      scaffold_split_size                 -> scaffold_split_size (probe batch)
+      skip_push_trace_fwd/rev             -> skip_trace_fwd / skip_trace_rev
+      read_cov_max_reads_per_entry        -> read_cov_max_reads_per_entry
+      penalize_directional_coverage       -> penalize_directional_coverage
+      simple_genotype_filter + min_depth_portion + min_read_depth
+        + min_pair_depth                  -> same names (VCF-emit gate)
+      vcf_sv_size_threshold               -> vcf_sv_size_threshold
+      output_assembly_ids                 -> output_assembly_ids (AID INFO)
+      trace_assembly_ids / add_offset_trace -> trace_offsets (debug dump)
+      max_pair_distance / min_pop_overlap etc. (pair/pop engine) -> the SV
+        engine's SvOptions (variants/pop_tracer.py)
+    Knobs with no analog here are artifacts of the reference's sequential
+    cost-driven search (branch costs, search-step budgets, per-read path
+    caps): the beam advances every lane each step and prunes by rank, so
+    cost accounting has no equivalent work to gate.  Worker-profile knobs
+    (himem etc.) live in runtime/resources.py instead.
+    """
 
     min_anchor_ctx: int = 20  # min ref context at a branch point
     probe_ctx: int = 25  # context length for branch probing / extension
@@ -55,11 +78,37 @@ class DiscoverOptions:
     min_extend_width: int = 1
     beam_width: int = 256  # frontier lanes per chunk batch
     bidir: bool = True  # trace fwd AND reverse-complement (trace_ref.h:33-51)
+    skip_trace_fwd: bool = False  # assemble.h skip_push_trace_fwd
+    skip_trace_rev: bool = False  # assemble.h skip_push_trace_rev
     max_path: int = 420  # max assembled alt bases (300bp-class insertions fit)
     rejoin_k: int = 23  # suffix k-mer size for rejoin detection
     max_assemblies: int = 4096  # per chunk batch; truncation is counted
     min_alt_support: int = 3
     hom_frac: float = 0.8
+    # beam clones per anchor (best/second-best at the first junctions);
+    # power of two (each junction consumes one policy bit)
+    branch_clones: int = 4
+    # rejoin search window in bases (assemble.h read_ahead_distance: "only
+    # deletions smaller than this are detected locally"); rounded up to a
+    # power of two
+    read_ahead_distance: int = 1 << 18
+    # probe-batch width cap (assemble.h scaffold_split_size analog: the unit
+    # of genome per device dispatch)
+    scaffold_split_size: int = 1 << 20
+    # coverage scoring (calc_coverage.cpp):
+    read_cov_max_reads_per_entry: int = 0  # 0 = engine default (16)
+    penalize_directional_coverage: bool = True  # calc_coverage.cpp:10-17
+    # VCF-emit genotype gate (simple_genotype_filter.cpp:56-140):
+    simple_genotype_filter: bool = True
+    min_depth_portion: float = 0.23
+    min_read_depth: int = 1
+    min_pair_depth: int = 0
+    # VCF output shaping:
+    vcf_sv_size_threshold: int = 50  # SVLEN/SVTYPE INFO at this size
+    output_assembly_ids: bool = False  # AID INFO field
+    # debug: dump any assembly whose bubble overlaps one of these flat
+    # offsets (add_offset_trace analog, assemble.h:768)
+    trace_offsets: tuple = ()
 
 
 @dataclass
@@ -187,7 +236,7 @@ def wavefront_assemble(
     # fewer batches x same per-step cost is a direct wall-clock win.
     from biograph_tpu.index.probes import use_mxu_chains as _mxu
 
-    eff_width = max(opt.beam_width, 4096) if _mxu(ss.d) else opt.beam_width
+    eff_width = max(opt.beam_width, WAVE_LANES) if _mxu(ss.d) else opt.beam_width
     flat_pos = np.asarray(anchors[0])
     order = np.argsort(flat_pos, kind="stable")
     groups = []
@@ -225,13 +274,19 @@ def wavefront_assemble(
                         d, c["packed"], trunc_tables[0], trunc_tables[1],
                         c["n_packed"], c["st"], jnp.int32(c["step"]), n,
                         c["MAXP"], c["k"], c["min_w"], c["probe_ctx"],
+                        True, c["pos_bits"],
                     )
                     c["step"] += n
-            active = [  # poll wave: one tiny fetch per group
-                c
-                for c in active
-                if c["step"] < c["MAXP"] and int(_undone_count(c["st"])) > 0
-            ]
+            nxt = []  # poll wave: one tiny fetch per group
+            for c in active:
+                if c["step"] >= c["MAXP"]:
+                    continue
+                und = int(_undone_count(c["st"]))
+                if und == 0:
+                    continue
+                _maybe_compact(c, und)
+                nxt.append(c)
+            active = nxt
     out: List[Assembly] = []
     done_anchors = 0
     for c in ctxs:
@@ -276,6 +331,7 @@ def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
         raise ValueError("_asm_start requires trunc_tables")
     MAXP = opt.max_path
     k = opt.rejoin_k
+    pos_bits = max(int(opt.read_ahead_distance - 1).bit_length(), 1)
 
     # local ref kmer index for rejoin (bounded span; never crossing
     # ref_limit — with a doubled fwd+rc ref array the halves must not mix)
@@ -289,10 +345,12 @@ def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
         return []
     n_packed = span_len - k + 1
 
-    # replicate each anchor into N_POLICY clone lanes
-    rep = np.repeat(np.arange(A0), N_POLICY)
-    policy = np.tile(np.arange(N_POLICY), A0)
-    A = A0 * N_POLICY
+    # replicate each anchor into branch_clones clone lanes (max_next_paths /
+    # max_rejoins analog: bounded branch exploration width)
+    ncl = max(int(opt.branch_clones), 1)
+    rep = np.repeat(np.arange(A0), ncl)
+    policy = np.tile(np.arange(ncl), A0)
+    A = A0 * ncl
     anchor_flat = anchor_flat0[rep]
     abp = ab[rep]
 
@@ -341,14 +399,14 @@ def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
         # CPU / no-kernel: one jitted early-exit while_loop runs to the end
         st = _wavefront_jit(
             d, packed_dev, trunc_tables[0], trunc_tables[1], n_packed_dev,
-            seed, MAXP, k, opt.min_extend_width, opt.probe_ctx,
+            seed, MAXP, k, opt.min_extend_width, opt.probe_ctx, pos_bits,
         )
         step = MAXP
     return dict(
         st=st, step=step, packed=packed_dev, n_packed=n_packed_dev,
         MAXP=MAXP, k=k, min_w=opt.min_extend_width, probe_ctx=opt.probe_ctx,
-        rep=rep, anchor_flat=anchor_flat, lo_flat=lo_flat, A=A, Ap=Ap,
-        n_sel=A0,
+        pos_bits=pos_bits, rep=rep, anchor_flat=anchor_flat, lo_flat=lo_flat,
+        A=A, Ap=Ap, n_sel=A0,
     )
 
 
@@ -356,6 +414,9 @@ def _asm_finish(d, c):
     """Fetch one finished beam group's rejoined lanes and build Assembly
     records (per anchor the best-supported, smallest bubble wins)."""
     out = c["st"]
+    if c.get("sel") is not None:
+        # fold the compacted live subset back into the full-width state
+        out = _scatter_state(c["full_st"], c["st"], c["sel"])
     Ap, A, MAXP, k = c["Ap"], c["A"], c["MAXP"], c["k"]
     rep, anchor_flat, lo_flat = c["rep"], c["anchor_flat"], c["lo_flat"]
     # transfer only rejoined lanes (device-side compaction): the path matrix
@@ -489,10 +550,14 @@ def _wavefront_seed_jit(d, seed, MAXP: int):
     )
 
 
-def _rejoin_lookup(span_tab, n_packed, roll, min_local, can):
+def _rejoin_lookup(span_tab, n_packed, roll, min_local, can,
+                   pos_bits: int = None):
     """Nearest span occurrence of each rolling k-mer at/after min_local,
-    within the per-lane rejoin window (2^POS_BITS bases).  span_tab is the
-    (K, key2) pair from _span_kmers_dev.  Returns (found, jpos)."""
+    within the per-lane rejoin window (2^pos_bits bases — the
+    read_ahead_distance knob, assemble.h:532).  span_tab is the (K, key2)
+    pair from _span_kmers_dev.  Returns (found, jpos)."""
+    if pos_bits is None:
+        pos_bits = POS_BITS
     K, key2 = span_tab
     npk = K.shape[0]
     lo = jnp.searchsorted(K, roll)  # run start of the query k-mer
@@ -506,14 +571,14 @@ def _rejoin_lookup(span_tab, n_packed, roll, min_local, can):
         can
         & (idx < n_packed)
         & (K[idxc] == roll)
-        & (jpos - min_local < (1 << POS_BITS))
+        & (jpos - min_local < (1 << pos_bits))
     )
     return found, jpos
 
 
 def _wavefront_body(d, packed, prev_lt, next_lt, n_packed, st, step_i,
                     MAXP: int, k: int, min_w: int, probe_ctx: int,
-                    use_kernel: bool):
+                    use_kernel: bool, pos_bits: int = None):
     """One beam-extension step (shared by the device while_loop and the
     host-dispatched MXU step path).  `packed` is the (K, key2) span table
     pair (see _span_kmers_dev)."""
@@ -582,7 +647,9 @@ def _wavefront_body(d, packed, prev_lt, next_lt, n_packed, st, step_i,
 
         # rejoin: nearest span occurrence of the rolling kmer after the anchor
         can = ext & (path_len > k)
-        found, jpos = _rejoin_lookup(packed, n_packed, roll, st["min_local"], can)
+        found, jpos = _rejoin_lookup(
+            packed, n_packed, roll, st["min_local"], can, pos_bits
+        )
         newly = found & (st["rejoin"] < 0)
         rejoin = jnp.where(newly, jpos, st["rejoin"])
         out_len = jnp.where(newly, path_len, st["out_len"])
@@ -606,9 +673,10 @@ def _wavefront_body(d, packed, prev_lt, next_lt, n_packed, st, step_i,
         )
 
 
-@_partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@_partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def _wavefront_loop_jit(d, packed, prev_lt, next_lt, n_packed, st, MAXP: int,
-                        k: int, min_w: int, probe_ctx: int):
+                        k: int, min_w: int, probe_ctx: int,
+                        pos_bits: int = None):
     """Early-exit while loop over beam steps from a full state dict."""
 
     def cond(carry):
@@ -619,30 +687,32 @@ def _wavefront_loop_jit(d, packed, prev_lt, next_lt, n_packed, st, MAXP: int,
         step_i, st = carry
         return step_i + 1, _wavefront_body(
             d, packed, prev_lt, next_lt, n_packed, st, step_i,
-            MAXP, k, min_w, probe_ctx, False,
+            MAXP, k, min_w, probe_ctx, False, pos_bits,
         )
 
     _, st = lax.while_loop(cond, body, (jnp.asarray(1, jnp.int32), st))
     return st
 
 
-@_partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@_partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int,
-                   k: int, min_w: int, probe_ctx: int):
+                   k: int, min_w: int, probe_ctx: int, pos_bits: int = None):
     """The whole beam extension as one device program (early-exit while).
 
     Most lanes rejoin or die within ~read-length steps, so running all MAXP
     iterations would pay 5-10x the needed sequential latency."""
     st = _wavefront_seed_jit(d, seed, MAXP)
     return _wavefront_loop_jit(
-        d, packed, prev_lt, next_lt, n_packed, st, MAXP, k, min_w, probe_ctx
+        d, packed, prev_lt, next_lt, n_packed, st, MAXP, k, min_w, probe_ctx,
+        pos_bits,
     )
 
 
-@_partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+@_partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _wavefront_block_jit(d, packed, prev_lt, next_lt, n_packed, st, step0,
                          nsteps: int, MAXP: int, k: int, min_w: int,
-                         probe_ctx: int, use_kernel: bool = True):
+                         probe_ctx: int, use_kernel: bool = True,
+                         pos_bits: int = None):
     """`nsteps` beam steps unrolled into ONE device program (pallas kernels
     at top trace level).  At wavefront lane counts the per-program launch
     cost dominates a single step, so fusing blocks divides the fixed
@@ -653,7 +723,7 @@ def _wavefront_block_jit(d, packed, prev_lt, next_lt, n_packed, st, step0,
     for i in range(nsteps):
         st = _wavefront_body(
             d, packed, prev_lt, next_lt, n_packed, st, step0 + i,
-            MAXP, k, min_w, probe_ctx, use_kernel,
+            MAXP, k, min_w, probe_ctx, use_kernel, pos_bits,
         )
     return st
 
@@ -663,10 +733,69 @@ def _undone_count(st):
     return jnp.sum(~st["done"])
 
 
+@jax.jit
+def _live_front_idx(st):
+    """Lane indices sorted live-first (stable): the first `undone` entries
+    are exactly the live lanes; the rest are done lanes usable as padding."""
+    done = st["done"]
+    idx = jnp.arange(done.shape[0], dtype=jnp.int64)
+    _, sidx = lax.sort((done.astype(jnp.int32), idx), num_keys=2, is_stable=True)
+    return sidx
+
+
+@_partial(jax.jit, static_argnums=(2,))
+def _gather_state(st, sel, n: int):
+    """Rows sel[:n] of every per-lane state array (beam-state shrink)."""
+    s = sel[:n]
+    return {k: jnp.take(v, s, axis=0) for k, v in st.items()}
+
+
+@jax.jit
+def _scatter_state(full, small, sel):
+    """Write the compacted rows back into the full-width state (done rows
+    rewrite their own frozen values — harmless)."""
+    return {k: full[k].at[sel].set(small[k]) for k in full}
+
+
+def _maybe_compact(c, undone: int) -> None:
+    """Shrink ctx c's beam state to the live-lane subset when sparse.
+
+    The compacted state's rows map to full-state rows via c["sel"]; on
+    every further shrink the selection is composed device-side, and
+    _asm_finish scatters the survivor rows back before harvesting.  Shapes
+    stay pow2-bucketed so each width compiles once."""
+    if not WAVE_COMPACT:
+        return
+    Ap_cur = c["st"]["begin"].shape[0]
+    new_Ap = max(_next_pow2(max(undone, 1)), WAVE_COMPACT_MIN)
+    if new_Ap * 4 > Ap_cur:  # only shrink on >=4x reduction (hysteresis)
+        return
+    global WAVE_COMPACTIONS
+    WAVE_COMPACTIONS += 1
+    sidx = _live_front_idx(c["st"])
+    if c.get("sel") is None:
+        c["full_st"] = c["st"]
+        sel_new = lax.slice_in_dim(sidx, 0, new_Ap)
+    else:
+        # fold current small state into full, then re-select
+        c["full_st"] = _scatter_state(c["full_st"], c["st"], c["sel"])
+        sel_new = jnp.take(c["sel"], lax.slice_in_dim(sidx, 0, new_Ap))
+    c["sel"] = sel_new
+    c["st"] = _gather_state(c["full_st"], sel_new, new_Ap)
+
+
 # host-loop wavefront: steps between done-fetches (one tiny sync each; with
 # interleaved groups the fetch overlaps other groups' queued compute)
 CHECK_EVERY = int(os.environ.get("BGT_CHECK_EVERY", "48"))
 WAVE_BLOCK = int(os.environ.get("BGT_WAVE_BLOCK", "8"))  # steps per program
+WAVE_LANES = int(os.environ.get("BGT_WAVE_LANES", "4096"))  # lanes per group
+# done-lane compaction: when live lanes fall below 1/4 of the state width,
+# shrink the beam state to the live subset (pow2-bucketed shapes) so late
+# steps — where most lanes have already rejoined or died — stop paying
+# full-width rank/gather cost.  BGT_NO_WAVE_COMPACT=1 disables.
+WAVE_COMPACT = not os.environ.get("BGT_NO_WAVE_COMPACT")
+WAVE_COMPACT_MIN = 512  # never shrink below this width
+WAVE_COMPACTIONS = 0  # process-lifetime shrink count (autostats counter)
 
 
 def _asm_better(a: Assembly, b: Assembly) -> bool:
@@ -768,11 +897,15 @@ def discover_variants(
     # reversable_tracer.cpp:40): the rc pass anchors events from their right
     # side, recovering candidates whose left context is repeat-poisoned.
     # Segments: (rev_half, ctx_lo, first_probe, last_probe, max_anchor_pos)
-    segments = [(False, 0, lo, min(hi, G - 1) - 1, min(hi, G - 1))]
-    if opt.bidir:
+    segments = []
+    if not opt.skip_trace_fwd:
+        segments.append((False, 0, lo, min(hi, G - 1) - 1, min(hi, G - 1)))
+    if opt.bidir and not opt.skip_trace_rev:
         lo_r, hi_r = G - hi, G - lo
         seg_hi_r = min(2 * G - lo, 2 * G - 1)
         segments.append((True, G, G + lo_r, seg_hi_r - 1, seg_hi_r))
+    if not segments:
+        return []
     all_asms: List[Assembly] = []
     anchor_parts: dict = {}
     span = max(hi - lo, 1)
@@ -781,7 +914,11 @@ def discover_variants(
     # accelerator chains are launch-latency-bound: fewer, wider probe
     # batches (1M lanes) amortize the per-step dispatch; the CPU backend
     # prefers cache-sized batches
-    P_cap = (1 << 20) if _use_mxu(ss.d) else (1 << 17)
+    P_cap = (
+        _next_pow2(opt.scaffold_split_size)
+        if _use_mxu(ss.d)
+        else min(_next_pow2(opt.scaffold_split_size), 1 << 17)
+    )
     P = chunk_batch or min(max(_next_pow2(span), 4096), P_cap)
     # The probe/filter/anchor pipeline runs in DISPATCH WAVES: every batch's
     # chain is enqueued before any batch's results are fetched, so each
@@ -1000,6 +1137,17 @@ def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
         # where unsupported repeat-mediated giant "deletions" would otherwise
         # pay huge decomposition DPs
         all_asms = [a for a in all_asms if a.support >= opt.min_alt_support]
+    if opt.trace_offsets:
+        # offset-trace debug facility (add_offset_trace analog,
+        # modules/variants/assemble.h:768): dump every assembly whose bubble
+        # overlaps a traced flat offset
+        for a in all_asms:
+            if any(a.anchor <= t <= a.rejoin for t in opt.trace_offsets):
+                print(
+                    f"TRACE assembly anchor={a.anchor} rejoin={a.rejoin} "
+                    f"support={a.support} ref_support={a.ref_support} "
+                    f"alt={dna.codes_to_seq(np.asarray(a.seq, np.uint8))}"
+                )
     if out_assemblies is not None:
         out_assemblies.extend(all_asms)
     stage_s["score"] = stage_s.get("score", 0.0) + (time.time() - _t)
@@ -1100,8 +1248,17 @@ def _score_batch(rm: Readmap, ref: np.ndarray, asms: List[Assembly], opt: Discov
         ql[r] = len(seq)
     import jax.numpy as jnp
 
-    fwd, rev = rm.coverage(jnp.asarray(q), jnp.asarray(ql))
-    tot = np.asarray(fwd + rev)
+    kmax = opt.read_cov_max_reads_per_entry or 16
+    fwd, rev = rm.coverage(jnp.asarray(q), jnp.asarray(ql), kmax=kmax)
+    fwd = np.asarray(fwd)
+    rev = np.asarray(rev)
+    tot = fwd + rev
+    if opt.penalize_directional_coverage:
+        # discount heavily one-sided depth (calc_coverage.cpp:10-17: if
+        # |fwd-rev| * 4 > 3 * (fwd+rev), depth = 2 * min(fwd, rev)) — one
+        # direction dominating is the signature of systematic read errors
+        skew = np.abs(fwd - rev) * 4 > tot * 3
+        tot = np.where(skew, 2 * np.minimum(fwd, rev), tot)
     ref_mins: dict = {}
     for r, (i, kind, seq, lo, hi) in enumerate(rows):
         win = tot[r, lo:hi]
@@ -1137,6 +1294,7 @@ def write_discovery_vcf(path: str, reference, records, sample="SAMPLE", opt=None
         '##INFO=<ID=SUP,Number=1,Type=Integer,Description="Min read support along assembly">',
         '##INFO=<ID=RSUP,Number=1,Type=Integer,Description="Min read support along the reference span">',
         '##INFO=<ID=PAIRS,Number=1,Type=Integer,Description="Mate pairs straddling the event">',
+        '##INFO=<ID=AID,Number=1,Type=Integer,Description="Assembly id">',
         '##INFO=<ID=SVLEN,Number=1,Type=Integer,Description="Length difference alt-ref">',
         '##INFO=<ID=SVTYPE,Number=1,Type=String,Description="Structural variant type">',
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
@@ -1153,13 +1311,25 @@ def write_discovery_vcf(path: str, reference, records, sample="SAMPLE", opt=None
                 continue
             alt_d = int(r["support"])
             ref_d = int(r.get("ref_support", 0))
+            if opt.simple_genotype_filter:
+                # simple_genotype_filter.cpp:91-140 — depth floors, then the
+                # alt-depth-portion gate against total local depth
+                if alt_d < opt.min_read_depth:
+                    continue
+                if int(r.get("pair_support", opt.min_pair_depth)) < opt.min_pair_depth:
+                    continue
+                total_d = alt_d + ref_d
+                if total_d and alt_d / total_d < opt.min_depth_portion:
+                    continue
             frac = alt_d / max(alt_d + ref_d, 1)
             gt = "1/1" if frac >= opt.hom_frac else "0/1"
             info = {"SUP": alt_d, "RSUP": ref_d}
             if "pair_support" in r:
                 info["PAIRS"] = int(r["pair_support"])
+            if opt.output_assembly_ids and "aid" in r:
+                info["AID"] = int(r["aid"])
             svlen = len(r["alt"]) - len(r["ref"])
-            if abs(svlen) >= 50:
+            if abs(svlen) >= opt.vcf_sv_size_threshold:
                 info["SVLEN"] = svlen
                 info["SVTYPE"] = "INS" if svlen > 0 else "DEL"
             w.write(
@@ -1207,6 +1377,7 @@ def extract_variants(assemblies: List[Assembly], ref: np.ndarray, reference, opt
     out = []
     trimmed = []  # (asm, pos_flat, rs, as_)
     complex_ids = []
+    aid_of = {id(a): i for i, a in enumerate(assemblies)}
     for asm in assemblies:
         a, j = asm.anchor, asm.rejoin
         ref_seg = ref[a + 1 : j]
@@ -1278,6 +1449,7 @@ def extract_variants(assemblies: List[Assembly], ref: np.ndarray, reference, opt
                     "alt": alt_str,
                     "support": asm.support,
                     "ref_support": asm.ref_support,
+                    "aid": aid_of[id(asm)],
                 }
             )
     # dedup identical records, keep max support (exact_dedup analog)

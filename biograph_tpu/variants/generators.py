@@ -236,6 +236,24 @@ def vcf_export(
     return n
 
 
+def verify_order(records: Iterable[VcfRecord], label: str = "stream") -> Iterator[VcfRecord]:
+    """Sorted-stream invariant canary (assemble_pipeline_interface::
+    global_set_verify_order analog, modules/variants/assemble.h — enabled in
+    all the reference's tests, biograph_variants.cpp:639): asserts records
+    arrive sorted by (chrom, pos) and names the offender when a stage breaks
+    the contract.  Insert between any two stages; costs one comparison per
+    record."""
+    last = None
+    for r in records:
+        key = (r.chrom, r.pos)
+        if last is not None and r.chrom == last[0] and key < last:
+            raise AssertionError(
+                f"verify_order[{label}]: {key} arrived after {last}"
+            )
+        last = key
+        yield r
+
+
 def par_pipeline(stage, records: Iterable, queue_size: int = _QUEUE_SIZE) -> Iterator:
     """Run `stage` (an iterator->iterator callable) on a background thread
     with a bounded handoff queue (par_asm_pipeline_wrapper analog,

@@ -1,4 +1,4 @@
-"""Sweep BGT_WAVE_BLOCK / BGT_CHAIN_BLOCK on the live chip.
+"""Sweep wavefront/chain dispatch knobs on the live chip.
 
 Block-fused dispatch divides the fixed per-launch relay cost by the block
 size, but XLA compile time grows superlinearly in unrolled rank steps —
@@ -7,11 +7,16 @@ wedged (CLAUDE.md round-2 notes).  One subprocess per config (the env vars
 are read at import time); each leg reuses the persistent compile cache, so
 re-running a config is cheap.
 
-Usage: python scripts/sweep_blocks.py [wave_sizes] [chain_sizes]
-       e.g. python scripts/sweep_blocks.py 1,8,16 1,8,16
-Prints one JSON line per config: {"wave": W, "chain": C, "call_s": T}.
+Usage: python scripts/sweep_blocks.py [KEY=V1,V2 ...]
+       e.g. python scripts/sweep_blocks.py WAVE_BLOCK=1,8,16 CHAIN_BLOCK=8 \
+                WAVE_LANES=4096,16384 CHECK_EVERY=16,48
+Keys are the BGT_* env suffixes (WAVE_BLOCK, CHAIN_BLOCK, WAVE_LANES,
+CHECK_EVERY, NO_WAVE_COMPACT, WALK_LANES, ...).  Runs the cartesian
+product; prints one JSON line per config with the warm call time and the
+per-stage split.
 """
 
+import itertools
 import json
 import os
 import subprocess
@@ -42,29 +47,33 @@ print("CALL", json.dumps({"call_s": round(time.time() - t0, 2),
 """
 
 
-def run(wave: int, chain: int, timeout: int = 2400):
+def run(cfg: dict, timeout: int = 2400):
     env = dict(os.environ)
-    env["BGT_WAVE_BLOCK"] = str(wave)
-    env["BGT_CHAIN_BLOCK"] = str(chain)
+    for k, v in cfg.items():
+        env["BGT_" + k] = str(v)
     try:
         r = subprocess.run(
             [sys.executable, "-c", LEG], env=env, capture_output=True,
             text=True, timeout=timeout, cwd="/root/repo",
         )
     except subprocess.TimeoutExpired:
-        return {"wave": wave, "chain": chain, "error": "timeout"}
+        return {**cfg, "error": "timeout"}
     for ln in r.stdout.splitlines():
         if ln.startswith("CALL "):
-            return {"wave": wave, "chain": chain, **json.loads(ln[5:])}
-    return {"wave": wave, "chain": chain, "error": r.stderr[-200:]}
+            return {**cfg, **json.loads(ln[5:])}
+    return {**cfg, "error": r.stderr[-200:]}
 
 
 def main():
-    waves = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "8").split(",")]
-    chains = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "8").split(",")]
-    for w in waves:
-        for c in chains:
-            print(json.dumps(run(w, c)), flush=True)
+    args = sys.argv[1:] or ["WAVE_BLOCK=1,8,16"]
+    keys = []
+    vals = []
+    for a in args:
+        k, v = a.split("=", 1)
+        keys.append(k)
+        vals.append(v.split(","))
+    for combo in itertools.product(*vals):
+        print(json.dumps(run(dict(zip(keys, combo)))), flush=True)
 
 
 if __name__ == "__main__":

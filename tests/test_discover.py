@@ -66,6 +66,11 @@ def _reads_from(donor, rng, L=40, coverage=30):
     n = int(len(donor) * coverage / L)
     starts = rng.integers(0, len(donor) - L, size=n)
     codes = np.stack([donor[s : s + L] for s in starts])
+    # strand-symmetric sampling (real sequencing reads both strands); the
+    # engine's directional-coverage penalty (calc_coverage.cpp:10-17 analog,
+    # on by default) discounts one-sided depth as a systematic-error signal
+    half = n // 2
+    codes[:half] = (3 - codes[:half])[:, ::-1]
     return codes, np.full(n, L, np.int32)
 
 
@@ -114,3 +119,30 @@ def test_discover_clean_genome_no_calls(rngm):
     recs = discover_variants(ss, FakeRef(ref), chunk_len=2048, readmap=rm)
     strong = [r for r in recs if r["support"] >= 3]
     assert strong == [], strong[:3]
+
+
+def test_dispatch_path_ab_identical(rngm, monkeypatch):
+    """The host-dispatched interleaved wavefront (MXU chain topology, with
+    done-lane compaction) must produce exactly the records the default
+    while_loop path produces — same engine, different dispatch."""
+    rng = rngm
+    ref, donor, truth = _sim(
+        rng, G=4000, snps=[700, 1900], insertions=[(1200, 4)], deletions=[(2900, 6)]
+    )
+    codes, lens = _reads_from(donor, rng)
+    ss = build_seqset(codes, lens)
+    rm = build_readmap(ss, codes, lens)
+    base = discover_variants(ss, FakeRef(ref), readmap=rm)
+    monkeypatch.setenv("BGT_FORCE_MXU_CHAINS", "1")
+    # tiny group width + compaction floor so pooling, interleaving AND the
+    # shrink path all engage on this small genome
+    from biograph_tpu.variants import discover as D
+
+    monkeypatch.setattr(D, "WAVE_LANES", 256)
+    monkeypatch.setattr(D, "WAVE_COMPACT_MIN", 32)
+    monkeypatch.setattr(D, "CHECK_EVERY", 8)  # poll mid-flight on a tiny genome
+    n0 = D.WAVE_COMPACTIONS
+    forced = discover_variants(ss, FakeRef(ref), readmap=rm)
+    assert D.WAVE_COMPACTIONS > n0, "compaction path not exercised"
+    key = lambda r: (r["chrom"], r["pos"], r["ref"], r["alt"], r["support"])
+    assert sorted(map(key, base)) == sorted(map(key, forced))

@@ -50,6 +50,9 @@ def test_generator_chain_lambda(father_bgt, tmp_path):
     )
     recs = bgexvar.generate_pair_cov(bg.readmap, ref, recs)
     recs = bgexvar.split_phases(bg.readmap, ref, recs)
+    # ordering canary between stages (global_set_verify_order analog — the
+    # reference keeps it on in every test, biograph_variants.cpp:639)
+    recs = bgexvar.verify_order(recs, "post-phase")
     recs = list(bgexvar.dedup_cov_reads(recs))
 
     refblocks = [r for r in recs if r.info.get("REFBLOCK")]
@@ -104,3 +107,19 @@ def test_trim_ref_rejects_wrong_ref(tmp_path):
     assert got == [ok]  # alt==ref dropped
     with pytest.raises(ValueError, match="!= reference"):
         list(bgexvar.trim_ref([bad], ref))
+
+
+def test_verify_order_catches_disorder():
+    from biograph_tpu.io.vcf import VcfRecord
+    from biograph_tpu.variants import generators as bgexvar
+
+    ok = [
+        VcfRecord(chrom="c", pos=1, ref="A", alt="T"),
+        VcfRecord(chrom="c", pos=5, ref="A", alt="T"),
+    ]
+    assert len(list(bgexvar.verify_order(iter(ok)))) == 2
+    bad = [ok[1], ok[0]]
+    import pytest
+
+    with pytest.raises(AssertionError, match="verify_order"):
+        list(bgexvar.verify_order(iter(bad)))

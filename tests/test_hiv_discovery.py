@@ -88,6 +88,9 @@ def test_hiv_iterative_recovers_divergent_runs():
     )
     snap = json.load(open(SNAP))
     # snapshot history: 145 under the kmax=16-capped depth counting; 144 once
-    # Readmap.length_groups made depth exact (one borderline-hom patch flips)
+    # Readmap.length_groups made depth exact (one borderline-hom patch flips);
+    # 119 once the directional-coverage penalty landed (calc_coverage.cpp:10
+    # parity, on by default like the reference) — one-directionally-covered
+    # calls in this thin single-end sample are now discounted
     assert len(recs) == snap["n_iterative_records"], (len(recs), stats)
     assert len(recs) >= 3 * snap["n_records"]  # the point of iterating
