@@ -450,10 +450,26 @@ def cmd_discovery(args):
             asm_dump = [] if getattr(args, "assemblies_out", None) else None
             disc_stats = {}
             with maybe_profile("discovery"):
-                recs = discover_variants(
-                    bg.seqset, ref, region=region, opt=opt, readmap=bg.readmap,
-                    out_assemblies=asm_dump, stats=disc_stats,
-                )
+                if getattr(args, "dist_dir", None):
+                    # region-sharded multi-process run (BGT_NUM_PROCESSES /
+                    # BGT_PROCESS_ID / BGT_COORDINATOR env contract;
+                    # parallel/discovery.py)
+                    from biograph_tpu.parallel.discovery import (
+                        discover_variants_distributed,
+                    )
+                    from biograph_tpu.parallel.distributed import initialize
+
+                    initialize()
+                    recs = discover_variants_distributed(
+                        bg.seqset, ref, args.dist_dir, region=region, opt=opt,
+                        readmap=bg.readmap, stats=disc_stats,
+                    )
+                else:
+                    recs = discover_variants(
+                        bg.seqset, ref, region=region, opt=opt,
+                        readmap=bg.readmap, out_assemblies=asm_dump,
+                        stats=disc_stats,
+                    )
             if getattr(args, "stats", None):
                 # engine counters + per-stage wall seconds (bgbinary --stats
                 # / runtime_stats analog, modules/io/runtime_stats.h:14-50)
@@ -1395,6 +1411,13 @@ def main(argv=None):
         metavar="JSON",
         help="write engine counters + per-stage wall seconds here "
         "(bgbinary --stats analog)",
+    )
+    pd.add_argument(
+        "--dist-dir",
+        metavar="DIR",
+        help="shared run dir for region-sharded multi-process discovery "
+        "(set BGT_NUM_PROCESSES/BGT_PROCESS_ID/BGT_COORDINATOR; every "
+        "process runs the same command)",
     )
     pd.add_argument(
         "--assemblies-out",

@@ -1,0 +1,109 @@
+"""Distributed discovery: region-sharded variant calling across processes.
+
+The reference parallelizes discovery by splitting scaffolds into chunks and
+scheduling them over a thread pool (modules/variants/trace_ref.cpp:105); at
+cloud scale the unit is one whole sample per instance.  Here the same chunk
+scheduling spans *hosts*: under jax.distributed every process traces an
+overlapping slice of the region with its replicated seqset, and the
+per-process record lists are exchanged through the run directory — files on
+shared storage are the data plane, exactly the reference's manifest
+convention (modules/mapred/manifest.h:79) — then merged and deduped
+identically on every process.
+
+Slice ownership: records are owned by the slice whose half-open [lo, hi)
+range contains their anchor position; slices are traced with `overlap`
+extra bases on each side so an owned record always sees its full assembly
+context.  Rejoins farther than `overlap` past a slice boundary (giant
+deletions near the cut) are found by the pair/split SV engine rather than
+the wavefront, as in the single-process pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List
+
+import numpy as np
+
+
+def _slices(lo: int, hi: int, n: int) -> List[tuple]:
+    """n contiguous half-open owned ranges covering [lo, hi)."""
+    edges = np.linspace(lo, hi, n + 1).astype(np.int64)
+    return [(int(edges[i]), int(edges[i + 1])) for i in range(n)]
+
+
+def discover_variants_distributed(
+    ss,
+    reference,
+    run_dir: str,
+    region: tuple | None = None,
+    opt=None,
+    readmap=None,
+    stats: dict | None = None,
+    overlap: int | None = None,
+    barrier_timeout_s: float = 600.0,
+):
+    """Run discovery region-sharded over all jax.distributed processes.
+
+    Every process calls this with the same arguments (seqset/readmap are the
+    same immutable artifacts on each host); every process returns the same
+    merged record list.  Single-process runs degrade to plain
+    discover_variants.  `run_dir` must be shared storage in a real
+    multi-host deployment (the file data plane)."""
+    import jax
+
+    from biograph_tpu.variants.discover import (
+        DiscoverOptions,
+        discover_variants,
+        _dedup_records,
+    )
+
+    opt = opt or DiscoverOptions()
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    G = len(np.asarray(reference.flat))
+    lo, hi = region if region else (0, G)
+    if nproc <= 1:
+        return discover_variants(
+            ss, reference, region=(lo, hi), opt=opt, readmap=readmap, stats=stats
+        )
+    if overlap is None:
+        overlap = opt.max_path + opt.rejoin_k + opt.probe_ctx + 2
+    own_lo, own_hi = _slices(lo, hi, nproc)[pid]
+    ext = (max(lo, own_lo - overlap), min(hi, own_hi + overlap))
+    local = discover_variants(
+        ss, reference, region=ext, opt=opt, readmap=readmap, stats=stats
+    )
+    # ownership filter: anchor position (rec pos is 1-based contig-relative)
+    owned = []
+    for r in local:
+        c = reference.contig_by_name(r["chrom"])
+        flat = c.start + r["pos"] - 1
+        if own_lo <= flat < own_hi:
+            owned.append(r)
+    os.makedirs(run_dir, exist_ok=True)
+    part = os.path.join(run_dir, f"discovery_part_{pid:05d}.json")
+    tmp = part + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(owned, f)
+    os.replace(tmp, part)  # atomic: readers never see a partial file
+
+    # barrier: a device collective over the global mesh (the only ordering
+    # primitive a jax.distributed job needs; control plane stays jax's)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("bgt_discovery_parts")
+
+    merged = []
+    deadline = time.time() + barrier_timeout_s
+    for p in range(nproc):
+        path = os.path.join(run_dir, f"discovery_part_{p:05d}.json")
+        while not os.path.exists(path):
+            # shared-FS visibility can lag the barrier on network mounts
+            if time.time() > deadline:
+                raise TimeoutError(f"missing discovery part {path}")
+            time.sleep(0.05)
+        merged.extend(json.load(open(path)))
+    return _dedup_records(merged)

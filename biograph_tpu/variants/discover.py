@@ -247,6 +247,30 @@ def wavefront_assemble(
             start = i
 
     trunc_tables = _trunc_tables(ss, opt.probe_ctx)
+    # Shared rejoin span table: when the anchors' joint span fits the table
+    # budget, build ONE (K, key2) table for all groups in this orientation —
+    # one device sort instead of one per group, and (decisive over a slow
+    # relay) ONE (Ap, npk) wavefront program shape instead of a
+    # span-dependent ladder of expensive remote compiles.  Past the budget
+    # (human-scale scaffolds) groups fall back to their own bounded spans.
+    span_shared = None
+    k_rej = opt.rejoin_k
+    lo_all = int(flat_pos.min())
+    hi_all = int(min(flat_pos.max() + opt.max_path + k_rej + 2, ref_limit))
+    span_all = min(hi_all + 1, ref_limit) - lo_all
+    if span_all >= k_rej:
+        npk_all = 16384
+        while npk_all < span_all - k_rej + 1:
+            npk_all *= 4 if npk_all < (1 << 20) else 2
+        if npk_all <= SPAN_TABLE_CAP:
+            span_shared = (
+                _span_kmers_dev(
+                    ref_dev, jnp.asarray(lo_all, jnp.int64),
+                    jnp.asarray(span_all, jnp.int64), npk_all, k_rej,
+                ),
+                lo_all,
+                span_all - k_rej + 1,
+            )
     # start every group (span-table + seed dispatches are async), then — on
     # the MXU path — advance all groups' beams INTERLEAVED: each group's
     # done-poll only waits on its own enqueued steps while every other
@@ -258,7 +282,7 @@ def wavefront_assemble(
         if (
             c := _asm_start(
                 d, ref, tuple(a[sel] for a in anchors), opt, ref_limit,
-                trunc_tables, ref_dev,
+                trunc_tables, ref_dev, span_shared,
             )
         )
         is not None
@@ -309,7 +333,7 @@ N_POLICY = 4  # beam clones per anchor (2 junction choices x 2 ranks)
 
 
 def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
-               trunc_tables=None, ref_dev=None):
+               trunc_tables=None, ref_dev=None, span_shared=None):
     """Host prep + async device dispatch for one beam group; returns the ctx
     dict the interleaved driver advances (None for an empty group).
 
@@ -336,14 +360,18 @@ def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
     # local ref kmer index for rejoin (bounded span; never crossing
     # ref_limit — with a doubled fwd+rc ref array the halves must not mix)
     anchor_flat0 = np.asarray(a_pos)
-    lo_flat = int(anchor_flat0.min())
-    hi_flat = int(min(anchor_flat0.max() + MAXP + k + 2, ref_limit))
-    # 32-bit span positions in the (K, key2) table: any real scaffold fits
-    assert hi_flat - lo_flat < (1 << 32)
-    span_len = min(hi_flat + 1, ref_limit) - lo_flat
-    if span_len < k:
-        return []
-    n_packed = span_len - k + 1
+    if span_shared is not None:
+        lo_flat = span_shared[1]
+        n_packed = span_shared[2]
+    else:
+        lo_flat = int(anchor_flat0.min())
+        hi_flat = int(min(anchor_flat0.max() + MAXP + k + 2, ref_limit))
+        # 32-bit span positions in the (K, key2) table: real scaffolds fit
+        assert hi_flat - lo_flat < (1 << 32)
+        span_len = min(hi_flat + 1, ref_limit) - lo_flat
+        if span_len < k:
+            return []
+        n_packed = span_len - k + 1
 
     # replicate each anchor into branch_clones clone lanes (max_next_paths /
     # max_rejoins analog: bounded branch exploration width)
@@ -363,15 +391,18 @@ def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
     # (a T-homopolymer roll can never equal the 64-bit all-ones sentinel).
     # 4x ladder keeps shape combos rare; 2x above 1M bounds the memory/sort
     # overshoot on whole-scaffold spans.
-    npk = 16384
-    while npk < n_packed:
-        npk *= 4 if npk < (1 << 20) else 2
-    if ref_dev is None:
-        ref_dev = jnp.asarray(ref)
-    packed_dev = _span_kmers_dev(
-        ref_dev, jnp.asarray(lo_flat, jnp.int64),
-        jnp.asarray(span_len, jnp.int64), npk, k,
-    )
+    if span_shared is not None:
+        packed_dev = span_shared[0]
+    else:
+        npk = 16384
+        while npk < n_packed:
+            npk *= 4 if npk < (1 << 20) else 2
+        if ref_dev is None:
+            ref_dev = jnp.asarray(ref)
+        packed_dev = _span_kmers_dev(
+            ref_dev, jnp.asarray(lo_flat, jnp.int64),
+            jnp.asarray(span_len, jnp.int64), npk, k,
+        )
 
     def pad(x, fill=0, dtype=None):
         out = np.full(Ap, fill, dtype or np.asarray(x).dtype)
@@ -808,6 +839,10 @@ def _asm_better(a: Assembly, b: Assembly) -> bool:
 
 
 POS_BITS = 18  # per-lane rejoin search window, log2 (span itself unbounded)
+# shared-span-table row budget: 2^23 rows = 134 MB (two uint64 arrays) —
+# microbial genomes share one table per orientation; bigger scaffolds fall
+# back to per-group bounded spans
+SPAN_TABLE_CAP = int(os.environ.get("BGT_SPAN_TABLE_CAP", str(1 << 23)))
 
 
 @_partial(jax.jit, static_argnums=(3, 4))

@@ -90,6 +90,50 @@ def main():
         assert (fetch(gs) == np.asarray(want.size)).all(), ("drop s", i)
         lb, le, ls = want.begin, want.end, want.size
 
+    # --- region-sharded distributed discovery: every process traces its
+    # overlapping slice, parts merge through the shared run dir, and the
+    # merged records equal the single-process engine's bit-for-bit
+    # (parallel/discovery.py; trace_ref chunk scheduling over hosts) ---
+    import tempfile
+
+    from biograph_tpu.build.readmap_build import build_readmap
+    from biograph_tpu.index.reference import Contig
+    from biograph_tpu.parallel.discovery import discover_variants_distributed
+    from biograph_tpu.variants.discover import DiscoverOptions, discover_variants
+
+    class _Ref:
+        def __init__(self, codes):
+            self.flat = np.asarray(codes, np.uint8)
+            self.is_n = np.zeros(len(codes), bool)
+            self.contigs = [Contig(name="c", start=0, length=len(codes))]
+
+        def contig_by_name(self, name):
+            return self.contigs[0]
+
+    donor = ref.copy()
+    for p in (200, 600, 950):  # planted SNPs
+        donor[p] = (donor[p] + 1) % 4
+    rows_d = [donor[s : s + 40] for s in range(0, len(donor) - 40, 2)]
+    codes_d = np.stack(rows_d).astype(np.uint8)
+    # alternate strands so every locus sees both (directional penalty is on)
+    codes_d[::2] = (3 - codes_d[::2])[:, ::-1]
+    lens_d = np.full(len(rows_d), 40, np.int32)
+    ss_d = build_seqset(codes_d, lens_d)
+    rm_d = build_readmap(ss_d, codes_d, lens_d)
+    rref = _Ref(ref)
+    opt = DiscoverOptions(min_alt_support=5)
+    want = discover_variants(ss_d, rref, opt=opt, readmap=rm_d)
+    run_dir = os.path.join(tempfile.gettempdir(), f"bgt_mp_disc_{coord.split(':')[1]}")
+    got = discover_variants_distributed(
+        ss_d, rref, run_dir, opt=opt, readmap=rm_d
+    )
+    keyf = lambda r: (r["chrom"], r["pos"], r["ref"], r["alt"], r["support"])
+    assert sorted(map(keyf, got)) == sorted(map(keyf, want)), (
+        len(got), len(want),
+    )
+    snps = {r["pos"] - 1 for r in got}
+    assert {200, 600, 950} <= snps, snps
+
     print(f"MP_OK pid={pid} procs={jax.process_count()} devs={jax.device_count()}")
 
 
