@@ -493,6 +493,10 @@ import numpy as _np
 # ~WALK_OWN + depth while the per-step rank batch stays MXU-sized
 WALK_LANES = int(_os.environ.get("BGT_WALK_LANES", str(1 << 18)))
 WALK_OWN = int(_os.environ.get("BGT_WALK_OWN", "32"))
+# extra steps enqueued sync-free past the guaranteed minimum: covers the
+# typical drop tail so most spans converge before the first (expensive)
+# undone poll; wasted blocks on already-done lanes are ~ms of device work
+WALK_TAIL_MARGIN = int(_os.environ.get("BGT_WALK_TAIL_MARGIN", "64"))
 
 
 def _walk_step(d, text, carry, depth: int, use_kernel: bool):
@@ -642,27 +646,51 @@ def walk_ranges_multi(d, text, reqs, depth: int,
         geom.append((S, L, P))
         carries.append(_walk_carry(d, int(p0), int(ctx_lo), P, depth, S, L))
     # every lane needs own span + halo pushes; drops add a data-dependent
-    # tail, checked by a tiny fetch per block after the guaranteed minimum
+    # tail.  A host sync over the remote-device relay costs ~1s while an
+    # async enqueue costs <1ms, so the driver is built around syncs, not
+    # launches: phase 1 enqueues every span's guaranteed minimum plus a
+    # tail margin with no syncs at all; phase 2 polls ALL spans' undone
+    # counts in ONE fused fetch per round and enqueues geometrically
+    # growing block batches between rounds — total syncs stay O(log tail)
+    # instead of O(tail / CHAIN_BLOCK) per span.
     steps = [0] * len(carries)
-    for i, carry in enumerate(carries):  # phase 1: async, no syncs
-        while steps[i] < geom[i][1] + depth:
-            carry = _walk_block(d, text, carry, depth, use_kernel, CHAIN_BLOCK)
+
+    def _enqueue(i, nsteps):
+        c = carries[i]
+        while nsteps > 0:
+            c = _walk_block(d, text, c, depth, use_kernel, CHAIN_BLOCK)
             steps[i] += CHAIN_BLOCK
-        carries[i] = carry
-    outs = []
-    for i, carry in enumerate(carries):  # phase 2: converge each span
-        S, L, P = geom[i]
-        hard_cap = 4 * (L + depth) + 256
-        while int(_walk_undone(carry[0], carry[8])) != 0:
-            if steps[i] > hard_cap:
+            nsteps -= CHAIN_BLOCK
+        carries[i] = c
+
+    for i, (S, L, P) in enumerate(geom):  # phase 1: async, no syncs
+        _enqueue(i, L + depth + WALK_TAIL_MARGIN)
+    active = list(range(len(carries)))
+    batch = CHAIN_BLOCK
+    while active:
+        und = _np.asarray(  # ONE sync for every active span
+            jnp.stack([_walk_undone(carries[i][0], carries[i][8])
+                       for i in active])
+        )
+        nxt = []
+        for u, i in zip(und, active):
+            if int(u) == 0:
+                continue
+            S, L, P = geom[i]
+            if steps[i] > 4 * (L + depth) + 256:
                 raise RuntimeError(
                     f"walk_ranges_multi: no convergence after {steps[i]} "
                     f"steps (L={L}, depth={depth}) — drop loop stuck"
                 )
-            carry = _walk_block(d, text, carry, depth, use_kernel, CHAIN_BLOCK)
-            steps[i] += CHAIN_BLOCK
-        outs.append((carry[4][:P], carry[5][:P], carry[6][:P]))
-    return outs
+            nxt.append(i)
+        for i in nxt:
+            _enqueue(i, batch)
+        batch = min(2 * batch, 128)
+        active = nxt
+    return [
+        (carry[4][:P], carry[5][:P], carry[6][:P])
+        for carry, (S, L, P) in zip(carries, geom)
+    ]
 
 
 def use_walk_probes(d) -> bool:

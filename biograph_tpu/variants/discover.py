@@ -1103,11 +1103,14 @@ def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
             )
         )
         h[0] = h[1] = h[2] = h[3] = None  # release probe state buffers
-    # waves 7-8: anchor counts, then live anchor columns
-    for (rev_half, ctx_lo, p0, p_last, seg_hi), (counts, stacked) in zip(
-        batches, anchor_h
+    # waves 7-8: anchor counts, then live anchor columns.  All batches'
+    # counts come back in ONE fused fetch (a host sync over the remote
+    # relay costs ~1s; per-batch fetches would serialize one per batch)
+    counts_all = np.asarray(jnp.stack([c for c, _ in anchor_h]))
+    for j, ((rev_half, ctx_lo, p0, p_last, seg_hi), (counts, stacked)) in (
+        enumerate(zip(batches, anchor_h))
     ):
-            n, n_raw = (int(x) for x in np.asarray(counts))
+            n, n_raw = (int(x) for x in counts_all[j])
             stats["anchors_found"] += n_raw
             if n_raw > n:
                 stats["anchors_truncated"] += n_raw - n

@@ -18,6 +18,11 @@ def world():
     donor[1500] = (donor[1500] + 1) % 4  # a hom SNP
     rows = [donor[s : s + 60] for s in range(0, G - 60, 4)]
     codes = np.stack(rows).astype(np.uint8)
+    # alternate strands (odd rows reverse-complemented) so every locus has
+    # two-directional coverage — the directional-coverage penalty
+    # (calc_coverage.cpp:10-17 semantics, on by default) floors support for
+    # loci covered in only one direction, as with any real library prep
+    codes[1::2] = (3 - codes[1::2])[:, ::-1]
     lens = np.full(len(rows), 60, np.int32)
     ss = build_seqset(codes, lens)
     rm = build_readmap(ss, codes, lens)
