@@ -493,11 +493,23 @@ def cmd_discovery(args):
                 reads_from_readmap,
             )
 
-            codes, lens, mate = reads_from_readmap(bg.readmap)
+            if getattr(args, "dist_dir", None):
+                # read-sliced scan across processes (N× duplicated work
+                # otherwise); finalize is deterministic and replicated
+                from biograph_tpu.parallel.discovery import (
+                    discover_structural_distributed,
+                )
+
+                sv_all = discover_structural_distributed(
+                    bg.readmap, ref, args.dist_dir
+                )
+            else:
+                codes, lens, mate = reads_from_readmap(bg.readmap)
+                sv_all = discover_structural(ref, codes, lens, mate_of=mate)
             seen = {(r["chrom"], r["pos"], r["ref"], r["alt"]) for r in recs}
             sv = [
                 r
-                for r in discover_structural(ref, codes, lens, mate_of=mate)
+                for r in sv_all
                 if (r["chrom"], r["pos"], r["ref"], r["alt"]) not in seen
                 and (region is None or _rec_in_region(ref, r, region))
             ]

@@ -107,3 +107,120 @@ def discover_variants_distributed(
             time.sleep(0.05)
         merged.extend(json.load(open(path)))
     return _dedup_records(merged)
+
+
+def _await_file(path: str, deadline: float):
+    while not os.path.exists(path):
+        if time.time() > deadline:
+            raise TimeoutError(f"missing part {path}")
+        time.sleep(0.05)
+
+
+def discover_structural_distributed(
+    readmap,
+    reference,
+    run_dir: str,
+    opt=None,
+    barrier_timeout_s: float = 600.0,
+):
+    """Pair/split SV discovery with the O(reads) scan sharded by read slice.
+
+    Every process densifies + places + split-places only its contiguous
+    slice of the readmap's forward reads (the dominant cost — previously
+    duplicated N× on every process), exchanges the compact scan results
+    (placements, raw events, clip candidates, k-mer edge tables) through
+    `run_dir`, then runs the deterministic finalize identically everywhere —
+    so all processes return the same record list as a single-process run.
+    """
+    import jax
+
+    from biograph_tpu.variants.align import RefKmerIndex
+    from biograph_tpu.variants.pop_tracer import (
+        SvOptions,
+        _sv_finalize,
+        _sv_scan_reads,
+        discover_structural,
+        merge_edge_tables,
+        reads_from_readmap,
+    )
+
+    opt = opt or SvOptions()
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if nproc <= 1:
+        codes, lens, mate = reads_from_readmap(readmap)
+        return discover_structural(reference, codes, lens, mate_of=mate, opt=opt)
+
+    # global lengths/mate links are cheap; codes densify is per-slice only
+    _, lens, mate = reads_from_readmap(readmap, read_slice=(0, 0))
+    R = len(lens)
+    lo, hi = _slices(0, R, nproc)[pid]
+    codes, _, _ = reads_from_readmap(readmap, read_slice=(lo, hi))
+    ref = np.asarray(reference.flat)
+    index = RefKmerIndex.build(ref, opt.k, is_n=getattr(reference, "is_n", None))
+    placements, raw_events, clip_cands, ek, ec = _sv_scan_reads(
+        index, codes, lens[lo:hi], opt, owner_base=lo
+    )
+
+    os.makedirs(run_dir, exist_ok=True)
+    part = os.path.join(run_dir, f"sv_part_{pid:05d}.npz")
+    tmp = part + ".tmp.npz"
+    np.savez(
+        tmp,
+        pos=placements.pos,
+        is_rc=placements.is_rc,
+        ev_left=np.array([e[0] for e in raw_events], np.int64),
+        ev_right=np.array([e[1] for e in raw_events], np.int64),
+        ev_owner=np.array([e[3] for e in raw_events], np.int64),
+        ev_ins=np.frombuffer(b"".join(e[2] for e in raw_events), np.uint8),
+        ev_ins_len=np.array([len(e[2]) for e in raw_events], np.int64),
+        cl_left=np.array([c[0] for c in clip_cands], np.int64),
+        cl_owner=np.array([c[2] for c in clip_cands], np.int64),
+        cl_tail=(
+            np.concatenate([c[1] for c in clip_cands])
+            if clip_cands
+            else np.zeros(0, np.uint8)
+        ),
+        cl_tail_len=np.array([len(c[1]) for c in clip_cands], np.int64),
+        edge_keys=ek,
+        edge_counts=ec,
+    )
+    os.replace(tmp, part)
+
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("bgt_sv_parts")
+
+    deadline = time.time() + barrier_timeout_s
+    pos_parts, rc_parts, tables = [], [], []
+    all_events, all_clips = [], []
+    for p in range(nproc):
+        path = os.path.join(run_dir, f"sv_part_{p:05d}.npz")
+        _await_file(path, deadline)
+        z = np.load(path)
+        pos_parts.append(z["pos"])
+        rc_parts.append(z["is_rc"])
+        tables.append((z["edge_keys"], z["edge_counts"]))
+        off = 0
+        for l, r, n, o in zip(
+            z["ev_left"], z["ev_right"], z["ev_ins_len"], z["ev_owner"]
+        ):
+            all_events.append(
+                (int(l), int(r), z["ev_ins"][off : off + int(n)].tobytes(), int(o))
+            )
+            off += int(n)
+        off = 0
+        for l, n, o in zip(z["cl_left"], z["cl_tail_len"], z["cl_owner"]):
+            all_clips.append(
+                (int(l), z["cl_tail"][off : off + int(n)].copy(), int(o))
+            )
+            off += int(n)
+    pos_all = np.concatenate(pos_parts)
+    rc_all = np.concatenate(rc_parts)
+    ek_m, ec_m = merge_edge_tables(tables)
+    if not all_events and not all_clips:
+        return []
+    return _sv_finalize(
+        reference, index, all_events, all_clips, ek_m, ec_m,
+        pos_all, rc_all, lens, mate, opt,
+    )

@@ -524,9 +524,6 @@ def _next_pow2(n):
 from functools import partial as _partial
 
 
-_TRUNC_CACHE: dict = {}
-
-
 def _trunc_tables(ss: Seqset, c: int):
     """Constant-threshold widen tables: prev_lt[i] = largest j <= i with
     shared[j] < c (-1 if none); next_lt[i] = smallest j >= i with
@@ -535,8 +532,12 @@ def _trunc_tables(ss: Seqset, c: int):
     truncate_ranges to a KNOWN constant c is then two gathers per lane
     instead of two block-structured less-than searches — the wavefront
     truncates to probe_ctx every step, and the searches were ~95% of its
-    step cost on TPU."""
-    cache = ss.__dict__.setdefault("_trunc_cache", _TRUNC_CACHE.setdefault(id(ss), {}))
+    step cost on TPU.
+
+    Cached on the Seqset instance only (an id()-keyed process-global dict
+    previously risked leaking tables and, after id reuse, serving a NEW
+    seqset the OLD seqset's tables — wrong truncation, wrong calls)."""
+    cache = ss.__dict__.setdefault("_trunc_cache", {})
     hit = cache.get(c)
     if hit is None:
         shared = np.asarray(ss.shared)
@@ -1106,7 +1107,11 @@ def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
     # waves 7-8: anchor counts, then live anchor columns.  All batches'
     # counts come back in ONE fused fetch (a host sync over the remote
     # relay costs ~1s; per-batch fetches would serialize one per batch)
-    counts_all = np.asarray(jnp.stack([c for c, _ in anchor_h]))
+    counts_all = (
+        np.asarray(jnp.stack([c for c, _ in anchor_h]))
+        if anchor_h
+        else np.zeros((0, 2), np.int64)
+    )
     for j, ((rev_half, ctx_lo, p0, p_last, seg_hi), (counts, stacked)) in (
         enumerate(zip(batches, anchor_h))
     ):

@@ -76,24 +76,34 @@ class SvEvent:
         return len(self.ins)
 
 
-def reads_from_readmap(rm, batch: int = 1 << 14):
+def reads_from_readmap(rm, batch: int = 1 << 14, read_slice: tuple | None = None):
     """Reconstruct forward-oriented reads (+ mate links) from a readmap.
 
     Returns (codes [R, L], lengths [R], mate_of [R] | None) where mate_of[i]
     is the index of read i's mate in the same arrays (self if unpaired) —
     the data the reference pop tracer pulls through readmap mate loops
-    (modules/bio_base/readmap.h:216-236)."""
+    (modules/bio_base/readmap.h:216-236).
+
+    `read_slice=(lo, hi)` densifies codes only for forward reads [lo, hi)
+    (codes has hi-lo rows) while lengths/mate_of stay GLOBAL over all R
+    forward reads — the shard contract for distributed SV discovery, where
+    each process materializes only its slice but pair evidence needs global
+    placements."""
     loop = np.asarray(rm.mate_pair_ptr)
     fwd_ids = np.nonzero(np.asarray(rm.is_forward))[0]
-    entries = rm.entry_of_rm[fwd_ids]
     lens = np.asarray(rm.read_lengths)[fwd_ids]
     L = int(lens.max(initial=1))
-    codes = np.zeros((len(fwd_ids), L), np.uint8)
+    lo0, hi0 = read_slice if read_slice is not None else (0, len(fwd_ids))
+    sel = fwd_ids[lo0:hi0]
+    entries = rm.entry_of_rm[sel]
+    codes = np.zeros((len(sel), L), np.uint8)
     ss = rm.seqset
-    for lo in range(0, len(fwd_ids), batch):
-        hi = min(len(fwd_ids), lo + batch)
+    for lo in range(0, len(sel), batch):
+        hi = min(len(sel), lo + batch)
         codes[lo:hi] = np.asarray(ss.d.sequences(jnp.asarray(entries[lo:hi]), L))
-    codes = np.where(np.arange(L)[None, :] < lens[:, None], codes, 0).astype(np.uint8)
+    codes = np.where(
+        np.arange(L)[None, :] < lens[lo0:hi0, None], codes, 0
+    ).astype(np.uint8)
     mate2 = loop[loop]  # fwd -> rc -> mate-fwd
     pos_of_fwd = np.full(rm.num_entries, -1, np.int64)
     pos_of_fwd[fwd_ids] = np.arange(len(fwd_ids))
@@ -365,50 +375,43 @@ def _left_normalize_event(ref: np.ndarray, left: int, right: int, ins: np.ndarra
     return left, right, np.array(ins, np.uint8)
 
 
-def discover_structural(
-    reference,
+def _sv_scan_reads(
+    index: RefKmerIndex,
     codes: np.ndarray,
     lengths: np.ndarray,
-    mate_of: np.ndarray | None = None,
-    opt: SvOptions | None = None,
+    opt: SvOptions,
     placements: Placements | None = None,
-    index: RefKmerIndex | None = None,
-) -> List[Dict]:
-    """Find >min_event structural variants from split reads + pair support.
+    owner_base: int = 0,
+):
+    """Per-read SV scan — the shardable O(reads) phase.
 
-    Returns discovery-record dicts (chrom/pos/ref/alt/support/pair_support)
-    merge-compatible with the wavefront engine's output."""
-    opt = opt or SvOptions()
-    ref = np.asarray(reference.flat)
-    if index is None:
-        index = RefKmerIndex.build(
-            ref, opt.k, is_n=getattr(reference, "is_n", None)
-        )
+    Places reads (unless given), split-places the unplaced candidates in both
+    orientations, and returns
+      (placements, raw_events, clip_cands, edge_keys, edge_counts)
+    where events/clips carry GLOBAL read ids (local index + owner_base) and
+    the k-mer edge table covers this slice's unplaced reads (merge tables
+    across slices with merge_edge_tables).  Disjoint read slices scanned
+    separately and merged finalize to exactly the single-pass result —
+    the distributed-SV contract (tests/test_pop_tracer.py)."""
     if placements is None:
         placements = place_reads(index, codes, lengths, max_mismatches=3)
     unplaced = np.nonzero(placements.pos < 0)[0]
-    if len(unplaced) == 0:
-        return []
-
-    # try both orientations of each unplaced read
-    cand_reads = []
-    cand_lens = []
-    owner = []
-    sub = codes[unplaced]
-    sublen = lengths[unplaced]
-    cand_reads.append(sub)
-    cand_lens.append(sublen)
-    owner.append(unplaced)
-    rc = np.asarray(dna.revcomp_codes(sub, sublen))
-    cand_reads.append(rc)
-    cand_lens.append(sublen)
-    owner.append(unplaced)
-    reads2 = np.concatenate(cand_reads)
-    lens2 = np.concatenate(cand_lens)
-    owner = np.concatenate(owner)
-
     raw_events: List[Tuple[int, int, bytes, int]] = []
     clip_cands: List[Tuple[int, np.ndarray, int]] = []  # (left, tail, owner)
+    if len(unplaced) == 0:
+        return (
+            placements, raw_events, clip_cands,
+            np.zeros(0, np.uint64), np.zeros(0, np.int64),
+        )
+
+    # try both orientations of each unplaced read
+    sub = codes[unplaced]
+    sublen = lengths[unplaced]
+    rc = np.asarray(dna.revcomp_codes(sub, sublen))
+    reads2 = np.concatenate([sub, rc])
+    lens2 = np.concatenate([sublen, sublen])
+    owner = np.concatenate([unplaced, unplaced]) + owner_base
+
     for lo in range(0, len(reads2), opt.max_reads_batch):
         hi = min(len(reads2), lo + opt.max_reads_batch)
         sp = split_place(index, reads2[lo:hi], lens2[lo:hi], opt)
@@ -433,7 +436,41 @@ def discover_structural(
                     int(owner[lo + i]),
                 )
             )
+    edge_keys, edge_counts = _kmer_edge_table(reads2, lens2, index.k)
+    return placements, raw_events, clip_cands, edge_keys, edge_counts
 
+
+def merge_edge_tables(parts):
+    """Merge per-slice sorted (edge_keys, edge_counts) tables by summing
+    counts of equal keys."""
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    keys = np.concatenate([k for k, _ in parts])
+    counts = np.concatenate([c for _, c in parts])
+    uk, inv = np.unique(keys, return_inverse=True)
+    out = np.zeros(len(uk), np.int64)
+    np.add.at(out, inv, counts)
+    return uk, out
+
+
+def _sv_finalize(
+    reference,
+    index: RefKmerIndex,
+    raw_events,
+    clip_cands,
+    edge_keys,
+    edge_counts,
+    pos_all: np.ndarray,
+    rc_all: np.ndarray,
+    lengths: np.ndarray,
+    mate_of: np.ndarray | None,
+    opt: SvOptions,
+) -> List[Dict]:
+    """Deterministic event clustering / breakend assembly / pair evidence /
+    record emission over the (merged) scan results.  pos_all/rc_all/lengths
+    are GLOBAL per-read arrays."""
+    ref = np.asarray(index.ref_codes)
     # cluster: exact key after left-normalization, then merge within pad
     norm: Dict[Tuple[int, int, bytes], set] = {}
     for left, right, ins, rid in raw_events:
@@ -445,8 +482,9 @@ def discover_structural(
 
     # breakend assembly: cluster left-clips, walk the read k-mer graph
     if clip_cands:
-        clip_cands.sort(key=lambda t: t[0])
-        edge_keys, edge_counts = _kmer_edge_table(reads2, lens2, index.k)
+        # (left, owner) key: fully deterministic grouping regardless of the
+        # order slices contributed candidates (single-pass vs distributed)
+        clip_cands = sorted(clip_cands, key=lambda t: (t[0], t[2]))
         gi = 0
         while gi < len(clip_cands):
             gj = gi + 1
@@ -512,8 +550,8 @@ def discover_structural(
     # pair evidence: placed mates straddling the junction in proper
     # orientation with implied fragment <= max_frag after removing the event
     if mate_of is not None and len(merged):
-        pos = placements.pos
-        rcb = placements.is_rc
+        pos = pos_all
+        rcb = rc_all
         mate = np.asarray(mate_of)
         both = (pos >= 0) & (pos[mate] >= 0) & (mate != np.arange(len(pos)))
         proper = both & (rcb != rcb[mate])
@@ -528,7 +566,7 @@ def discover_structural(
             e.pair_support = int(okfrag.sum()) // 2
     elif len(merged):
         # unpaired library: spanning placed reads stand in for pairs
-        pos = placements.pos
+        pos = pos_all
         sel = np.nonzero(pos >= 0)[0]
         for e in merged:
             span = (pos[sel] + 1 <= e.left) & (pos[sel] + lengths[sel] - 1 >= e.right)
@@ -567,3 +605,36 @@ def discover_structural(
         )
     out.sort(key=lambda r: (r["chrom"], r["pos"]))
     return out
+
+
+def discover_structural(
+    reference,
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    mate_of: np.ndarray | None = None,
+    opt: SvOptions | None = None,
+    placements: Placements | None = None,
+    index: RefKmerIndex | None = None,
+) -> List[Dict]:
+    """Find >min_event structural variants from split reads + pair support.
+
+    Returns discovery-record dicts (chrom/pos/ref/alt/support/pair_support)
+    merge-compatible with the wavefront engine's output.  Composes the
+    shardable scan (_sv_scan_reads) with the deterministic finalize
+    (_sv_finalize) — the distributed pipeline runs the same two phases with
+    the scan sliced per process (parallel/discovery.py)."""
+    opt = opt or SvOptions()
+    ref = np.asarray(reference.flat)
+    if index is None:
+        index = RefKmerIndex.build(
+            ref, opt.k, is_n=getattr(reference, "is_n", None)
+        )
+    placements, raw_events, clip_cands, edge_keys, edge_counts = _sv_scan_reads(
+        index, codes, lengths, opt, placements=placements
+    )
+    if not raw_events and not clip_cands:
+        return []
+    return _sv_finalize(
+        reference, index, raw_events, clip_cands, edge_keys, edge_counts,
+        placements.pos, placements.is_rc, lengths, mate_of, opt,
+    )

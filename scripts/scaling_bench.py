@@ -77,9 +77,26 @@ def run_leg(nproc: int, cores_per_proc: int, scale_dir: str):
                 text=True, cwd=REPO,
             )
         )
+    # Drain every worker concurrently: a sequential communicate() can
+    # deadlock a gloo leg when a later worker fills its 64KiB pipe and
+    # blocks inside a collective the first worker participates in.
+    import threading
+
+    results = [None] * len(procs)
+
+    def _drain(i, p):
+        results[i] = p.communicate(timeout=3600)
+
+    threads = [
+        threading.Thread(target=_drain, args=(i, p))
+        for i, p in enumerate(procs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     legs = []
-    for p in procs:
-        out, err = p.communicate(timeout=3600)
+    for p, (out, err) in zip(procs, results):
         if p.returncode != 0:
             raise RuntimeError(f"leg rc={p.returncode}: {err[-500:]}")
         for ln in out.splitlines():
@@ -102,6 +119,12 @@ def main():
     scale_dir = "/tmp/bgt_scaling"
     t1, recs1 = run_leg(1, cpp, scale_dir)
     tn, recsn = run_leg(n, cpp, scale_dir)
+    # a region-sharding merge regression must fail the bench, not just
+    # skew the timing
+    assert recs1 == recsn, (
+        f"1-process and {n}-process legs disagree on records: "
+        f"{recs1} vs {recsn}"
+    )
     eff = t1 / (n * tn)
     out = {
         "metric": "scaling_efficiency",

@@ -134,6 +134,40 @@ def main():
     snps = {r["pos"] - 1 for r in got}
     assert {200, 600, 950} <= snps, snps
 
+    # --- read-sliced distributed SV discovery: each process scans only its
+    # slice of the readmap's forward reads; merged finalize must equal the
+    # single-pass engine exactly (parallel/discovery.py
+    # discover_structural_distributed) ---
+    from biograph_tpu.parallel.discovery import discover_structural_distributed
+    from biograph_tpu.variants.pop_tracer import (
+        SvOptions,
+        discover_structural,
+        reads_from_readmap,
+    )
+
+    sv_ref = rng.integers(0, 4, 9000).astype(np.uint8)
+    dlo, dhi = 4000, 4500  # 500 bp deletion
+    sv_donor = np.concatenate([sv_ref[:dlo], sv_ref[dhi:]])
+    n_pairs, rl, frag = 1500, 80, 240
+    starts = rng.integers(0, len(sv_donor) - frag, n_pairs)
+    sv_codes = np.zeros((2 * n_pairs, rl), np.uint8)
+    for i, s in enumerate(starts):
+        sv_codes[2 * i] = sv_donor[s : s + rl]
+        sv_codes[2 * i + 1] = (3 - sv_donor[s + frag - rl : s + frag])[::-1]
+    sv_lens = np.full(2 * n_pairs, rl, np.int32)
+    ss_sv = build_seqset(sv_codes, sv_lens)
+    rm_sv = build_readmap(ss_sv, sv_codes, sv_lens)
+    sv_rref = _Ref(sv_ref)
+    svopt = SvOptions()
+    c_all, l_all, m_all = reads_from_readmap(rm_sv)
+    sv_want = discover_structural(sv_rref, c_all, l_all, mate_of=m_all, opt=svopt)
+    sv_dir = os.path.join(tempfile.gettempdir(), f"bgt_mp_sv_{coord.split(':')[1]}")
+    sv_got = discover_structural_distributed(rm_sv, sv_rref, sv_dir, opt=svopt)
+    assert sv_got == sv_want, (len(sv_got), len(sv_want))
+    assert any(
+        len(r["ref"]) - len(r["alt"]) == dhi - dlo for r in sv_got
+    ), sv_got
+
     print(f"MP_OK pid={pid} procs={jax.process_count()} devs={jax.device_count()}")
 
 

@@ -146,3 +146,40 @@ def test_dispatch_path_ab_identical(rngm, monkeypatch):
     assert D.WAVE_COMPACTIONS > n0, "compaction path not exercised"
     key = lambda r: (r["chrom"], r["pos"], r["ref"], r["alt"], r["support"])
     assert sorted(map(key, base)) == sorted(map(key, forced))
+
+
+def test_trunc_tables_instance_cache_only(rngm):
+    """Regression (VERDICT r3): the trunc-table cache must live on the Seqset
+    instance only — an id()-keyed module global leaked tables and could serve
+    a NEW seqset the OLD one's tables after id reuse (wrong truncation)."""
+    import biograph_tpu.variants.discover as D
+
+    assert not hasattr(D, "_TRUNC_CACHE")
+
+    def make_ss(seed):
+        r = np.random.default_rng(seed)
+        codes = r.integers(0, 4, size=(40, 24), dtype=np.uint8)
+        return build_seqset(codes, np.full(40, 24, np.int32))
+
+    def expect(ss, c):
+        shared = np.asarray(ss.shared)
+        n = len(shared)
+        idx = np.arange(n, dtype=np.int64)
+        lt = shared < c
+        prev_lt = np.maximum.accumulate(np.where(lt, idx, -1))
+        nxt = np.where(lt, idx, n)
+        next_lt = np.minimum.accumulate(nxt[::-1])[::-1]
+        return prev_lt, next_lt
+
+    ss1 = make_ss(1)
+    p1, n1 = (np.asarray(x) for x in D._trunc_tables(ss1, 12))
+    e1 = expect(ss1, 12)
+    np.testing.assert_array_equal(p1, e1[0])
+    np.testing.assert_array_equal(n1, e1[1])
+    assert "_trunc_cache" in ss1.__dict__ and 12 in ss1._trunc_cache
+    del ss1  # cache dies with the instance
+    ss2 = make_ss(2)
+    p2, n2 = (np.asarray(x) for x in D._trunc_tables(ss2, 12))
+    e2 = expect(ss2, 12)
+    np.testing.assert_array_equal(p2, e2[0])
+    np.testing.assert_array_equal(n2, e2[1])

@@ -135,3 +135,65 @@ def test_lambda_bg_sv_via_pair_path():
     for pos, svlen in exp:
         near = [g for g in got if abs(g[0] - pos) <= 10 and g[1] == svlen]
         assert near, (pos, svlen, sorted(got))
+
+
+def test_sharded_scan_matches_single_pass(rng):
+    """Distributed-SV contract: disjoint read slices scanned separately,
+    merged, and finalized give exactly the single-pass records (the scan is
+    the phase parallel/discovery.py shards by process)."""
+    from biograph_tpu.variants.align import RefKmerIndex
+    from biograph_tpu.variants.pop_tracer import (
+        _sv_finalize,
+        _sv_scan_reads,
+        merge_edge_tables,
+    )
+
+    G = 30000
+    ref = _mk_reference(rng, G)
+    lo, hi = 12000, 17000
+    donor = np.concatenate([ref.flat[:lo], ref.flat[hi:]])
+    codes, lens, mate = _sample_pairs(rng, donor)
+    single = discover_structural(ref, codes, lens, mate_of=mate)
+    assert single  # fixture produces at least the deletion
+
+    opt = SvOptions()
+    index = RefKmerIndex.build(np.asarray(ref.flat), opt.k, is_n=ref.is_n)
+    R = len(lens)
+    cuts = [0, R // 3, (2 * R) // 3, R]
+    pos_parts, rc_parts, tables, events, clips = [], [], [], [], []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        pl, ev, cl, ek, ec = _sv_scan_reads(
+            index, codes[a:b], lens[a:b], opt, owner_base=a
+        )
+        pos_parts.append(pl.pos)
+        rc_parts.append(pl.is_rc)
+        tables.append((ek, ec))
+        events.extend(ev)
+        clips.extend(cl)
+    ek_m, ec_m = merge_edge_tables(tables)
+    merged = _sv_finalize(
+        ref, index, events, clips, ek_m, ec_m,
+        np.concatenate(pos_parts), np.concatenate(rc_parts),
+        lens, mate, opt,
+    )
+    assert merged == single
+
+
+def test_reads_from_readmap_slice_contract():
+    """read_slice densifies only the slice; lengths/mate stay global and
+    slices concatenate to the full matrix."""
+    import os
+
+    from biograph_tpu.api import BioGraph
+
+    base = "/root/reference/datasets/lambdaToyData/benchmark"
+    bg = BioGraph(os.path.join(base, "proband_lambda.bg"))
+    full, lens, mate = reads_from_readmap(bg.readmap)
+    R = len(lens)
+    a = R // 2
+    c0, l0, m0 = reads_from_readmap(bg.readmap, read_slice=(0, a))
+    c1, l1, m1 = reads_from_readmap(bg.readmap, read_slice=(a, R))
+    assert len(l0) == len(l1) == R  # global
+    np.testing.assert_array_equal(l0, lens)
+    np.testing.assert_array_equal(m0, mate)
+    np.testing.assert_array_equal(np.concatenate([c0, c1]), full)
