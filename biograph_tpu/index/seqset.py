@@ -526,6 +526,20 @@ class _SeqsetDevice:
             size=tgt,
         )
 
+    def trunc_gather(self, prev_lt, next_lt, begin, end):
+        """Constant-threshold truncation boundaries via the caller-built
+        widen tables (variants/discover._trunc_tables): prev_lt/next_lt are
+        per-entry arrays; returns (new_begin, new_end) for each lane.  The
+        sharded engine overrides this with an owner-gather collective
+        (parallel/sharded_discovery.py) — same contract, entry-sharded
+        tables."""
+        n_e = self.n_entries
+        wb = jnp.maximum(jnp.take(prev_lt, jnp.clip(begin, 0, n_e - 1)), 0)
+        we = jnp.where(
+            end >= n_e, n_e, jnp.take(next_lt, jnp.clip(end, 0, n_e - 1))
+        )
+        return wb, we
+
     def _widen(self, begin, end, size):
         """Expand [begin, end) to the maximal run where shared >= size.
 

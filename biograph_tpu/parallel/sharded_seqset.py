@@ -401,108 +401,3 @@ def make_sharded_seqset_ops(mesh: Mesh, n_entries: int, axis: str = "model"):
             "truncate", lambda e, b_, e_, s_, ns: e.truncate(b_, e_, s_, ns), 4
         ),
     )
-
-
-def make_sharded_wavefront(mesh: Mesh, n_entries: int, axis: str = "model"):
-    """The wavefront beam step loop under shard_map — a faithful mirror of
-    variants/discover._wavefront_jit with the structure sharded over `axis`.
-
-    Returns fn(*arrays.device_args(), fixed, span_k, span_key2, n_packed,
-    state_tuple) -> final state tuple, bit-identical to the single-device
-    wavefront (span_k/span_key2: the (K, key2) table of _span_kmers_dev)."""
-    from biograph_tpu.variants.discover import _rejoin_lookup
-
-    n = n_entries
-
-    def body_fn(words, cum, lo, shared, sizes, pop_sel, elo, fixed, span_k,
-                span_key2, n_packed, begin, end, size, path, path_len, support,
-                n_junction, roll, done, policy, min_local, rejoin, out_len,
-                out_support, MAXP, k, min_w, probe_ctx):
-        env = _local_env(words, cum, lo, shared, sizes, pop_sel, elo, fixed, n, axis)
-        A = begin.shape[0]
-        kmask = jnp.uint64((1 << (2 * k)) - 1)
-
-        def body(step_i, st):
-            (begin, end, size, path, path_len, support, n_junction, roll,
-             done, rejoin, out_len, out_support) = st
-            widths, begins, ends = [], [], []
-            for bb in range(4):
-                cb, ce, _ = env.push_front(
-                    begin, end, size, jnp.full((A,), 3 - bb, jnp.int32)
-                )
-                widths.append(ce - cb)
-                begins.append(cb)
-                ends.append(ce)
-            W = jnp.stack(widths, axis=1)
-            Bc = jnp.stack(begins, axis=1)
-            Ec = jnp.stack(ends, axis=1)
-            viable = W >= min_w
-            n_viable = viable.sum(axis=1)
-            order = jnp.argsort(-W, axis=1, stable=True)
-            rank_bit = ((policy >> jnp.minimum(n_junction, 30)) & 1).astype(jnp.int64)
-            take_rank = jnp.where(n_viable > 1, rank_bit, 0)
-            best = jnp.take_along_axis(order, take_rank[:, None], axis=1)[:, 0]
-            bw = jnp.take_along_axis(W, best[:, None], axis=1)[:, 0]
-            ext = (~done) & (bw >= min_w)
-            n_junction2 = n_junction + ((~done) & (n_viable > 1)).astype(jnp.int32)
-            nb = jnp.where(ext, best, 0).astype(jnp.int32)
-            new_begin = jnp.take_along_axis(Bc, nb[:, None].astype(jnp.int64), axis=1)[:, 0]
-            new_end = jnp.take_along_axis(Ec, nb[:, None].astype(jnp.int64), axis=1)[:, 0]
-            b2 = jnp.where(ext, new_begin, begin)
-            e2 = jnp.where(ext, new_end, end)
-            s2 = jnp.where(ext, size + 1, size)
-            b2, e2, s2 = env.truncate(b2, e2, s2, probe_ctx)
-            path2 = path.at[:, step_i].set(
-                jnp.where(ext, nb.astype(jnp.uint8), path[:, step_i])
-            )
-            path_len2 = jnp.where(ext, step_i + 1, path_len)
-            support2 = jnp.where(ext, jnp.minimum(support, bw), support)
-            roll2 = jnp.where(
-                ext,
-                ((roll << jnp.uint64(2)) | nb.astype(jnp.uint64)) & kmask,
-                roll,
-            )
-            done2 = done | ~ext
-            can = ext & (path_len2 > k)
-            found, jpos = _rejoin_lookup(
-                (span_k, span_key2), n_packed, roll2, min_local, can
-            )
-            newly = found & (rejoin < 0)
-            rejoin2 = jnp.where(newly, jpos, rejoin)
-            out_len2 = jnp.where(newly, path_len2, out_len)
-            out_support2 = jnp.where(newly, support2, out_support)
-            done2 = done2 | newly
-            return (
-                b2, e2, s2, path2, path_len2, support2, n_junction2, roll2,
-                done2, rejoin2, out_len2, out_support2,
-            )
-
-        st = (begin, end, size, path, path_len, support, n_junction, roll,
-              done, rejoin, out_len, out_support)
-        return lax.fori_loop(1, MAXP, body, st)
-
-    from functools import partial
-
-    spec_s = (P(axis),) * 7
-
-    def make(MAXP, k, min_w, probe_ctx):
-        def f(words, cum, lo, shared, sizes, pop_sel, elo, fixed, span_k,
-              span_key2, n_packed, *st):
-            return body_fn(
-                words, cum, lo, shared, sizes, pop_sel, elo, fixed, span_k,
-                span_key2, n_packed, *st, MAXP, k, min_w, probe_ctx
-            )
-
-        # replicated args: fixed, span table pair, n_packed + the 14
-        # lane-state arrays (policy/min_local ride along read-only; 12 come
-        # back)
-        return jax.jit(
-            shard_map(
-                f,
-                mesh=mesh,
-                in_specs=spec_s + (P(),) * 18,
-                out_specs=(P(),) * 12,
-            )
-        )
-
-    return make

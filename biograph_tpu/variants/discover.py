@@ -209,6 +209,7 @@ def wavefront_assemble(
     stats: dict | None = None,
     ref_limit: int | None = None,
     ref_dev=None,
+    engine=None,
 ) -> List[Assembly]:
     """Extend alt branches through the seqset; rejoin to reference.
 
@@ -236,7 +237,8 @@ def wavefront_assemble(
     # fewer batches x same per-step cost is a direct wall-clock win.
     from biograph_tpu.index.probes import use_mxu_chains as _mxu
 
-    eff_width = max(opt.beam_width, WAVE_LANES) if _mxu(ss.d) else opt.beam_width
+    mxu = False if engine is not None else _mxu(ss.d)
+    eff_width = max(opt.beam_width, WAVE_LANES) if mxu else opt.beam_width
     flat_pos = np.asarray(anchors[0])
     order = np.argsort(flat_pos, kind="stable")
     groups = []
@@ -246,7 +248,11 @@ def wavefront_assemble(
             groups.append(order[start:i])
             start = i
 
-    trunc_tables = _trunc_tables(ss, opt.probe_ctx)
+    trunc_tables = (
+        engine.trunc_tables(opt.probe_ctx)
+        if engine is not None
+        else _trunc_tables(ss, opt.probe_ctx)
+    )
     # Shared rejoin span table: when the anchors' joint span fits the table
     # budget, build ONE (K, key2) table for all groups in this orientation —
     # one device sort instead of one per group, and (decisive over a slow
@@ -282,12 +288,12 @@ def wavefront_assemble(
         if (
             c := _asm_start(
                 d, ref, tuple(a[sel] for a in anchors), opt, ref_limit,
-                trunc_tables, ref_dev, span_shared,
+                trunc_tables, ref_dev, span_shared, engine=engine,
             )
         )
         is not None
     ]
-    if _mxu(d):
+    if mxu:
         active = list(ctxs)
         while active:
             for c in active:  # dispatch wave: async block enqueues
@@ -333,7 +339,8 @@ N_POLICY = 4  # beam clones per anchor (2 junction choices x 2 ranks)
 
 
 def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
-               trunc_tables=None, ref_dev=None, span_shared=None):
+               trunc_tables=None, ref_dev=None, span_shared=None,
+               engine=None):
     """Host prep + async device dispatch for one beam group; returns the ctx
     dict the interleaved driver advances (None for an empty group).
 
@@ -422,7 +429,14 @@ def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
     n_packed_dev = jnp.asarray(n_packed, jnp.int64)
     from biograph_tpu.index.probes import use_mxu_chains as _mxu_gate
 
-    if _mxu_gate(d):
+    if engine is not None:
+        # sharded engine: seed + full early-exit loop under shard_map
+        st = engine.wavefront(
+            packed_dev, trunc_tables[0], trunc_tables[1], n_packed,
+            seed, MAXP, k, opt.min_extend_width, opt.probe_ctx, pos_bits,
+        )
+        step = MAXP
+    elif _mxu_gate(d):
         # interleaved driver advances st block-by-block (pallas at top level)
         st = _wavefront_seed_jit(d, seed, MAXP)
         step = 1
@@ -552,10 +566,11 @@ def _trunc_tables(ss: Seqset, c: int):
     return hit
 
 
-@_partial(jax.jit, static_argnums=(2,))
-def _wavefront_seed_jit(d, seed, MAXP: int):
+def _wavefront_seed(d, seed, MAXP: int):
     """Initial wavefront state from the per-anchor seed arrays: the first
-    alt-base push and all derived state, built on device."""
+    alt-base push and all derived state, built on device.  Plain (unjitted)
+    so the sharded engine can trace it under shard_map with its adapter
+    device; the local pipeline uses the jitted wrapper below."""
     A = seed["begin"].shape[0]
     r0 = d.push_front(
         SeqsetRanges(seed["begin"], seed["end"], seed["size"]),
@@ -580,6 +595,9 @@ def _wavefront_seed_jit(d, seed, MAXP: int):
         out_len=jnp.zeros((A,), jnp.int32),
         out_support=jnp.zeros((A,), jnp.int64),
     )
+
+
+_wavefront_seed_jit = _partial(jax.jit, static_argnums=(2,))(_wavefront_seed)
 
 
 def _rejoin_lookup(span_tab, n_packed, roll, min_local, can,
@@ -650,16 +668,9 @@ def _wavefront_body(d, packed, prev_lt, next_lt, n_packed, st, step_i,
         # truncate to probe_ctx via the precomputed constant-threshold
         # widen tables (see _trunc_tables) — semantics of
         # d.truncate_ranges(cur2, probe_ctx), at two gathers per lane
-        n_e = d.n_entries
+        # (owner-gather collective when d is the sharded engine)
         need = cur2.size > probe_ctx
-        wb = jnp.maximum(
-            jnp.take(prev_lt, jnp.clip(cur2.begin, 0, n_e - 1)), 0
-        )
-        we = jnp.where(
-            cur2.end >= n_e,
-            n_e,
-            jnp.take(next_lt, jnp.clip(cur2.end, 0, n_e - 1)),
-        )
+        wb, we = d.trunc_gather(prev_lt, next_lt, cur2.begin, cur2.end)
         cur2 = SeqsetRanges(
             jnp.where(need, wb, cur2.begin),
             jnp.where(need, we, cur2.end),
@@ -705,11 +716,11 @@ def _wavefront_body(d, packed, prev_lt, next_lt, n_packed, st, step_i,
         )
 
 
-@_partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
-def _wavefront_loop_jit(d, packed, prev_lt, next_lt, n_packed, st, MAXP: int,
-                        k: int, min_w: int, probe_ctx: int,
-                        pos_bits: int = None):
-    """Early-exit while loop over beam steps from a full state dict."""
+def _wavefront_loop(d, packed, prev_lt, next_lt, n_packed, st, MAXP: int,
+                    k: int, min_w: int, probe_ctx: int,
+                    pos_bits: int = None):
+    """Early-exit while loop over beam steps from a full state dict.  Plain
+    (unjitted) for the same shard_map-reuse reason as _wavefront_seed."""
 
     def cond(carry):
         step_i, st = carry
@@ -724,6 +735,11 @@ def _wavefront_loop_jit(d, packed, prev_lt, next_lt, n_packed, st, MAXP: int,
 
     _, st = lax.while_loop(cond, body, (jnp.asarray(1, jnp.int32), st))
     return st
+
+
+_wavefront_loop_jit = _partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))(
+    _wavefront_loop
+)
 
 
 @_partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
@@ -897,8 +913,16 @@ def discover_variants(
     readmap: Readmap | None = None,
     stats: dict | None = None,
     out_assemblies: list | None = None,
+    engine=None,
 ):
     """Top-level driver: reference walk -> anchors -> wavefront -> variants.
+
+    engine: optional ShardedDiscoveryEngine (parallel/sharded_discovery.py).
+    When given, every seqset-touching stage (probe chains, exact recompute,
+    anchor scan, wavefront) runs over the ENTRY-SHARDED structure on the
+    engine's mesh instead of ss.d's single-device arrays — the memory-bounded
+    production path for seqsets larger than one chip's HBM.  Records are
+    bit-identical to the local engine (tests/test_sharded_discovery.py).
 
     out_assemblies: optional list; the scored, deduped Assembly records are
     appended to it (the discovery CSV dump's data source, analog of
@@ -928,7 +952,9 @@ def discover_variants(
     stats.setdefault("assemblies_truncated", 0)
     all_records = []
     ref2 = np.concatenate([ref, (3 - ref[::-1]).astype(np.uint8)])
-    ref2_dev = jnp.asarray(ref2)  # one transfer for all batches
+    # one transfer for all batches (mesh-replicated in sharded mode so the
+    # shard_map stages see a consistently-placed operand)
+    ref2_dev = engine.replicate(ref2) if engine else jnp.asarray(ref2)
     # fwd + reverse-complement work duplication (trace_ref.h:33-51,
     # reversable_tracer.cpp:40): the rc pass anchors events from their right
     # side, recovering candidates whose left context is repeat-poisoned.
@@ -950,9 +976,10 @@ def discover_variants(
     # accelerator chains are launch-latency-bound: fewer, wider probe
     # batches (1M lanes) amortize the per-step dispatch; the CPU backend
     # prefers cache-sized batches
+    use_mxu = False if engine else _use_mxu(ss.d)
     P_cap = (
         _next_pow2(opt.scaffold_split_size)
-        if _use_mxu(ss.d)
+        if use_mxu
         else min(_next_pow2(opt.scaffold_split_size), 1 << 17)
     )
     P = chunk_batch or min(max(_next_pow2(span), 4096), P_cap)
@@ -971,7 +998,7 @@ def discover_variants(
     from biograph_tpu.index.probes import use_walk_probes as _use_walk
     from biograph_tpu.index.probes import walk_ranges_multi as _walk_multi
 
-    if _use_walk(ss.d):
+    if engine is None and _use_walk(ss.d):
         # walk engine: per-position maximal-window ranges via segmented
         # sequential walks (ref_map's scan-the-reference-through-the-seqset,
         # modules/variants/ref_map.h:49, over SIMD lanes) — O(P + lanes*depth)
@@ -1006,15 +1033,21 @@ def discover_variants(
             out_assemblies, G, P, _t,
         )
     # wave 1: all probe chains
-    probe_h = [
-        list(
-            _probe_jit(
-                ss.d, ref2_dev, jnp.asarray(p0, jnp.int64),
-                jnp.asarray(ctx_lo, jnp.int64), P, opt.probe_ctx,
+    if engine is not None:
+        probe_h = [
+            list(engine.probe_ranges(ref2_dev, p0, ctx_lo, P, opt.probe_ctx))
+            for (rev_half, ctx_lo, p0, p_last, seg_hi) in batches
+        ]
+    else:
+        probe_h = [
+            list(
+                _probe_jit(
+                    ss.d, ref2_dev, jnp.asarray(p0, jnp.int64),
+                    jnp.asarray(ctx_lo, jnp.int64), P, opt.probe_ctx,
+                )
             )
-        )
-        for (rev_half, ctx_lo, p0, p_last, seg_hi) in batches
-    ]
+            for (rev_half, ctx_lo, p0, p_last, seg_hi) in batches
+        ]
     stage_s["probe_dispatch"] = stage_s.get("probe_dispatch", 0.0) + (time.time() - _t)
     _t = time.time()
     # wave 2: restart masks (bit-packed); lanes past the segment end, or too
@@ -1046,14 +1079,13 @@ def discover_variants(
                 [idx, np.full(m - len(idx), idx[-1])]
             ).astype(np.int64)
             pos_p = jnp.asarray(idx_p + p0)
+            m_vec = jnp.full((m,), opt.min_anchor_ctx, jnp.int32)
             filt[i] = (
                 idx_p,
                 pos_p,
-                _find_window_jit(
-                    ss.d, ref2_dev, pos_p,
-                    jnp.full((m,), opt.min_anchor_ctx, jnp.int32),
-                    opt.probe_ctx,
-                ),
+                engine.find_window(ref2_dev, pos_p, m_vec, opt.probe_ctx)
+                if engine is not None
+                else _find_window_jit(ss.d, ref2_dev, pos_p, m_vec, opt.probe_ctx),
             )
     stage_s["probe_filter"] = stage_s.get("probe_filter", 0.0) + (time.time() - _t)
     _t = time.time()
@@ -1068,11 +1100,17 @@ def discover_variants(
         sel = np.concatenate([idx2, np.full(m2 - len(idx2), idx2[-1])])
         selj = jnp.asarray(sel)
         pos2 = jnp.take(pos_p, selj)
-        b2, e2, s2 = _probe_exact_jit(
-            ss.d, ref2_dev, pos2, jnp.asarray(ctx_lo, jnp.int64),
-            opt.probe_ctx, opt.min_anchor_ctx,
-            (jnp.take(fb, selj), jnp.take(fe, selj), jnp.take(fs, selj)),
-        )
+        seed_sel = (jnp.take(fb, selj), jnp.take(fe, selj), jnp.take(fs, selj))
+        if engine is not None:
+            b2, e2, s2 = engine.probe_exact(
+                ref2_dev, pos2, ctx_lo, opt.probe_ctx, opt.min_anchor_ctx,
+                seed_sel,
+            )
+        else:
+            b2, e2, s2 = _probe_exact_jit(
+                ss.d, ref2_dev, pos2, jnp.asarray(ctx_lo, jnp.int64),
+                opt.probe_ctx, opt.min_anchor_ctx, seed_sel,
+            )
         di = jnp.take(jnp.asarray(idx_p), selj)
         h = probe_h[i]
         h[0] = h[0].at[di].set(b2)
@@ -1083,26 +1121,35 @@ def discover_variants(
     return _discover_finish(
         ss, reference, ref, ref2, ref2_dev, batches, probe_h, opt,
         stats, stage_s, anchor_parts, all_asms, all_records, readmap,
-        out_assemblies, G, P, _t,
+        out_assemblies, G, P, _t, engine=engine,
     )
 
 
 def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
                      opt, stats, stage_s, anchor_parts, all_asms,
-                     all_records, readmap, out_assemblies, G, P, _t):
+                     all_records, readmap, out_assemblies, G, P, _t,
+                     engine=None):
     """Anchor scan -> wavefront -> score -> extract (shared by the walk-engine
     and probe-pipeline front ends; probe_h = per-batch [begin, end, size, _]
     device arrays)."""
     # wave 6: anchor scans
     anchor_h = []
     for (rev_half, ctx_lo, p0, p_last, seg_hi), h in zip(batches, probe_h):
-        anchor_h.append(
-            _anchor_jit(
-                ss.d, ref2_dev, h[0], h[1], h[2], jnp.asarray(p0, jnp.int64),
-                jnp.asarray(min(seg_hi, p0 + P), jnp.int64),
-                opt.min_anchor_ctx, opt.min_branch_width,
+        if engine is not None:
+            anchor_h.append(
+                engine.anchor_scan(
+                    ref2_dev, h[0], h[1], h[2], p0, min(seg_hi, p0 + P),
+                    opt.min_anchor_ctx, opt.min_branch_width,
+                )
             )
-        )
+        else:
+            anchor_h.append(
+                _anchor_jit(
+                    ss.d, ref2_dev, h[0], h[1], h[2], jnp.asarray(p0, jnp.int64),
+                    jnp.asarray(min(seg_hi, p0 + P), jnp.int64),
+                    opt.min_anchor_ctx, opt.min_branch_width,
+                )
+            )
         h[0] = h[1] = h[2] = h[3] = None  # release probe state buffers
     # waves 7-8: anchor counts, then live anchor columns.  All batches'
     # counts come back in ONE fused fetch (a host sync over the remote
@@ -1143,7 +1190,7 @@ def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
         asms = wavefront_assemble(
             ss, ref2, anchors, opt, stats=stats,
             ref_limit=(2 * G if rev_half else G),
-            ref_dev=ref2_dev,
+            ref_dev=ref2_dev, engine=engine,
         )
         if rev_half:
             asms = [

@@ -16,7 +16,6 @@ from biograph_tpu.index.seqset import SeqsetRanges
 from biograph_tpu.parallel.sharded_seqset import (
     ShardedRankArrays,
     make_sharded_seqset_ops,
-    make_sharded_wavefront,
 )
 
 S = 4  # model shards
@@ -87,6 +86,10 @@ def test_collective_ops_bitexact(setup, rng):
 
 
 def test_sharded_wavefront_bitexact(setup, rng):
+    """The production sharded wavefront — ShardedDiscoveryEngine.wavefront,
+    the seed + early-exit loop the engine-mode _asm_start dispatches — must
+    match the single-device _wavefront_jit bit-for-bit."""
+    from biograph_tpu.parallel.sharded_discovery import ShardedDiscoveryEngine
     from biograph_tpu.variants import discover as D
 
     ss, ref, mesh, arrays = setup
@@ -94,57 +97,38 @@ def test_sharded_wavefront_bitexact(setup, rng):
     span = ref[900:1200]
     n_packed = len(span) - k + 1
     npk = D._next_pow2(len(span))
-    span_k, span_key2 = D._span_kmers_dev(
+    packed = D._span_kmers_dev(
         jnp.asarray(span), jnp.asarray(0, jnp.int64),
         jnp.asarray(len(span), jnp.int64), npk, k,
     )
 
     A = 32
     r = _ranges_from_reads(ss, rng, B=A, plen=probe_ctx)
-    st = dict(
+    seed = dict(
         begin=r.begin,
         end=r.end,
         size=r.size,
-        path=jnp.zeros((A, MAXP), jnp.uint8),
-        path_len=jnp.ones((A,), jnp.int32),
-        support=jnp.asarray(np.asarray(r.end - r.begin), jnp.int64),
-        n_junction=jnp.zeros((A,), jnp.int32),
-        roll=jnp.zeros((A,), jnp.uint64),
-        done=jnp.asarray(np.asarray(r.begin >= r.end)),
+        ab=jnp.asarray(np.tile(np.arange(4), A // 4).astype(np.int32)),
         policy=jnp.asarray(np.tile(np.arange(4), A // 4).astype(np.int32)),
         min_local=jnp.full((A,), 5, jnp.int64),
-        rejoin=jnp.full((A,), -1, jnp.int64),
-        out_len=jnp.zeros((A,), jnp.int32),
-        out_support=jnp.zeros((A,), jnp.int64),
     )
     tt = D._trunc_tables(ss, probe_ctx)
-    want = D._wavefront_loop_jit(
-        ss.d, (span_k, span_key2), tt[0], tt[1],
-        jnp.asarray(n_packed, jnp.int64),
-        dict(st), MAXP, k, min_w, probe_ctx,
+    want = D._wavefront_jit(
+        ss.d, packed, tt[0], tt[1], jnp.asarray(n_packed, jnp.int64),
+        dict(seed), MAXP, k, min_w, probe_ctx, 10,
     )
 
-    wf = make_sharded_wavefront(mesh, ss.n_entries)(MAXP, k, min_w, probe_ctx)
-    order = [
-        "begin", "end", "size", "path", "path_len", "support", "n_junction",
-        "roll", "done", "rejoin", "out_len", "out_support",
-    ]
-    got = wf(
-        *arrays.device_args(),
-        jnp.asarray(arrays.fixed),
-        span_k,
-        span_key2,
-        jnp.asarray(n_packed, jnp.int64),
-        st["begin"], st["end"], st["size"], st["path"], st["path_len"],
-        st["support"], st["n_junction"], st["roll"], st["done"], st["policy"],
-        st["min_local"], st["rejoin"], st["out_len"], st["out_support"],
+    eng = ShardedDiscoveryEngine(ss, mesh)
+    ett = eng.trunc_tables(probe_ctx)
+    got = eng.wavefront(
+        packed, ett[0], ett[1], n_packed, dict(seed),
+        MAXP, k, min_w, probe_ctx, 10,
     )
-    got_d = dict(zip(order, got))
     # some lanes must actually have rejoined for this to be a real test
     assert int((np.asarray(want["rejoin"]) >= 0).sum()) > 0
-    for name in order:
+    for name in want:
         assert (
-            np.asarray(got_d[name]) == np.asarray(want[name])
+            np.asarray(got[name]) == np.asarray(want[name])
         ).all(), name
 
 
