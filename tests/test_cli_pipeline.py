@@ -122,28 +122,60 @@ def test_cli_full_pipeline_ecoli(tmp_path):
     }
     missing = golden - ours
     assert not missing, sorted(missing)[:5]
-    # Precision snapshot (sv_perf_check.py:56-80 style): golden final.vcf is a
-    # filtered SUBSET of the sample's true variants (extras we call near
-    # position 939 etc. have direct 31-mer read support where the golden
-    # haplotype has none), so extras are snapshot-pinned, not thresholded —
-    # any change in call count is a deliberate, reviewed baseline update.
+    # Per-stage METRIC-DICT snapshot (sv_perf_check.py:56-80 model) with
+    # machine-checked evidence instead of a bare extras-count pin:
+    #   * precision/recall/F1 of discovery + results vs golden final.vcf AND
+    #     the reference's own pileup.vcf (normalized-representation match)
+    #   * EVERY extra vs final.vcf must be proven by >= 3 raw FASTQ reads
+    #     carrying the exact alt haplotype with zero ref-haplotype reads
+    #     (final.vcf is a curated subset: its own pileup caller reports 120
+    #     of them; raw reads prove the other 108)
+    #   * any truth record we miss must itself have zero raw alt reads
+    #     (pileup's 3882 ATTTT>ATTT is a samtools-era FP, not our FN)
+    from biograph_tpu.index.reference import Reference
+    from biograph_tpu.variants.metrics import parity_report
+
     snap = json.load(
         open(os.path.join(os.path.dirname(__file__), "data", "ecoli_region_snapshot.json"))
     )
-    in_region = {r_ for r_ in ours if r_[1] <= 12000 - 300}
+    ref = Reference.from_reference_dir(REFDIR)
+
+    def stage_records(path):
+        return [
+            {"chrom": c_, "pos": p_, "ref": rr, "alt": aa}
+            for (c_, p_, rr, aa) in _vcf_records(path)
+        ]
+
+    report = parity_report(
+        ref,
+        os.path.join(GOLDEN, "e_coli_10000snp.fq"),
+        {
+            "discovery": stage_records(os.path.join(out, "analysis", "discovery.vcf")),
+            "results": stage_records(results),
+        },
+        {
+            "final": os.path.join(GOLDEN, "final.vcf"),
+            "pileup": os.path.join(GOLDEN, "pileup.vcf"),
+        },
+        max_pos=12000 - 300,
+    )
     got = {
-        "n_records_region": len(in_region),
-        "n_golden_final_region": len(golden),
-        "n_extras_vs_final": len(in_region - golden),
-        "n_pileup_recovered": len(
-            in_region
-            & {
-                r_
-                for r_ in _vcf_records(os.path.join(GOLDEN, "pileup.vcf"))
-                if r_[1] <= 12000 - 300
-            }
-        ),
+        "stages": report["stages"],
+        "extras": {
+            "n_extras": report["extras_validation"]["n_extras"],
+            "n_read_proven": report["extras_validation"]["n_read_proven"],
+        },
+        "missed_without_read_support": {
+            name: len(v["without_read_support"])
+            for name, v in report["missed_validation"].items()
+        },
     }
+    assert not report["extras_validation"]["unproven"], (
+        report["extras_validation"]["unproven"][:3]
+    )
+    # every missed truth record must be a truth-set error (zero alt reads)
+    for name, v in report["missed_validation"].items():
+        assert not v["with_read_support"], (name, v["with_read_support"][:3])
     assert got == snap, (got, snap)
     # coverage stage genotyped (no hardcoded 1/1 with zero depth)
     assert json.load(open(os.path.join(out, "qc", "timings.json")))
