@@ -431,6 +431,7 @@ def cmd_discovery(args):
             lo, hi = (int(x) for x in span.split("-"))
             c = ref.contig_by_name(cname)
             region = (c.start + lo, c.start + hi)
+        disc_stats = {}
         if getattr(args, "iterate", 0) and args.iterate > 1:
             # donor-patching rounds for divergent genomes (graph_discover
             # analog; variants/iterate.py)
@@ -448,7 +449,6 @@ def cmd_discovery(args):
             from biograph_tpu.runtime.log import maybe_profile
 
             asm_dump = [] if getattr(args, "assemblies_out", None) else None
-            disc_stats = {}
             with maybe_profile("discovery"):
                 if getattr(args, "dist_dir", None):
                     # region-sharded multi-process run (BGT_NUM_PROCESSES /
@@ -485,6 +485,7 @@ def cmd_discovery(args):
                 print(f"assemblies: {n} -> {args.assemblies_out}")
         n_wave = len(recs)
         n_sv = 0
+        _sv_t0 = time.time()
         if bg.readmap is not None and not getattr(args, "no_sv", False):
             # pair/split-evidence SV pass (pop_tracer analog): events beyond
             # the wavefront's path cap, merged into the same record stream
@@ -514,6 +515,9 @@ def cmd_discovery(args):
                 and (region is None or _rec_in_region(ref, r, region))
             ]
             recs = sorted(recs + sv, key=lambda r: (r["chrom"], r["pos"]))
+            disc_stats.setdefault("stage_s", {})["sv"] = round(
+                time.time() - _sv_t0, 3
+            )
         n_sv = len(recs) - n_wave
         if getattr(args, "exclude", None):
             excl = _load_bed(ref, args.exclude)

@@ -36,7 +36,9 @@ from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from biograph_tpu.core import dna
 from biograph_tpu.variants.align import RefKmerIndex, Placements, place_reads
@@ -358,6 +360,199 @@ def _assemble_breakend(
     return None
 
 
+def _seed_consensus(seed_tails: List[np.ndarray], k: int):
+    """Per-column majority vote over the cluster's tails -> first-k-bases
+    seed k-mer (None when no tail reaches k)."""
+    L0 = max(len(t) for t in seed_tails)
+    if L0 < k:
+        return None
+    mat = np.full((len(seed_tails), L0), -1, np.int8)
+    for i, t in enumerate(seed_tails):
+        mat[i, : len(t)] = t
+    seed = np.uint64(0)
+    mask = np.uint64((1 << (2 * k)) - 1)
+    for j in range(k):
+        col = mat[:, j]
+        col = col[col >= 0]
+        if len(col) == 0:
+            return None
+        b = np.bincount(col, minlength=4).argmax()
+        seed = ((seed << np.uint64(2)) | np.uint64(b)) & mask
+    return seed
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def _breakend_walk_jit(seeds, lefts, edge_keys, edge_counts, ref_kmers,
+                       ref_pos, ref_codes, k: int, confirm: int,
+                       max_assembly: int, pad: int):
+    """Batched greedy unitig walk for ALL breakend clusters at once — the
+    device-resident reformulation of _assemble_breakend's per-event Python
+    loop (same update rules: heaviest outgoing edge with count >= 2, anchor
+    on the smallest reference position of the current k-mer, accept after
+    `confirm` walked bases match the reference right flank).
+
+    Lanes: one per cluster.  Returns (path [L, CAP], nstep, pend_t0, pend_q,
+    success, res_t0, res_q); end-of-walk partial-match acceptance stays on
+    the host (tiny per-lane work over the fetched buffers)."""
+    L = seeds.shape[0]
+    CAP = max_assembly + k
+    G = ref_codes.shape[0]
+    E = edge_keys.shape[0]
+    kmask = jnp.uint64((1 << (2 * k)) - 1)
+
+    def ref_first_pos(cur):
+        """Smallest reference position of each k-mer; -1 when absent (the
+        sorted table keeps positions ascending within a k-mer run, so the
+        run head IS the minimum — matching RefKmerIndex.lookup's first hit)."""
+        q = cur.astype(ref_kmers.dtype)
+        i = jnp.searchsorted(ref_kmers, q)
+        ic = jnp.clip(i, 0, ref_kmers.shape[0] - 1)
+        hit = (i < ref_kmers.shape[0]) & (ref_kmers[ic] == q)
+        return jnp.where(hit, ref_pos[ic].astype(jnp.int64), -1)
+
+    # seed the path buffer with the k seed bases
+    path0 = jnp.zeros((L, CAP), jnp.uint8)
+    sh = (seeds[:, None] >> (jnp.uint64(2) * (k - 1 - jnp.arange(k, dtype=jnp.uint64)))[None, :])
+    path0 = path0.at[:, :k].set((sh & jnp.uint64(3)).astype(jnp.uint8))
+    q0 = ref_first_pos(seeds)
+    state = dict(
+        cur=seeds,
+        nstep=jnp.full((L,), k, jnp.int32),
+        path=path0,
+        pend_t0=jnp.where(q0 >= 0, k - 1, -1).astype(jnp.int32),
+        pend_q=q0,
+        stopped=jnp.zeros((L,), bool),
+        success=jnp.zeros((L,), bool),
+        res_t0=jnp.full((L,), -1, jnp.int32),
+        res_q=jnp.full((L,), -1, jnp.int64),
+        it=jnp.asarray(0, jnp.int32),
+    )
+
+    conf_ar = jnp.arange(confirm)
+
+    def cond(st):
+        return (st["it"] < max_assembly) & jnp.any(~st["stopped"])
+
+    def body(st):
+        act = ~st["stopped"]
+        # 1) pending-anchor confirmation
+        pend = st["pend_t0"] >= 0
+        walked = st["nstep"] - 1 - st["pend_t0"]
+        check = act & pend & (walked >= confirm)
+        segi = jnp.clip(st["pend_t0"][:, None] + 1 + conf_ar[None, :], 0, CAP - 1)
+        seg = jnp.take_along_axis(st["path"], segi.astype(jnp.int64), axis=1)
+        refi = st["pend_q"][:, None] + k + conf_ar[None, :]
+        inb = (refi >= 0) & (refi < G)
+        refseg = ref_codes[jnp.clip(refi, 0, G - 1)]
+        okconf = jnp.all(inb & (refseg == seg), axis=1)
+        newly_ok = check & okconf
+        success = st["success"] | newly_ok
+        res_t0 = jnp.where(newly_ok, st["pend_t0"], st["res_t0"])
+        res_q = jnp.where(newly_ok, st["pend_q"], st["res_q"])
+        stopped = st["stopped"] | newly_ok
+        # failed confirmation clears the pending anchor
+        pend_t0 = jnp.where(check & ~okconf, -1, st["pend_t0"])
+        act2 = ~stopped
+
+        # 2) heaviest outgoing edge with support >= 2
+        cand = (st["cur"] << jnp.uint64(2)) & (kmask << jnp.uint64(2))
+        keys = cand[:, None] | jnp.arange(4, dtype=jnp.uint64)[None, :]
+        li = jnp.searchsorted(edge_keys, keys)
+        lic = jnp.clip(li, 0, max(E - 1, 0))
+        ok = (li < E) & (E > 0) & (edge_keys[lic] == keys)
+        counts = jnp.where(ok, edge_counts[lic], 0)
+        best = jnp.argmax(counts, axis=1)
+        bw = jnp.take_along_axis(counts, best[:, None], axis=1)[:, 0]
+        dead_end = act2 & (bw < 2)
+        stopped = stopped | dead_end
+        ext = act2 & ~dead_end
+
+        # 3) extend
+        nb = best.astype(jnp.uint64)
+        cur = jnp.where(
+            ext, ((st["cur"] << jnp.uint64(2)) | nb) & kmask, st["cur"]
+        )
+        wr = jnp.clip(st["nstep"], 0, CAP - 1).astype(jnp.int64)
+        old = jnp.take_along_axis(st["path"], wr[:, None], axis=1)[:, 0]
+        newv = jnp.where(ext, nb.astype(jnp.uint8), old)
+        path = st["path"].at[jnp.arange(L), wr].set(newv)
+        nstep = jnp.where(ext, st["nstep"] + 1, st["nstep"])
+
+        # 4) new pending anchor (plausible right side only)
+        qn = ref_first_pos(cur)
+        take = ext & (pend_t0 < 0) & (qn >= 0) & (qn >= lefts - pad)
+        pend_t0 = jnp.where(take, nstep - 1, pend_t0)
+        pend_q = jnp.where(take, qn, st["pend_q"])
+        return dict(
+            cur=cur, nstep=nstep, path=path, pend_t0=pend_t0, pend_q=pend_q,
+            stopped=stopped, success=success, res_t0=res_t0, res_q=res_q,
+            it=st["it"] + 1,
+        )
+
+    st = lax.while_loop(cond, body, state)
+    return (
+        st["path"], st["nstep"], st["pend_t0"], st["pend_q"],
+        st["success"], st["res_t0"], st["res_q"],
+    )
+
+
+def _assemble_breakends_batch(
+    seeds: np.ndarray,
+    lefts: np.ndarray,
+    edge_keys: np.ndarray,
+    edge_counts: np.ndarray,
+    index: RefKmerIndex,
+    opt: SvOptions,
+    max_assembly: int = 20000,
+    confirm: int = 16,
+):
+    """All clusters' breakend walks as device lanes; returns per-cluster
+    (ins_codes, right) | None with the same acceptance rules as the host
+    oracle _assemble_breakend (tests/test_pop_tracer.py proves agreement)."""
+    L = len(seeds)
+    if L == 0:
+        return []
+    k = index.k
+    Lp = 1
+    while Lp < L:
+        Lp *= 2
+    seeds_p = np.zeros(Lp, np.uint64)
+    seeds_p[:L] = seeds
+    lefts_p = np.zeros(Lp, np.int64)
+    lefts_p[:L] = lefts
+    path, nstep, pend_t0, pend_q, success, res_t0, res_q = (
+        np.asarray(x)
+        for x in _breakend_walk_jit(
+            jnp.asarray(seeds_p), jnp.asarray(lefts_p),
+            jnp.asarray(edge_keys), jnp.asarray(edge_counts),
+            index.kmers, index.positions, index.ref_codes,
+            k, confirm, max_assembly, int(opt.cluster_pad),
+        )
+    )
+    ref = np.asarray(index.ref_codes)
+    G = len(ref)
+    out = []
+    for i in range(L):
+        t0, q = -1, -1
+        if success[i]:
+            t0, q = int(res_t0[i]), int(res_q[i])
+        elif pend_t0[i] >= 0:
+            # end-of-walk: a pending anchor with full remaining match
+            t0p, qp = int(pend_t0[i]), int(pend_q[i])
+            seg = path[i, t0p + 1 : nstep[i]]
+            rseg = ref[qp + k : qp + k + len(seg)]
+            if len(seg) >= 4 and len(rseg) == len(seg) and (seg == rseg).all():
+                t0, q = t0p, qp
+        if t0 >= 0 and t0 - k + 1 >= 0:
+            out.append((path[i, : t0 - k + 1].copy(), q))
+        else:
+            out.append(None)
+    return out
+
+
 def _left_normalize_event(ref: np.ndarray, left: int, right: int, ins: np.ndarray):
     """Shift a (del span [left,right) + inserted seq) leftwards while the base
     entering on the right equals the base leaving on the left (VCF left
@@ -480,11 +675,14 @@ def _sv_finalize(
         key = (int(ln), int(rn), insn.tobytes())
         norm.setdefault(key, set()).add(rid)
 
-    # breakend assembly: cluster left-clips, walk the read k-mer graph
+    # breakend assembly: cluster left-clips, then walk ALL clusters' read
+    # k-mer graphs as device lanes in one batched program (the per-event
+    # Python walk was host-bound at WGS unplaced-read counts)
     if clip_cands:
         # (left, owner) key: fully deterministic grouping regardless of the
         # order slices contributed candidates (single-pass vs distributed)
         clip_cands = sorted(clip_cands, key=lambda t: (t[0], t[2]))
+        groups = []  # (left_c, owners, seed_kmer)
         gi = 0
         while gi < len(clip_cands):
             gj = gi + 1
@@ -498,16 +696,36 @@ def _sv_finalize(
             if len(owners) >= opt.min_sv_reads:
                 lefts = np.array([l for l, _, _ in group])
                 left_c = int(np.bincount(lefts - lefts.min()).argmax() + lefts.min())
-                res = _assemble_breakend(
-                    [t for l, t, _ in group if l == left_c] or [t for _, t, _ in group],
-                    edge_keys,
-                    edge_counts,
-                    index,
-                    left_c,
-                    opt,
-                )
+                tails = [t for l, t, _ in group if l == left_c] or [
+                    t for _, t, _ in group
+                ]
+                seed = _seed_consensus(tails, index.k)
+                if seed is not None:
+                    groups.append((left_c, owners, seed))
+            gi = gj
+        if groups:
+            results = _assemble_breakends_batch(
+                np.array([g[2] for g in groups], np.uint64),
+                np.array([g[0] for g in groups], np.int64),
+                edge_keys,
+                edge_counts,
+                index,
+                opt,
+            )
+            for (left_c, owners, _), res in zip(groups, results):
                 if res is not None:
                     ins_codes, right_c = res
+                    if 0 < left_c - right_c <= index.k + opt.cluster_pad:
+                        # junction micro-homology: the walk re-anchored a few
+                        # bases LEFT of the clip (ref[right_c:left_c] is
+                        # claimed by both flanks).  Pin the junction at
+                        # left_c; the homologous reference bases belong to
+                        # the insertion:  I ++ ref[q:left] with right=left
+                        # describes the same donor sequence.
+                        ins_codes = np.concatenate(
+                            [ins_codes, ref[right_c:left_c]]
+                        ).astype(np.uint8)
+                        right_c = left_c
                     if (
                         len(ins_codes) >= opt.min_event
                         or right_c - left_c >= opt.min_event
@@ -517,7 +735,6 @@ def _sv_finalize(
                         )
                         key = (int(ln), int(rn), insn.tobytes())
                         norm.setdefault(key, set()).update(owners)
-            gi = gj
     # merge keys whose breakpoints differ by <= cluster_pad and same ins len
     keys = sorted(norm.keys())
     merged: List[SvEvent] = []
@@ -559,11 +776,24 @@ def _sv_finalize(
         hi_p = np.maximum(pos + lengths, pos[mate] + lengths[mate])
         sel = np.nonzero(proper)[0]
         lo_p, hi_p = lo_p[sel], hi_p[sel]
+        # one-mate-in-novel-sequence evidence (pair_cov's pairs placed INTO
+        # the assembled insertion, modules/variants/pair_cov.cpp): a read
+        # anchored within a fragment length of the junction whose mate
+        # failed placement supports an insertion longer than the fragment,
+        # where no pair can straddle both anchors
+        half = (pos >= 0) & (pos[mate] < 0) & (mate != np.arange(len(pos)))
+        hp = pos[half]
+        hl = lengths[half]
         for e in merged:
             straddle = (lo_p + 1 <= e.left) & (hi_p - 1 >= e.right)
             implied = (hi_p - lo_p) - e.del_len + e.ins_len
             okfrag = straddle & (implied <= opt.max_frag) & (implied > 0)
             e.pair_support = int(okfrag.sum()) // 2
+            if e.ins_len > opt.max_frag - 2 * int(lengths.max(initial=0)):
+                near = (
+                    (hp + hl >= e.left - opt.max_frag) & (hp + hl <= e.left)
+                ) | ((hp >= e.right) & (hp <= e.right + opt.max_frag))
+                e.pair_support += int(near.sum())
     elif len(merged):
         # unpaired library: spanning placed reads stand in for pairs
         pos = pos_all

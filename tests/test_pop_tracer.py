@@ -197,3 +197,114 @@ def test_reads_from_readmap_slice_contract():
     np.testing.assert_array_equal(l0, lens)
     np.testing.assert_array_equal(m0, mate)
     np.testing.assert_array_equal(np.concatenate([c0, c1]), full)
+
+
+@pytest.mark.slow
+def test_49kb_deletion(rng):
+    """The reference's flagship event scale (hg002_test.cpp:23-39, a 49 kb
+    deletion): split+pair evidence, exact breakpoints, pair support."""
+    G = 120000
+    ref = _mk_reference(rng, G)
+    lo, hi = 40000, 89000  # 49 kb
+    donor = np.concatenate([ref.flat[:lo], ref.flat[hi:]])
+    codes, lens, mate = _sample_pairs(rng, donor, cov=25)
+    recs = discover_structural(ref, codes, lens, mate_of=mate)
+    dels = [r for r in recs if len(r["ref"]) - len(r["alt"]) >= 40000]
+    assert len(dels) == 1, [
+        (r["pos"], len(r["ref"]) - len(r["alt"])) for r in recs
+    ]
+    d = dels[0]
+    assert len(d["ref"]) - len(d["alt"]) == 49000
+    assert abs(d["pos"] - lo) <= 8
+    assert d["support"] >= 3
+    assert d["pair_support"] > 0
+
+
+@pytest.mark.slow
+def test_2kb_novel_insertion_breakend_assembly(rng):
+    """A 2 kb NOVEL insertion (longer than read + fragment): only the
+    breakend k-mer-graph walk can reconstruct it — left-clipped reads seed
+    the cluster, interior reads supply the edge table, and the walk must
+    re-anchor on the right flank ~2000 steps later.  Pair evidence comes
+    from anchored reads whose mates live inside the novel sequence."""
+    G = 30000
+    ref = _mk_reference(rng, G)
+    at = 14000
+    ins = rng.integers(0, 4, 2000).astype(np.uint8)
+    donor = np.concatenate([ref.flat[:at], ins, ref.flat[at:]])
+    codes, lens, mate = _sample_pairs(rng, donor, cov=40)
+    recs = discover_structural(ref, codes, lens, mate_of=mate)
+    big = [r for r in recs if len(r["alt"]) - len(r["ref"]) >= 1900]
+    assert len(big) == 1, [
+        (r["pos"], r["svlen"]) for r in recs
+    ]
+    r = big[0]
+    assert len(r["alt"]) - len(r["ref"]) == 2000
+    assert abs(r["pos"] - at) <= 8
+    # the reconstructed insertion is the novel sequence itself
+    got_ins = dna.seq_to_codes(r["alt"])[1:]
+    from biograph_tpu.variants.pop_tracer import _left_normalize_event
+
+    ln, rn, expect_ins = _left_normalize_event(
+        np.asarray(ref.flat), at, at, ins
+    )
+    assert np.array_equal(np.asarray(got_ins, np.uint8), expect_ins)
+    assert r["support"] >= 3
+    assert r["pair_support"] > 0  # anchored reads with mates in the novel seq
+
+
+def test_breakend_batch_matches_host_oracle(rng):
+    """The batched device walk (_assemble_breakends_batch) must agree with
+    the per-event host oracle (_assemble_breakend) on a spread of clusters."""
+    from biograph_tpu.variants.align import RefKmerIndex
+    from biograph_tpu.variants.pop_tracer import (
+        SvOptions,
+        _assemble_breakend,
+        _assemble_breakends_batch,
+        _kmer_edge_table,
+        _seed_consensus,
+    )
+
+    import jax.numpy as jnp
+
+    G = 8000
+    ref = _mk_reference(rng, G)
+    opt = SvOptions()
+    index = RefKmerIndex.build(np.asarray(ref.flat), opt.k, is_n=ref.is_n)
+    # donor: 120bp novel insertion at 3000; reads tiled over the junction
+    ins = rng.integers(0, 4, 120).astype(np.uint8)
+    donor = np.concatenate([ref.flat[:3000], ins, ref.flat[3000:]])
+    L = 70
+    reads = np.stack(
+        [donor[s : s + L] for s in range(2900, 3150, 3)]
+    ).astype(np.uint8)
+    lens = np.full(len(reads), L, np.int32)
+    edge_keys, edge_counts = _kmer_edge_table(
+        jnp.asarray(reads), jnp.asarray(lens), index.k
+    )
+    # clusters: the true junction plus decoys that should fail to anchor
+    cases = []
+    tails = [donor[3000 - 0 : 3000 + 60][20:] for _ in range(3)]
+    tails = [donor[3000 : 3000 + 50 + j] for j in range(3)]
+    cases.append((3000, tails))
+    cases.append((500, [rng.integers(0, 4, 40).astype(np.uint8) for _ in range(3)]))
+    seeds, lefts, host = [], [], []
+    for left_c, tl in cases:
+        seed = _seed_consensus(tl, index.k)
+        assert seed is not None
+        seeds.append(seed)
+        lefts.append(left_c)
+        host.append(
+            _assemble_breakend(tl, np.asarray(edge_keys), np.asarray(edge_counts), index, left_c, opt)
+        )
+    got = _assemble_breakends_batch(
+        np.array(seeds, np.uint64), np.array(lefts, np.int64),
+        np.asarray(edge_keys), np.asarray(edge_counts), index, opt,
+    )
+    assert len(got) == len(host)
+    for h, g in zip(host, got):
+        if h is None:
+            assert g is None
+        else:
+            assert g is not None
+            assert np.array_equal(h[0], g[0]) and h[1] == g[1]
