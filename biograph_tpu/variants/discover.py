@@ -210,6 +210,7 @@ def wavefront_assemble(
     ref_limit: int | None = None,
     ref_dev=None,
     engine=None,
+    mem_plan=None,
 ) -> List[Assembly]:
     """Extend alt branches through the seqset; rejoin to reference.
 
@@ -248,11 +249,13 @@ def wavefront_assemble(
             groups.append(order[start:i])
             start = i
 
-    trunc_tables = (
-        engine.trunc_tables(opt.probe_ctx)
-        if engine is not None
-        else _trunc_tables(ss, opt.probe_ctx)
-    )
+    if engine is not None:
+        trunc_tables = engine.trunc_tables(opt.probe_ctx)
+    elif mem_plan is not None and not mem_plan["use_trunc_tables"]:
+        # HBM budget: fall back to in-loop LtSearch truncation
+        trunc_tables = (None, None)
+    else:
+        trunc_tables = _trunc_tables(ss, opt.probe_ctx)
     # Shared rejoin span table: when the anchors' joint span fits the table
     # budget, build ONE (K, key2) table for all groups in this orientation —
     # one device sort instead of one per group, and (decisive over a slow
@@ -264,11 +267,12 @@ def wavefront_assemble(
     lo_all = int(flat_pos.min())
     hi_all = int(min(flat_pos.max() + opt.max_path + k_rej + 2, ref_limit))
     span_all = min(hi_all + 1, ref_limit) - lo_all
+    span_cap = SPAN_TABLE_CAP if mem_plan is None else mem_plan["span_table_cap"]
     if span_all >= k_rej:
         npk_all = 16384
         while npk_all < span_all - k_rej + 1:
             npk_all *= 4 if npk_all < (1 << 20) else 2
-        if npk_all <= SPAN_TABLE_CAP:
+        if npk_all <= span_cap:
             span_shared = (
                 _span_kmers_dev(
                     ref_dev, jnp.asarray(lo_all, jnp.int64),
@@ -538,6 +542,53 @@ def _next_pow2(n):
 from functools import partial as _partial
 
 
+def _discovery_memory_plan(ss: Seqset, G: int, stats: dict | None = None):
+    """Budget discovery's device-resident working set against HBM
+    (resource_manager scratch-quota analog, modules/mapred/resource_manager.h:7;
+    multi-pass sizing as in kmer_counter.h:29).
+
+    Accounts the seqset core (rank bitplanes + cum + shared/sizes/pop_sel +
+    LtSearch blocks), the doubled reference, the two n-entry trunc tables,
+    and the shared rejoin span table against MemoryBudget.detect()
+    (BGT_HBM_BUDGET_BYTES override).  Over budget, features degrade in
+    cost order: the shared span table shrinks/disappears first (groups fall
+    back to their own bounded tables), then the trunc tables are dropped
+    and the wavefront truncates through LtSearch in-loop.  The chosen plan
+    is recorded in stats["memory_plan"]."""
+    from biograph_tpu.runtime.resources import MemoryBudget
+
+    budget = MemoryBudget.detect()
+    n = int(ss.n_entries)
+    pw = np.asarray(ss.prev_words)
+    core = (
+        pw.nbytes  # rank bit words (uint32)
+        + pw.size * 8  # exclusive prefix popcounts (int64)
+        + n * 4  # shared (int32)
+        + n * 4  # entry_sizes (int32)
+        + n * 8  # pop_sel (int64)
+        + n // 4  # LtSearch block minima (both directions, coarse)
+    )
+    ref2 = 2 * G  # doubled fwd++rc reference, uint8
+    trunc = 16 * n  # prev_lt + next_lt, int64 each
+    head = budget.bytes - core - ref2
+    use_trunc = head >= trunc
+    span_budget = head - (trunc if use_trunc else 0)
+    span_cap = min(SPAN_TABLE_CAP, max(span_budget // 16, 0))
+    if span_cap < 16384:  # smallest ladder rung — shared table off
+        span_cap = 0
+    plan = {
+        "budget_bytes": budget.bytes,
+        "core_bytes": core,
+        "ref2_bytes": ref2,
+        "trunc_bytes": trunc,
+        "use_trunc_tables": bool(use_trunc),
+        "span_table_cap": int(span_cap),
+    }
+    if stats is not None:
+        stats["memory_plan"] = plan
+    return plan
+
+
 def _trunc_tables(ss: Seqset, c: int):
     """Constant-threshold widen tables: prev_lt[i] = largest j <= i with
     shared[j] < c (-1 if none); next_lt[i] = smallest j >= i with
@@ -665,17 +716,24 @@ def _wavefront_body(d, packed, prev_lt, next_lt, n_packed, st, step_i,
             jnp.where(ext, new_end, cur.end),
             jnp.where(ext, cur.size + 1, cur.size),
         )
-        # truncate to probe_ctx via the precomputed constant-threshold
-        # widen tables (see _trunc_tables) — semantics of
-        # d.truncate_ranges(cur2, probe_ctx), at two gathers per lane
-        # (owner-gather collective when d is the sharded engine)
-        need = cur2.size > probe_ctx
-        wb, we = d.trunc_gather(prev_lt, next_lt, cur2.begin, cur2.end)
-        cur2 = SeqsetRanges(
-            jnp.where(need, wb, cur2.begin),
-            jnp.where(need, we, cur2.end),
-            jnp.where(need, probe_ctx, cur2.size),
-        )
+        if prev_lt is None:
+            # HBM-budget fallback (runtime/resources.py): the two
+            # n_entries-sized widen tables don't fit — truncate through the
+            # LtSearch block structure instead (no extra residency, more
+            # search steps per beam step)
+            cur2 = d.truncate_ranges(cur2, probe_ctx)
+        else:
+            # truncate to probe_ctx via the precomputed constant-threshold
+            # widen tables (see _trunc_tables) — semantics of
+            # d.truncate_ranges(cur2, probe_ctx), at two gathers per lane
+            # (owner-gather collective when d is the sharded engine)
+            need = cur2.size > probe_ctx
+            wb, we = d.trunc_gather(prev_lt, next_lt, cur2.begin, cur2.end)
+            cur2 = SeqsetRanges(
+                jnp.where(need, wb, cur2.begin),
+                jnp.where(need, we, cur2.end),
+                jnp.where(need, probe_ctx, cur2.size),
+            )
         path = st["path"].at[:, step_i].set(
             jnp.where(ext, nb.astype(jnp.uint8), st["path"][:, step_i])
         )
@@ -951,6 +1009,7 @@ def discover_variants(
     stats.setdefault("anchors_truncated", 0)
     stats.setdefault("assemblies_truncated", 0)
     all_records = []
+    mem_plan = _discovery_memory_plan(ss, G, stats)
     ref2 = np.concatenate([ref, (3 - ref[::-1]).astype(np.uint8)])
     # one transfer for all batches (mesh-replicated in sharded mode so the
     # shard_map stages see a consistently-placed operand)
@@ -1030,7 +1089,7 @@ def discover_variants(
         return _discover_finish(
             ss, reference, ref, ref2, ref2_dev, batches, probe_h, opt,
             stats, stage_s, anchor_parts, all_asms, all_records, readmap,
-            out_assemblies, G, P, _t,
+            out_assemblies, G, P, _t, mem_plan=mem_plan,
         )
     # wave 1: all probe chains
     if engine is not None:
@@ -1121,14 +1180,14 @@ def discover_variants(
     return _discover_finish(
         ss, reference, ref, ref2, ref2_dev, batches, probe_h, opt,
         stats, stage_s, anchor_parts, all_asms, all_records, readmap,
-        out_assemblies, G, P, _t, engine=engine,
+        out_assemblies, G, P, _t, engine=engine, mem_plan=mem_plan,
     )
 
 
 def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
                      opt, stats, stage_s, anchor_parts, all_asms,
                      all_records, readmap, out_assemblies, G, P, _t,
-                     engine=None):
+                     engine=None, mem_plan=None):
     """Anchor scan -> wavefront -> score -> extract (shared by the walk-engine
     and probe-pipeline front ends; probe_h = per-batch [begin, end, size, _]
     device arrays)."""
@@ -1190,7 +1249,7 @@ def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
         asms = wavefront_assemble(
             ss, ref2, anchors, opt, stats=stats,
             ref_limit=(2 * G if rev_half else G),
-            ref_dev=ref2_dev, engine=engine,
+            ref_dev=ref2_dev, engine=engine, mem_plan=mem_plan,
         )
         if rev_half:
             asms = [

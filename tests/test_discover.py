@@ -183,3 +183,29 @@ def test_trunc_tables_instance_cache_only(rngm):
     e2 = expect(ss2, 12)
     np.testing.assert_array_equal(p2, e2[0])
     np.testing.assert_array_equal(n2, e2[1])
+
+
+def test_discovery_under_tiny_hbm_budget(rngm, monkeypatch):
+    """HBM-budget-driven discovery (resource_manager analog): with an
+    artificially small BGT_HBM_BUDGET_BYTES the plan must drop the trunc
+    tables and the shared span table, and discovery must still produce
+    IDENTICAL records via the LtSearch fallback."""
+    ref, donor, truth = _sim(
+        rngm, G=6000, snps=(900, 2500, 4200), insertions=((3300, 5),),
+        deletions=((1700, 4),),
+    )
+    codes, lens = _reads_from(donor, rngm)
+    ss = build_seqset(codes, lens)
+    rm = build_readmap(ss, codes, lens)
+    fref = FakeRef(ref)
+    opt = DiscoverOptions(min_alt_support=5)
+    stats0, stats1 = {}, {}
+    base = discover_variants(ss, fref, opt=opt, readmap=rm, stats=stats0)
+    assert stats0["memory_plan"]["use_trunc_tables"]
+    monkeypatch.setenv("BGT_HBM_BUDGET_BYTES", str(1 << 16))  # 64 KiB
+    tight = discover_variants(ss, fref, opt=opt, readmap=rm, stats=stats1)
+    plan = stats1["memory_plan"]
+    assert not plan["use_trunc_tables"]
+    assert plan["span_table_cap"] == 0
+    key = lambda r: (r["chrom"], r["pos"], r["ref"], r["alt"], r["support"])
+    assert sorted(map(key, tight)) == sorted(map(key, base))
