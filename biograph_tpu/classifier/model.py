@@ -26,7 +26,23 @@ FEATURES = [
     # transform_dp alt-ref ratio features, gt_classifier.py:58-90); absent
     # in older feature files -> zeros
     "us_alt", "ds_alt", "us_ref", "ds_ref", "ad_ratio",
+    # pcmp parity columns (tools/coverage.py build_table_header):
+    # VARTYPE/VARLEN/REFSPAN/ASMLEN, window-shape XC/MC/EC per allele,
+    # REFGC/ALTGC sequence context, PL_* genotype likelihoods
+    "var_type", "abs_var_len", "refspan", "asmlen",
+    "xc_alt", "mc_alt", "ec_alt", "xc_ref", "mc_ref", "ec_ref",
+    "gc_alt", "gc_ref", "pl_ref", "pl_het", "pl_hom",
 ]
+
+_LOG_FEATURES = frozenset(
+    (
+        "alt_depth", "ref_depth", "gq", "qual", "pair_cov",
+        "us_alt", "ds_alt", "us_ref", "ds_ref",
+        "abs_var_len", "refspan", "asmlen",
+        "xc_alt", "mc_alt", "ec_alt", "xc_ref", "mc_ref", "ec_ref",
+        "pl_ref", "pl_het", "pl_hom",
+    )
+)
 
 
 def stack_features(feats: Dict[str, np.ndarray]) -> np.ndarray:
@@ -36,11 +52,8 @@ def stack_features(feats: Dict[str, np.ndarray]) -> np.ndarray:
         if name in feats:
             col = np.asarray(feats[name], np.float32)
         else:
-            col = np.zeros(n, np.float32)  # older feature files lack pair_cov
-        if name in (
-            "alt_depth", "ref_depth", "gq", "qual", "pair_cov",
-            "us_alt", "ds_alt", "us_ref", "ds_ref",
-        ):
+            col = np.zeros(n, np.float32)  # older feature files lack columns
+        if name in _LOG_FEATURES:
             col = np.log1p(np.maximum(col, 0))
         if name == "var_len":
             col = np.sign(col) * np.log1p(np.abs(col))

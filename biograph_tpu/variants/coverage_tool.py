@@ -57,6 +57,18 @@ class CoverageAnnotation:
     ds_alt: np.ndarray = None
     us_ref: np.ndarray = None
     ds_ref: np.ndarray = None
+    # window-shape evidence per allele (pcmp XC/MC/EC analogs,
+    # tools/coverage.py build_table_header): max depth, mean depth, and the
+    # depth at the allele window's junction edges
+    xc_alt: np.ndarray = None  # int32 [N] max depth over the alt window
+    mc_alt: np.ndarray = None  # float32 [N] mean depth
+    ec_alt: np.ndarray = None  # int32 [N] min of the two edge depths
+    xc_ref: np.ndarray = None
+    mc_ref: np.ndarray = None
+    ec_ref: np.ndarray = None
+    # sequence context (REFGC/ALTGC analogs)
+    gc_alt: np.ndarray = None  # float32 [N]
+    gc_ref: np.ndarray = None
 
 
 _DNA_CHARS = frozenset("ACGTacgt")
@@ -165,6 +177,7 @@ def annotate_coverage(
     WIN_CAP = 192
     all_alt_depths = [np.zeros(max(len(a), 1), np.int32) for a in alts_of]
     flank_min: dict = {}
+    win_stats: dict = {}
     work = [i for i in range(N) if valid[i]]
     for lo in range(0, len(work), batch):
         chunk = work[lo : lo + batch]
@@ -221,6 +234,25 @@ def annotate_coverage(
             depth = int(win.min()) if len(win) else 0
             key = (ri, ai)
             depth_min[key] = min(depth_min.get(key, 1 << 30), depth)
+            if len(win):
+                # window-shape stats (XC/MC/EC analogs): split giant alleles
+                # combine max-of-maxes / mean-of-means / min-of-edges
+                k3 = (ri, ai, "xc")
+                win_stats[k3] = max(win_stats.get(k3, 0), int(win.max()))
+                k3 = (ri, ai, "mc")
+                prev = win_stats.get(k3, (0.0, 0))
+                win_stats[k3] = (prev[0] + float(win.mean()), prev[1] + 1)
+                k3 = (ri, ai, "ec")
+                edge = int(min(win[0], win[-1]))
+                win_stats[k3] = min(win_stats.get(k3, 1 << 30), edge)
+            mid_codes = qc[i, lo_b : min(hi_b, ql[i])]
+            if len(mid_codes):
+                k3 = (ri, ai, "gc")
+                prev = win_stats.get(k3, (0.0, 0))
+                win_stats[k3] = (
+                    prev[0] + float(np.mean((mid_codes == 1) | (mid_codes == 2))),
+                    prev[1] + 1,
+                )
             # flank minima: upstream = the window's left flank, downstream =
             # its right flank (split giant alleles contribute the flank each
             # breakpoint window actually carries)
@@ -246,11 +278,23 @@ def annotate_coverage(
     ds_alt = np.zeros(N, np.int32)
     us_ref = np.zeros(N, np.int32)
     ds_ref = np.zeros(N, np.int32)
+    xc = {("alt"): np.zeros(N, np.int32), ("ref"): np.zeros(N, np.int32)}
+    mc = {("alt"): np.zeros(N, np.float32), ("ref"): np.zeros(N, np.float32)}
+    ec = {("alt"): np.zeros(N, np.int32), ("ref"): np.zeros(N, np.int32)}
+    gc = {("alt"): np.zeros(N, np.float32), ("ref"): np.zeros(N, np.float32)}
     for i in range(N):
         us_alt[i] = flank_min.get((i, int(best_alt[i]), "us"), 0)
         ds_alt[i] = flank_min.get((i, int(best_alt[i]), "ds"), 0)
         us_ref[i] = flank_min.get((i, -1, "us"), 0)
         ds_ref[i] = flank_min.get((i, -1, "ds"), 0)
+        for name, ai in (("alt", int(best_alt[i])), ("ref", -1)):
+            xc[name][i] = win_stats.get((i, ai, "xc"), 0)
+            m = win_stats.get((i, ai, "mc"))
+            mc[name][i] = m[0] / m[1] if m else 0.0
+            e = win_stats.get((i, ai, "ec"), 0)
+            ec[name][i] = 0 if e == (1 << 30) else e
+            g = win_stats.get((i, ai, "gc"))
+            gc[name][i] = g[0] / g[1] if g else 0.0
     alt_depth = np.array(
         [int(d[best_alt[i]]) for i, d in enumerate(all_alt_depths)], np.int32
     )
@@ -295,6 +339,9 @@ def annotate_coverage(
     return CoverageAnnotation(
         alt_depth=alt_depth, ref_depth=ref_depth, gt=gt, gq=gq, pl=pl, ad=ad,
         us_alt=us_alt, ds_alt=ds_alt, us_ref=us_ref, ds_ref=ds_ref,
+        xc_alt=xc["alt"], mc_alt=mc["alt"], ec_alt=ec["alt"],
+        xc_ref=xc["ref"], mc_ref=mc["ref"], ec_ref=ec["ref"],
+        gc_alt=gc["alt"], gc_ref=gc["ref"],
     )
 
 
@@ -495,11 +542,30 @@ def feature_matrix(
             (ann.alt_depth - ann.ref_depth)
             / np.maximum(ann.alt_depth + ann.ref_depth, 1)
         ).astype(np.float32),
+        # pcmp VARLEN/VARTYPE/VAR_LEN_TYPE + REFSPAN/ASMLEN analogs
+        # (build_classifier.py prepare_input; coverage.py build_table_header)
+        "var_type": np.sign(var_len).astype(np.int8),
+        "abs_var_len": np.abs(var_len),
+        "refspan": np.array([len(r.ref) for r in records], np.int32),
+        "asmlen": np.array(
+            [len(r.alt.split(",")[0]) for r in records], np.int32
+        ),
+        # PL columns (PL_ref / PL_het / PL_hom)
+        "pl_ref": np.asarray(ann.pl[:, 0], np.int32),
+        "pl_het": np.asarray(ann.pl[:, 1], np.int32),
+        "pl_hom": np.asarray(ann.pl[:, 2], np.int32),
     }
-    for name in ("us_alt", "ds_alt", "us_ref", "ds_ref"):
+    for name in (
+        "us_alt", "ds_alt", "us_ref", "ds_ref",
+        "xc_alt", "ec_alt", "xc_ref", "ec_ref",
+    ):
         col = getattr(ann, name, None)
         if col is not None:
             out[name] = np.asarray(col, np.int32)
+    for name in ("mc_alt", "mc_ref", "gc_alt", "gc_ref"):
+        col = getattr(ann, name, None)
+        if col is not None:
+            out[name] = np.asarray(col, np.float32)
     if pc is not None:
         out["pair_cov"] = np.asarray(pc, np.int32)
     return out
