@@ -88,6 +88,13 @@ class DiscoverOptions:
     # beam clones per anchor (best/second-best at the first junctions);
     # power of two (each junction consumes one policy bit)
     branch_clones: int = 4
+    # adaptive depth: anchors whose whole clone beam dies un-rejoined are
+    # re-explored with branch_clones x 4^round clones (covering 2 more
+    # junctions per round) — the batched analog of the reference's
+    # best-first branch queue backtracking into less-supported extensions
+    # (discovery/branch.h:46 search-entry queue, push_search.h:9); paid
+    # only where the fixed-width beam failed
+    branch_retry_rounds: int = 1
     # rejoin search window in bases (assemble.h read_ahead_distance: "only
     # deletions smaller than this are detected locally"); rounded up to a
     # power of two
@@ -286,19 +293,23 @@ def wavefront_assemble(
     # done-poll only waits on its own enqueued steps while every other
     # group's compute drains behind it.  Over a high-latency relay this
     # keeps the chip busy instead of paying one idle round trip per group.
-    ctxs = [
-        c
-        for sel in groups
-        if (
-            c := _asm_start(
+    def start_all(group_sels, ncl):
+        pairs = []
+        for sel in group_sels:
+            c = _asm_start(
                 d, ref, tuple(a[sel] for a in anchors), opt, ref_limit,
-                trunc_tables, ref_dev, span_shared, engine=engine,
+                trunc_tables, ref_dev, span_shared, engine=engine, ncl=ncl,
             )
-        )
-        is not None
-    ]
-    if mxu:
-        active = list(ctxs)
+            if c is not None:
+                pairs.append((sel, c))
+        return pairs
+
+    def drive(cs):
+        """Advance MXU-path groups' beams interleaved (no-op on the CPU /
+        engine paths, whose _asm_start already ran the full loop)."""
+        if not mxu:
+            return
+        active = list(cs)
         while active:
             for c in active:  # dispatch wave: async block enqueues
                 target = min(c["step"] + CHECK_EVERY, c["MAXP"])
@@ -321,12 +332,24 @@ def wavefront_assemble(
                 _maybe_compact(c, und)
                 nxt.append(c)
             active = nxt
+
+    pairs = start_all(groups, None)
+    drive([c for _, c in pairs])
     out: List[Assembly] = []
     done_anchors = 0
-    for c in ctxs:
-        out.extend(_asm_finish(d, c))
+    truncated = False
+    failed: List[int] = []
+    for sel, c in pairs:
+        asms, ok_keys, branchy = _asm_finish(d, c)
+        out.extend(asms)
+        failed.extend(
+            int(sel[j])
+            for j in range(len(sel))
+            if j not in ok_keys and j in branchy
+        )
         done_anchors += c["n_sel"]
         if len(out) >= opt.max_assemblies:
+            truncated = True
             if stats is not None and done_anchors < n_anchor:
                 stats["assemblies_truncated"] += n_anchor - done_anchors
                 import warnings
@@ -336,6 +359,35 @@ def wavefront_assemble(
                     f" {n_anchor - done_anchors} anchors unexplored in this batch"
                 )
             break
+    # adaptive-depth retry (branch.h:46 best-first queue analog): anchors
+    # whose whole beam died un-rejoined re-explore with 4x the clones per
+    # round — two more junctions of best/second coverage, paid only where
+    # the fixed beam failed
+    ncl = max(int(opt.branch_clones), 1)
+    for _ in range(int(getattr(opt, "branch_retry_rounds", 0))):
+        if not failed or truncated:
+            break
+        ncl *= 4
+        per = max(eff_width // max(ncl // max(int(opt.branch_clones), 1), 1), 16)
+        fgroups = [
+            np.asarray(failed[i : i + per], np.int64)
+            for i in range(0, len(failed), per)
+        ]
+        rpairs = start_all(fgroups, ncl)
+        drive([c for _, c in rpairs])
+        failed = []
+        for sel, c in rpairs:
+            asms, ok_keys, branchy = _asm_finish(d, c)
+            out.extend(asms)
+            failed.extend(
+                int(sel[j])
+                for j in range(len(sel))
+                if j not in ok_keys and j in branchy
+            )
+            if stats is not None:
+                stats["branch_retry_rescued"] = stats.get(
+                    "branch_retry_rescued", 0
+                ) + len(ok_keys)
     return out[: opt.max_assemblies]
 
 
@@ -344,7 +396,7 @@ N_POLICY = 4  # beam clones per anchor (2 junction choices x 2 ranks)
 
 def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
                trunc_tables=None, ref_dev=None, span_shared=None,
-               engine=None):
+               engine=None, ncl=None):
     """Host prep + async device dispatch for one beam group; returns the ctx
     dict the interleaved driver advances (None for an empty group).
 
@@ -381,12 +433,13 @@ def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
         assert hi_flat - lo_flat < (1 << 32)
         span_len = min(hi_flat + 1, ref_limit) - lo_flat
         if span_len < k:
-            return []
+            return None
         n_packed = span_len - k + 1
 
     # replicate each anchor into branch_clones clone lanes (max_next_paths /
-    # max_rejoins analog: bounded branch exploration width)
-    ncl = max(int(opt.branch_clones), 1)
+    # max_rejoins analog: bounded branch exploration width); retry rounds
+    # pass a widened ncl for adaptive depth
+    ncl = max(int(ncl if ncl is not None else opt.branch_clones), 1)
     rep = np.repeat(np.arange(A0), ncl)
     policy = np.tile(np.arange(ncl), A0)
     A = A0 * ncl
@@ -461,7 +514,11 @@ def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
 
 def _asm_finish(d, c):
     """Fetch one finished beam group's rejoined lanes and build Assembly
-    records (per anchor the best-supported, smallest bubble wins)."""
+    records (per anchor the best-supported, smallest bubble wins).
+    Returns (assemblies, succeeded_local_anchor_ids, branchy_local_ids) —
+    the id sets feed the adaptive-depth retry in wavefront_assemble
+    (retrying an anchor that never saw a junction is pure waste: every
+    clone walked the identical path)."""
     out = c["st"]
     if c.get("sel") is not None:
         # fold the compacted live subset back into the full-width state
@@ -512,7 +569,9 @@ def _asm_finish(d, c):
         old = results.get(key)
         if old is None or _asm_better(asm, old):
             results[key] = asm
-    return list(results.values())
+    nj = np.asarray(out["n_junction"])[:A]
+    branchy = {int(rep[lane]) for lane in np.nonzero(nj > 0)[0]}
+    return list(results.values()), set(results.keys()), branchy
 
 
 @jax.jit

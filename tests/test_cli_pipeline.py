@@ -199,6 +199,7 @@ def test_cli_full_pipeline_ecoli(tmp_path):
     assert r3.stdout.count("skipping (--rerun discovery)") >= 2
 
 
+@pytest.mark.slow
 def test_cli_dev_commands(tmp_path):
     """query / dump_flat / ref2seqset / metadata dev-command parity
     (reference: bgbinary dev commands, modules/biograph/main.cpp:62-70)."""

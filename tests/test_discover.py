@@ -121,6 +121,7 @@ def test_discover_clean_genome_no_calls(rngm):
     assert strong == [], strong[:3]
 
 
+@pytest.mark.slow
 def test_dispatch_path_ab_identical(rngm, monkeypatch):
     """The host-dispatched interleaved wavefront (MXU chain topology, with
     done-lane compaction) must produce exactly the records the default
@@ -209,3 +210,56 @@ def test_discovery_under_tiny_hbm_budget(rngm, monkeypatch):
     assert plan["span_table_cap"] == 0
     key = lambda r: (r["chrom"], r["pos"], r["ref"], r["alt"], r["support"])
     assert sorted(map(key, tight)) == sorted(map(key, base))
+
+
+def test_branch_retry_rescues_beam_misses(rngm):
+    """Adaptive-depth retry (branch.h:46 best-first queue analog): an anchor
+    whose whole clone beam dies un-rejoined is re-explored with 4x clones.
+    Fixture: a decoy haplotype family shares the alt path past the anchor
+    and is WIDER than the true continuation, so a width-1 beam (always
+    follows the widest child) dead-ends; the retry round's extra clones take
+    the second-ranked child and rejoin."""
+    rng = np.random.default_rng(5)
+    G = 4000
+    ref = rng.integers(0, 4, G, dtype=np.uint8)
+    X = 2000
+    donor = ref.copy()
+    donor[X] = (donor[X] + 1) % 4
+    codes, lens = _reads_from(donor, rng, L=40, coverage=25)
+    L = 40
+    fams = []
+    for j in (4, 8, 12):  # divergence points after the SNP
+        tail = rng.integers(0, 4, 80, dtype=np.uint8)
+        hap = np.concatenate([donor[X - 80 : X + j + 1], tail])
+        rows = np.stack([hap[s : s + L] for s in range(0, len(hap) - L, 1)])
+        rows = rows.copy()
+        half = len(rows) // 2
+        rows[:half] = (3 - rows[:half])[:, ::-1]
+        fams.append(rows)
+    codes2 = np.concatenate([codes] + fams).astype(np.uint8)
+    lens2 = np.concatenate(
+        [lens, np.full(sum(len(f) for f in fams), L, np.int32)]
+    )
+    ss = build_seqset(codes2, lens2)
+    rm = build_readmap(ss, codes2, lens2)
+    fref = FakeRef(ref)
+
+    def run(ncl, retries):
+        stats = {}
+        opt = DiscoverOptions(
+            min_alt_support=5, branch_clones=ncl,
+            branch_retry_rounds=retries, skip_trace_rev=True,
+        )
+        recs = discover_variants(ss, fref, opt=opt, readmap=rm, stats=stats)
+        return any(r["pos"] == X + 1 for r in recs), stats
+
+    # width-1 beam: decoy out-widens the true child -> the SNP is missed
+    hit, _ = run(ncl=1, retries=0)
+    assert not hit
+    # the retry round re-explores the dead anchor with 4 clones and rescues
+    hit, stats = run(ncl=1, retries=1)
+    assert hit
+    assert stats.get("branch_retry_rescued", 0) >= 1
+    # the default configuration also finds it
+    hit, _ = run(ncl=4, retries=1)
+    assert hit

@@ -22,6 +22,7 @@ def _assert_same(a, b):
         assert (x == y).all(), name
 
 
+@pytest.mark.slow
 def test_partitioned_matches_oneshot(rng):
     codes = rng.integers(0, 4, (400, 50)).astype(np.uint8)
     lens = rng.integers(20, 51, 400).astype(np.int32)
@@ -74,6 +75,7 @@ def test_golden_structural_equivalence_partitioned():
     _assert_same(ss, ss2)
 
 
+@pytest.mark.slow
 def test_partitioned_streams_memmap_reads(rng, tmp_path):
     """Host-resident (memmap) reads stream through the partitioned build in
     multiple chunks — neither the read matrix nor the suffix set is ever

@@ -34,6 +34,7 @@ def _snp(hap, pos, ref_base):
     return "ACGT"[ref_base], "ACGT"[(ref_base + 1) % 4]
 
 
+@pytest.mark.slow
 def test_cis_and_trans_blocks(rng):
     ref = _mk(rng)
     flat = ref.flat
@@ -65,6 +66,7 @@ def test_cis_and_trans_blocks(rng):
     assert pr.ps[2] == pr.ps[3] == 401
 
 
+@pytest.mark.slow
 def test_conflict_splits_block(rng):
     """Variants farther apart than a read span stay unphased."""
     ref = _mk(rng, G=800)

@@ -50,6 +50,7 @@ def world():
     return bg, ref, donor, codes, lens
 
 
+@pytest.mark.slow
 def test_prefix_reads(world):
     bg, ref, donor, codes, lens = world
     rm = bg.readmap

@@ -38,6 +38,7 @@ def _mesh():
 _KEY = lambda r: (r["chrom"], r["pos"], r["ref"], r["alt"], r["support"])
 
 
+@pytest.mark.slow
 def test_sharded_engine_matches_local_synthetic():
     rng = np.random.default_rng(7)
     G = 4000

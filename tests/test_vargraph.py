@@ -57,6 +57,7 @@ def _gt_map(ref, haps, records, rng):
     return res
 
 
+@pytest.mark.slow
 def test_cis_het_pair(base):
     """Two nearby het SNPs on the same haplotype: joint GT 0/1 + 0/1 with
     both alt edges supported on the alt-alt path."""
@@ -101,6 +102,7 @@ def test_trans_multiallelic(base):
     assert res.ref_reads[0] == 0
 
 
+@pytest.mark.slow
 def test_hom_and_unsupported_edge(base):
     """A hom-alt deletion plus a second record whose alt no read supports:
     the joint pick keeps the hom path pair and calls the junk 0/0."""
