@@ -856,13 +856,14 @@ def cmd_full_pipeline(args):
     qual_classifier, every stage an immutable artifact + timings entry)"""
     import types
 
+    from biograph_tpu.runtime.stages import Stage, StageRunner
+
     out = args.out
     os.makedirs(out, exist_ok=True)
     analysis = os.path.join(out, "analysis")
     os.makedirs(analysis, exist_ok=True)
     qc_dir = os.path.join(out, "qc")
     os.makedirs(qc_dir, exist_ok=True)
-    timings = {}
     bgt = os.path.join(out, "sample.bgt")
     disc_vcf = os.path.join(analysis, "discovery.vcf")
     cov_vcf = os.path.join(analysis, "coverage.vcf")
@@ -870,100 +871,108 @@ def cmd_full_pipeline(args):
     feats = os.path.join(analysis, "features.npz")
     results = os.path.join(analysis, "results.vcf")
 
-    def stage(name, done_path, fn):
-        rerun = getattr(args, "rerun", None)
-        if rerun and name != rerun and os.path.exists(done_path):
-            print(f"[{name}] exists, skipping (--rerun {rerun})")
-            return
-        if args.resume and not rerun and os.path.exists(done_path):
-            print(f"[{name}] exists, skipping ({done_path})")
-            return
-        t0 = time.time()
-        fn()
-        timings[name] = time.time() - t0
-        with open(os.path.join(qc_dir, "timings.json"), "w") as f:
-            json.dump(timings, f, indent=1)
-        if args.stop == name:
-            print(f"--stop {name}: halting")
-            raise SystemExit(0)
-
-    stage(
-        "create",
-        os.path.join(bgt, "metadata.json"),
-        lambda: cmd_create(
-            types.SimpleNamespace(
-                reads=args.reads,
-                out=bgt,
-                kmer_size=args.kmer_size,
-                paired=args.paired,
-                correct=args.correct,
-                min_kmer_count=2,
-                max_corrections=8,
-                min_good_run=2,
-            )
-        ),
-    )
-    stage(
-        "discovery",
-        disc_vcf,
-        lambda: cmd_discovery(
-            types.SimpleNamespace(
-                mode="assemble",
-                biograph=bgt,
-                reads=None,
-                ref=args.ref,
-                out=disc_vcf,
-                sample=args.sample,
-                min_depth=args.min_depth,
-                region=args.region,
-            )
-        ),
-    )
-    stage(
-        "coverage",
-        cov_vcf,
-        lambda: cmd_coverage(
-            types.SimpleNamespace(
-                vcf=disc_vcf,
-                biograph=bgt,
-                ref=args.ref,
-                out=cov_vcf,
-                sample=args.sample,
-                features=feats,
-            )
-        ),
-    )
-    stage(
-        "grm",
-        grm_vcf,
-        lambda: cmd_grm(
-            types.SimpleNamespace(
-                vcf=cov_vcf,
-                ref=args.ref,
-                bwt=None,
-                out=grm_vcf,
-                sample=args.sample,
-                k=50,
-            )
-        ),
-    )
-    if args.classifier_model:
-        stage(
-            "qual_classifier",
-            results,
-            lambda: cmd_qual_classifier(
+    stages = [
+        Stage(
+            name="create",
+            outputs=[os.path.join(bgt, "metadata.json")],
+            fn=lambda r: cmd_create(
                 types.SimpleNamespace(
-                    train=False,
-                    vcf=grm_vcf,
-                    features=feats,
-                    model=args.classifier_model,
-                    out=results,
-                    min_prob=0.5,
-                    sample=args.sample,
+                    reads=args.reads,
+                    out=bgt,
+                    kmer_size=args.kmer_size,
+                    paired=args.paired,
+                    correct=args.correct,
+                    min_kmer_count=2,
+                    max_corrections=8,
+                    min_good_run=2,
                 )
             ),
+        ),
+        Stage(
+            name="discovery",
+            outputs=[disc_vcf],
+            fn=lambda r: cmd_discovery(
+                types.SimpleNamespace(
+                    mode="assemble",
+                    biograph=bgt,
+                    reads=None,
+                    ref=args.ref,
+                    out=disc_vcf,
+                    sample=args.sample,
+                    min_depth=args.min_depth,
+                    region=args.region,
+                )
+            ),
+        ),
+        Stage(
+            name="coverage",
+            outputs=[cov_vcf],
+            fn=lambda r: cmd_coverage(
+                types.SimpleNamespace(
+                    vcf=disc_vcf,
+                    biograph=bgt,
+                    ref=args.ref,
+                    out=cov_vcf,
+                    sample=args.sample,
+                    features=feats,
+                )
+            ),
+        ),
+        Stage(
+            name="grm",
+            outputs=[grm_vcf],
+            fn=lambda r: cmd_grm(
+                types.SimpleNamespace(
+                    vcf=cov_vcf,
+                    ref=args.ref,
+                    bwt=None,
+                    out=grm_vcf,
+                    sample=args.sample,
+                    k=50,
+                )
+            ),
+        ),
+    ]
+    if args.classifier_model:
+        stages.append(
+            Stage(
+                name="qual_classifier",
+                outputs=[results],
+                fn=lambda r: cmd_qual_classifier(
+                    types.SimpleNamespace(
+                        train=False,
+                        vcf=grm_vcf,
+                        features=feats,
+                        model=args.classifier_model,
+                        out=results,
+                        min_prob=0.5,
+                        sample=args.sample,
+                    )
+                ),
+            )
         )
-    else:
+
+    # the production control plane: manifest-backed resumable stages with
+    # bounded retries over the pluggable storage layer (runtime/stages.py)
+    runner = StageRunner(out, resume=bool(args.resume))
+    stopped = runner.run(
+        stages,
+        stop_after=args.stop,
+        rerun=getattr(args, "rerun", None),
+        verbose=True,
+    )
+    # qc/timings.json view of the manifest's per-stage wall seconds
+    timings = {
+        name: rec["wall_s"]
+        for name, rec in runner.manifest["stages"].items()
+        if "wall_s" in rec
+    }
+    with open(os.path.join(qc_dir, "timings.json"), "w") as f:
+        json.dump(timings, f, indent=1)
+    if stopped:
+        print(f"--stop {stopped}: halting")
+        raise SystemExit(0)
+    if not args.classifier_model:
         import shutil
 
         shutil.copyfile(grm_vcf, results)

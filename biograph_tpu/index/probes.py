@@ -694,12 +694,19 @@ def walk_ranges_multi(d, text, reqs, depth: int,
 
 
 def use_walk_probes(d) -> bool:
-    """Walk engine gate: default ON wherever the MXU chain path is on
-    (accelerator backends); BGT_WALK_PROBES=0/1 overrides either way."""
+    """Walk engine gate — default OFF everywhere; BGT_WALK_PROBES=1 opts in.
+
+    Measured on the real chip (round 4, BENCH campaign 11:37): the walk
+    engine's host-dispatched CHAIN_BLOCK programs cost one relay round trip
+    PER LAUNCH (~0.5 s), and a whole-genome walk needs ~700 launches —
+    380 s of the 384 s call, vs ~11 s for the probe pipeline's few large
+    fori-loop programs.  The design trades rank work for launches, which
+    only pays where launch latency is microseconds (locally attached
+    accelerators), not over this relay."""
     v = _os.environ.get("BGT_WALK_PROBES")
     if v is not None:
         return v not in ("0", "") and d.shared_lt is not None
-    return use_mxu_chains(d) and d.shared_lt is not None
+    return False
 
 
 @jax.jit

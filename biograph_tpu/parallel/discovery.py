@@ -27,6 +27,8 @@ from typing import List
 
 import numpy as np
 
+from biograph_tpu.runtime import storage
+
 
 def _slices(lo: int, hi: int, n: int) -> List[tuple]:
     """n contiguous half-open owned ranges covering [lo, hi)."""
@@ -83,12 +85,13 @@ def discover_variants_distributed(
         flat = c.start + r["pos"] - 1
         if own_lo <= flat < own_hi:
             owned.append(r)
-    os.makedirs(run_dir, exist_ok=True)
-    part = os.path.join(run_dir, f"discovery_part_{pid:05d}.json")
+    st = storage.for_path(run_dir)  # pluggable data plane (file://, s3://)
+    st.makedirs(run_dir)
+    part = storage.join(run_dir, f"discovery_part_{pid:05d}.json")
     tmp = part + ".tmp"
-    with open(tmp, "w") as f:
+    with st.open(tmp, "w") as f:
         json.dump(owned, f)
-    os.replace(tmp, part)  # atomic: readers never see a partial file
+    st.publish(tmp, part)  # atomic: readers never see a partial file
 
     # barrier: a device collective over the global mesh (the only ordering
     # primitive a jax.distributed job needs; control plane stays jax's)
@@ -99,18 +102,19 @@ def discover_variants_distributed(
     merged = []
     deadline = time.time() + barrier_timeout_s
     for p in range(nproc):
-        path = os.path.join(run_dir, f"discovery_part_{p:05d}.json")
-        while not os.path.exists(path):
+        path = storage.join(run_dir, f"discovery_part_{p:05d}.json")
+        while not st.exists(path):
             # shared-FS visibility can lag the barrier on network mounts
             if time.time() > deadline:
                 raise TimeoutError(f"missing discovery part {path}")
             time.sleep(0.05)
-        merged.extend(json.load(open(path)))
+        with st.open(path) as f:
+            merged.extend(json.load(f))
     return _dedup_records(merged)
 
 
-def _await_file(path: str, deadline: float):
-    while not os.path.exists(path):
+def _await_file(st, path: str, deadline: float):
+    while not st.exists(path):
         if time.time() > deadline:
             raise TimeoutError(f"missing part {path}")
         time.sleep(0.05)
@@ -162,30 +166,32 @@ def discover_structural_distributed(
         index, codes, lens[lo:hi], opt, owner_base=lo
     )
 
-    os.makedirs(run_dir, exist_ok=True)
-    part = os.path.join(run_dir, f"sv_part_{pid:05d}.npz")
+    st = storage.for_path(run_dir)
+    st.makedirs(run_dir)
+    part = storage.join(run_dir, f"sv_part_{pid:05d}.npz")
     tmp = part + ".tmp.npz"
-    np.savez(
-        tmp,
-        pos=placements.pos,
-        is_rc=placements.is_rc,
-        ev_left=np.array([e[0] for e in raw_events], np.int64),
-        ev_right=np.array([e[1] for e in raw_events], np.int64),
-        ev_owner=np.array([e[3] for e in raw_events], np.int64),
-        ev_ins=np.frombuffer(b"".join(e[2] for e in raw_events), np.uint8),
-        ev_ins_len=np.array([len(e[2]) for e in raw_events], np.int64),
-        cl_left=np.array([c[0] for c in clip_cands], np.int64),
-        cl_owner=np.array([c[2] for c in clip_cands], np.int64),
-        cl_tail=(
-            np.concatenate([c[1] for c in clip_cands])
-            if clip_cands
-            else np.zeros(0, np.uint8)
-        ),
-        cl_tail_len=np.array([len(c[1]) for c in clip_cands], np.int64),
-        edge_keys=ek,
-        edge_counts=ec,
-    )
-    os.replace(tmp, part)
+    with st.open(tmp, "wb") as _f:
+        np.savez(
+            _f,
+            pos=placements.pos,
+            is_rc=placements.is_rc,
+            ev_left=np.array([e[0] for e in raw_events], np.int64),
+            ev_right=np.array([e[1] for e in raw_events], np.int64),
+            ev_owner=np.array([e[3] for e in raw_events], np.int64),
+            ev_ins=np.frombuffer(b"".join(e[2] for e in raw_events), np.uint8),
+            ev_ins_len=np.array([len(e[2]) for e in raw_events], np.int64),
+            cl_left=np.array([c[0] for c in clip_cands], np.int64),
+            cl_owner=np.array([c[2] for c in clip_cands], np.int64),
+            cl_tail=(
+                np.concatenate([c[1] for c in clip_cands])
+                if clip_cands
+                else np.zeros(0, np.uint8)
+            ),
+            cl_tail_len=np.array([len(c[1]) for c in clip_cands], np.int64),
+            edge_keys=ek,
+            edge_counts=ec,
+        )
+    st.publish(tmp, part)
 
     from jax.experimental import multihost_utils
 
@@ -195,9 +201,10 @@ def discover_structural_distributed(
     pos_parts, rc_parts, tables = [], [], []
     all_events, all_clips = [], []
     for p in range(nproc):
-        path = os.path.join(run_dir, f"sv_part_{p:05d}.npz")
-        _await_file(path, deadline)
-        z = np.load(path)
+        path = storage.join(run_dir, f"sv_part_{p:05d}.npz")
+        _await_file(st, path, deadline)
+        with st.open(path, "rb") as _f:
+            z = dict(np.load(_f))
         pos_parts.append(z["pos"])
         rc_parts.append(z["is_rc"])
         tables.append((z["edge_keys"], z["edge_counts"]))

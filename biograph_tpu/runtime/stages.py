@@ -25,6 +25,8 @@ import traceback
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
+from biograph_tpu.runtime import storage
+
 
 @dataclass
 class Stage:
@@ -74,32 +76,63 @@ class ArtifactInfo:
 
 class StageRunner:
     def __init__(self, run_dir: str, resume: bool = True):
+        # run_dir may carry a storage scheme (file:// local, s3://, or any
+        # registered backend) — the manifest and done-checks resolve through
+        # runtime/storage, the reference's path-wrapper convention
+        # (modules/io/path.h; manifest.h:79 names artifacts by URL)
         self.run_dir = run_dir
-        os.makedirs(run_dir, exist_ok=True)
-        self.manifest_path = os.path.join(run_dir, "run_manifest.json")
+        self.storage = storage.for_path(run_dir)
+        self.storage.makedirs(run_dir)
+        self.manifest_path = storage.join(run_dir, "run_manifest.json")
         self.resume = resume
         self.manifest: Dict = {"stages": {}, "created": _now()}
-        if resume and os.path.isfile(self.manifest_path):
-            self.manifest = json.load(open(self.manifest_path))
+        if resume and self.storage.exists(self.manifest_path):
+            self.manifest = storage.read_json(self.manifest_path)
         self.context: Dict = {}
 
     def _save(self):
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f, indent=1)
-        os.replace(tmp, self.manifest_path)
+        storage.write_json_atomic(self.manifest_path, self.manifest)
+
+    def _outputs_exist(self, stage: Stage) -> bool:
+        return bool(stage.outputs) and all(
+            storage.for_path(p).exists(p) for p in stage.outputs
+        )
 
     def _stage_done(self, stage: Stage) -> bool:
         rec = self.manifest["stages"].get(stage.name)
         if not rec or rec.get("status") != "done":
             return False
-        return all(os.path.exists(p) for p in stage.outputs)
+        return all(storage.for_path(p).exists(p) for p in stage.outputs)
 
-    def run(self, stages: List[Stage], stop_after: str | None = None):
-        """Run stages in order with resume + bounded retries."""
+    def run(
+        self,
+        stages: List[Stage],
+        stop_after: str | None = None,
+        rerun: str | None = None,
+        verbose: bool = False,
+    ):
+        """Run stages in order with resume + bounded retries.
+
+        rerun: force exactly this stage to re-execute while every OTHER
+        stage with existing outputs is skipped (bgbinary rerun semantics).
+        Returns the stop_after stage name if it was reached and executed,
+        else None."""
         for stage in stages:
-            if self.resume and self._stage_done(stage):
+            if rerun and stage.name != rerun and self._outputs_exist(stage):
+                if verbose:
+                    print(f"[{stage.name}] exists, skipping (--rerun {rerun})")
                 continue
+            if (
+                not rerun
+                and self.resume
+                and self._stage_done(stage)
+            ):
+                if verbose:
+                    first = stage.outputs[0] if stage.outputs else ""
+                    print(f"[{stage.name}] exists, skipping ({first})")
+                continue
+            if rerun == stage.name:
+                self.manifest["stages"].pop(stage.name, None)  # fresh attempts
             rec = self.manifest["stages"].setdefault(
                 stage.name, {"attempts": 0}
             )
@@ -132,7 +165,8 @@ class StageRunner:
             ]
             self._save()
             if stop_after == stage.name:
-                return
+                return stage.name
+        return None
 
     def register_artifact(self, name: str, path: str, records: int = 0, uuid: str = ""):
         """Add a named dataset to the run manifest (manifest.h analog)."""
