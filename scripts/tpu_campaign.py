@@ -1,80 +1,28 @@
-"""TPU measurement campaign driver for an INTERMITTENT relay.
+"""TPU measurement campaign — ONE persistent relay client.
 
-The axon relay alternates between ~10-min responsive windows and wedges
-(CLAUDE.md).  This driver works through a queue of measurement legs —
-full bench first, then the dispatch-knob sweep CLAUDE.md says to run
-"first thing" — probing before each leg and resuming where it left off, so
-every responsive window makes progress.  Results append to
-/tmp/tpu_campaign.jsonl; state in /tmp/tpu_campaign_state.json.
+The axon relay alternates short responsive windows with wedges, and it
+appears to tolerate client churn poorly (a window died immediately after a
+probe client disconnected).  So this driver holds a single connection for
+its whole life: the liveness probe is a tiny op awaited in a worker thread
+with a soft timeout (a hung op just parks the thread; the process never
+kills the socket), and measurement legs run in-process, reusing one warm
+compile cache and one connection.  Knobs are flipped by patching module
+globals (their env vars are read at import time).
 
-Usage: python scripts/tpu_campaign.py   (loops until queue done)
+Results append to /tmp/tpu_campaign.jsonl; resumable via
+/tmp/tpu_campaign_state.json.  Run: nohup python scripts/tpu_campaign.py &
 """
 
 import json
 import os
-import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 OUT = "/tmp/tpu_campaign.jsonl"
 STATE = "/tmp/tpu_campaign_state.json"
-
-LEG = r"""
-import time, json, sys
-from biograph_tpu.io.fastq import read_fastq
-from biograph_tpu.build.seqset_build import build_seqset
-from biograph_tpu.build.readmap_build import build_readmap
-from biograph_tpu.index.reference import Reference
-from biograph_tpu.variants.discover import DiscoverOptions, discover_variants
-
-batch = read_fastq("/root/reference/golden/e_coli_10000snp.fq")
-ref = Reference.from_reference_dir(
-    "/root/reference/datasets/reference/e_coli_k12_ASM584v1")
-opt = DiscoverOptions(min_alt_support=5)
-t0 = time.time()
-ss = build_seqset(batch.codes, batch.lengths)
-rm = build_readmap(ss, batch.codes, batch.lengths)
-build_s = time.time() - t0
-discover_variants(ss, ref, opt=opt, readmap=rm)   # warmup/compile
-stats = {}
-t0 = time.time()
-recs = discover_variants(ss, ref, opt=opt, readmap=rm, stats=stats)
-print("CALL", json.dumps({"call_s": round(time.time() - t0, 2),
-                          "build_s": round(build_s, 2),
-                          "records": len(recs),
-                          "stage_s": {k: round(v, 2)
-                                      for k, v in stats["stage_s"].items()}}))
-"""
-
-# Queue: the full-bench leg, then knob A/Bs (one env delta each vs default)
-QUEUE = [
-    ("bench", None),
-    ("default", {}),
-    ("wave_block_1", {"BGT_WAVE_BLOCK": "1"}),
-    ("wave_block_16", {"BGT_WAVE_BLOCK": "16"}),
-    ("chain_block_1", {"BGT_CHAIN_BLOCK": "1"}),
-    ("chain_block_16", {"BGT_CHAIN_BLOCK": "16"}),
-    ("wave_lanes_16384", {"BGT_WAVE_LANES": "16384"}),
-    ("check_every_48", {"BGT_CHECK_EVERY": "48"}),
-    # walk engine A/B (default is now the probe pipeline — the 11:37 bench
-    # measured the walk at 380 s/genome over the relay's per-launch latency)
-    ("walk_probes_1", {"BGT_WALK_PROBES": "1"}),
-    ("no_compact", {"BGT_NO_WAVE_COMPACT": "1"}),
-    ("no_mxu_chains", {"BGT_NO_MXU_CHAINS": "1"}),
-]
-
-
-def probe(timeout_s=120):
-    code = "import jax, jax.numpy as jnp; print(int(jnp.arange(8).sum()))"
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True,
-            timeout=timeout_s, text=True, cwd=REPO,
-        )
-        return r.returncode == 0 and "28" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
 
 
 def log(rec):
@@ -84,56 +32,169 @@ def log(rec):
     print(json.dumps(rec), flush=True)
 
 
-def run_leg(name, env_delta, timeout_s=3300):
-    if name == "bench":
-        r = subprocess.run(
-            [sys.executable, "bench.py"], capture_output=True, text=True,
-            timeout=timeout_s + 300, cwd=REPO,
-        )
+def run_with_timeout(fn, timeout_s):
+    """Run fn in a worker thread; (ok, value|None).  A hung fn parks its
+    daemon thread instead of killing the process/socket."""
+    out = {}
+    done = threading.Event()
+
+    def w():
         try:
-            parsed = json.loads(r.stdout.strip().splitlines()[-1])
-        except Exception:
-            parsed = {"error": r.stderr[-300:]}
-        ok = parsed.get("value", 0) > 0
-        log({"leg": name, **parsed})
-        return ok
-    env = dict(os.environ)
-    env.update(env_delta)
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", LEG], env=env, capture_output=True,
-            text=True, timeout=timeout_s, cwd=REPO,
-        )
-    except subprocess.TimeoutExpired:
-        log({"leg": name, "error": "timeout"})
-        return False
-    for ln in r.stdout.splitlines():
-        if ln.startswith("CALL "):
-            log({"leg": name, **env_delta, **json.loads(ln[5:])})
-            return True
-    log({"leg": name, "error": (r.stderr or r.stdout)[-300:]})
-    return False
+            out["v"] = fn()
+        except Exception as e:  # noqa: BLE001
+            out["e"] = repr(e)
+        done.set()
+
+    t = threading.Thread(target=w, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        return False, None
+    if "e" in out:
+        return False, out["e"]
+    return True, out.get("v")
 
 
 def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def probe():
+        return int(np.asarray(jnp.arange(8).sum() + np.random.randint(0, 1)))
+
+    from biograph_tpu.io.fastq import read_fastq
+    from biograph_tpu.build.seqset_build import build_seqset
+    from biograph_tpu.build.readmap_build import build_readmap
+    from biograph_tpu.index.reference import Reference
+
+    batch = read_fastq("/root/reference/golden/e_coli_10000snp.fq")
+    ref = Reference.from_reference_dir(
+        "/root/reference/datasets/reference/e_coli_k12_ASM584v1"
+    )
+
+    state = {"built": False}
+
+    def ensure_built():
+        if not state["built"]:
+            state["ss"] = build_seqset(batch.codes, batch.lengths)
+            state["rm"] = build_readmap(state["ss"], batch.codes, batch.lengths)
+            state["built"] = True
+
+    def pipeline_leg():
+        from biograph_tpu.variants.discover import (
+            DiscoverOptions,
+            discover_variants,
+        )
+
+        ensure_built()
+        opt = DiscoverOptions(min_alt_support=5)
+        ss, rm = state["ss"], state["rm"]
+        discover_variants(ss, ref, opt=opt, readmap=rm)  # warm
+        stats = {}
+        t0 = time.time()
+        recs = discover_variants(ss, ref, opt=opt, readmap=rm, stats=stats)
+        return {
+            "call_s": round(time.time() - t0, 2),
+            "records": len(recs),
+            "stage_s": {
+                k: round(v, 2) for k, v in stats["stage_s"].items()
+            },
+        }
+
+    def rank_leg():
+        from biograph_tpu.ops.rank4 import (
+            build_rank4_table,
+            rank4_pallas,
+            rank4_xla,
+        )
+
+        ensure_built()
+        ss = state["ss"]
+        rng = np.random.default_rng(0)
+        B = 1 << 16
+        pos = jnp.asarray(rng.integers(0, ss.n_entries + 1, B))
+        pw = jnp.asarray(ss.prev_words)
+        pc = jnp.asarray(ss.prev_cum)
+        xla_j = jax.jit(lambda p: rank4_xla(pw, pc, p))
+
+        def timeit(f, reps=30):
+            f().block_until_ready()
+            t0 = time.time()
+            for _ in range(reps):
+                r = f()
+            r.block_until_ready()
+            return B * 4 * reps / (time.time() - t0)
+
+        rates = {"xla_qps": round(timeit(lambda: xla_j(pos)))}
+        table = build_rank4_table(ss.prev_words, ss.prev_cum)
+        if table is not None:
+            got = np.asarray(rank4_pallas(table, pos))
+            assert (got == np.asarray(xla_j(pos))).all()
+            rates["pallas_qps"] = round(timeit(lambda: rank4_pallas(table, pos)))
+        return rates
+
+    def knob_leg(**patch):
+        import biograph_tpu.variants.discover as D
+        import biograph_tpu.index.probes as PR
+
+        saved_env = {}
+        saved = {}
+        for k, v in patch.items():
+            if k in ("WAVE_BLOCK", "WAVE_LANES", "CHECK_EVERY"):
+                saved[(D, k)] = getattr(D, k)
+                setattr(D, k, int(v))
+            elif k in ("CHAIN_BLOCK", "WALK_LANES", "WALK_OWN"):
+                saved[(PR, k)] = getattr(PR, k)
+                setattr(PR, k, int(v))
+            else:  # env-dispatched gates (BGT_*)
+                saved_env[k] = os.environ.get(k)
+                os.environ[k] = str(v)
+        try:
+            return pipeline_leg()
+        finally:
+            for (m, k), v in saved.items():
+                setattr(m, k, v)
+            for k, v in saved_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    queue = [
+        ("pipeline_default", lambda: pipeline_leg(), 3000),
+        ("rank4", lambda: rank_leg(), 1200),
+        ("wave_block_1", lambda: knob_leg(WAVE_BLOCK=1), 1800),
+        ("wave_block_16", lambda: knob_leg(WAVE_BLOCK=16), 1800),
+        ("check_every_48", lambda: knob_leg(CHECK_EVERY=48), 1800),
+        ("wave_lanes_16384", lambda: knob_leg(WAVE_LANES=16384), 1800),
+        ("no_mxu_chains", lambda: knob_leg(BGT_NO_MXU_CHAINS="1"), 1800),
+        ("walk_probes_1", lambda: knob_leg(BGT_WALK_PROBES="1"), 3000),
+        ("pipeline_repeat", lambda: pipeline_leg(), 1200),
+    ]
     done = set()
     if os.path.exists(STATE):
         done = set(json.load(open(STATE))["done"])
     while True:
-        todo = [(n, e) for n, e in QUEUE if n not in done]
+        todo = [(n, f, to) for n, f, to in queue if n not in done]
         if not todo:
             log({"leg": "_campaign", "status": "complete"})
             return
-        if probe():
-            name, env_delta = todo[0]
-            ok = run_leg(name, env_delta)
-            if ok:
-                done.add(name)
-                with open(STATE, "w") as f:
-                    json.dump({"done": sorted(done)}, f)
-        else:
+        ok, _ = run_with_timeout(probe, 90)
+        if not ok:
             log({"leg": "_probe", "status": "wedged"})
-            time.sleep(120)
+            time.sleep(90)
+            continue
+        name, fn, to = todo[0]
+        t0 = time.time()
+        ok, val = run_with_timeout(fn, to)
+        if ok and isinstance(val, dict):
+            log({"leg": name, **val, "leg_wall_s": round(time.time() - t0, 1)})
+            done.add(name)
+            with open(STATE, "w") as f:
+                json.dump({"done": sorted(done)}, f)
+        else:
+            log({"leg": name, "error": str(val) if val else "timeout/hang"})
+            time.sleep(60)
 
 
 if __name__ == "__main__":
