@@ -693,6 +693,281 @@ def walk_ranges_multi(d, text, reqs, depth: int,
     ]
 
 
+# ---------------------------------------------------------------------------
+# Device-resident walk: the WHOLE multi-span walk as ONE device program
+#
+# The host-dispatched walk above keeps the rank-work win (O(P + lanes*depth)
+# vs the probes' O(P*depth)) but pays one relay round trip per CHAIN_BLOCK
+# launch — measured 380 s of a 384 s whole-genome call on the remote chip.
+# This variant moves the step loop INSIDE jit (lax.while_loop with an
+# all-lanes-done exit), so a whole genome's matching statistics cost ONE
+# launch and ZERO host syncs.  Requirements that make it compile sanely on
+# this toolchain: no pallas inside the loop (use_kernel=False — the walk's
+# rank volume is small enough for the XLA gather rank), and no nested
+# DYNAMIC while_loops (the shared_lt structure must be the unrolled LtTree,
+# ops/ltsearch.py — the two-level LtSearch's block-pointer walk is a
+# while_loop and nests here).  Reference semantics unchanged: identical
+# output contract to probe_ranges + probe_exact (ref_map.h:49 scan,
+# push_front_drop widen loop seqset.cpp:350-427).
+# ---------------------------------------------------------------------------
+
+
+def _walk_cheap_step(d, text, trunc, carry, depth: int):
+    """One ADVANCE-OR-DEFER walk step (pure XLA, loop-safe, LtTree-free).
+
+    Same push/advance math as _walk_step, with two cost changes that make a
+    device-resident loop competitive:
+      * the at-cap widen (window grown past `depth`) uses the O(1)
+        fixed-threshold trunc tables when available (the wavefront's
+        _trunc_tables at the same threshold) instead of a tree search;
+      * a failed push does NOT widen inline — the lane computes its drop
+        level (cheap gathers) and STALLS as `pending`; the periodic
+        _walk_widen_step serves all pending lanes' tree queries at once.
+        Deferral is pure scheduling: the lane's state is untouched until
+        the widen applies exactly the math _walk_step would have.
+    Per-lane ownership: a lane only scatters positions in its own
+    [own_lo, own_hi) slice (the host-loop variant's halo writes raced with
+    the owner's on .at[].set ordering); flat output index = pos + obase.
+    """
+    (pos, begin, end, ctx, outb, oute, outc, obase, own_lo, own_hi,
+     pending, pend_lvl, pend_flags) = carry
+    S = pos.shape[0]
+    n = d.n_entries
+    n2 = text.shape[0]
+    done = pos >= own_hi
+    live = ~done & ~pending
+    b = (3 - jnp.take(text, jnp.clip(pos, 0, n2 - 1))).astype(jnp.int32)
+    r4 = d.rank4(jnp.concatenate([begin, end]), use_kernel=False)
+    b2 = jnp.concatenate([b, b])
+    rsel = _sel4(b2, r4[:, 0], r4[:, 1], r4[:, 2], r4[:, 3]).astype(jnp.int64)
+    fb = _sel4(b, *(jnp.broadcast_to(d.fixed[j], (S,)) for j in range(4)))
+    fe = _sel4(b, *(jnp.broadcast_to(d.fixed[j + 1], (S,)) for j in range(4)))
+    nb0 = fb + rsel[:S]
+    ne = fb + rsel[S:]
+    nctx = ctx + 1
+    first = jnp.clip(nb0, 0, n - 1)
+    sizes_first = d.sizes_at(first, use_kernel=False).astype(jnp.int32)
+    kick = (nb0 < ne) & (sizes_first < nctx)
+    nb = nb0 + kick.astype(nb0.dtype)
+    ok = nb < ne
+    invalid_in = begin >= end
+    adv = (ok | (ctx == 0) | invalid_in) & live
+    ab = jnp.where(ok, nb, fb)
+    ae = jnp.where(ok, ne, fe)
+    actx = jnp.where(ok, nctx, 1)
+    over = adv & (actx > depth)
+    if trunc is not None:
+        # constant-threshold widen: trunc tables are built at exactly this
+        # depth (prev_lt[i] = largest j <= i with shared < depth == the
+        # next_backward_lt(ab+1, depth) the widen would run)
+        wb_t, we_t = d.trunc_gather(trunc[0], trunc[1], ab, ae)
+        ab = jnp.where(over, jnp.maximum(wb_t, 0), ab)
+        ae = jnp.where(over, we_t, ae)
+        go_pending_over = jnp.zeros_like(over)
+    else:
+        # no tables (HBM budget): the lane ADVANCES with the capped,
+        # un-widened child range and stalls pending; the widen step widens
+        # begin/end in place and patches the already-written output slot
+        go_pending_over = over
+    actx = jnp.minimum(actx, depth)
+    # failed push with context: compute the drop LEVEL now (gathers only),
+    # defer the tree widen
+    fail = live & ~adv & ~go_pending_over
+    shared_b = jnp.take(d.shared, jnp.clip(begin, 0, n - 1)).astype(jnp.int32)
+    shared_e = jnp.where(
+        end >= n, 0, jnp.take(d.shared, jnp.clip(end, 0, n - 1))
+    ).astype(jnp.int32)
+    drop = jnp.maximum(shared_b, shared_e)
+    drop = jnp.where(nb0 != ne, jnp.maximum(drop, sizes_first - 1), drop)
+    upd_b = (begin > 0) & (shared_b >= drop)
+    upd_e = (end < n) & (shared_e >= drop)
+    # no-progress restart is cheap — handle inline (next step advances it
+    # via the invalid-range path)
+    noprog = fail & (drop == ctx) & ~upd_b & ~upd_e
+    go_pending_drop = fail & ~noprog
+    begin2 = jnp.where(adv, ab, jnp.where(noprog, jnp.zeros_like(begin), begin))
+    end2 = jnp.where(adv, ae, jnp.where(noprog, jnp.zeros_like(end), end))
+    ctx2 = jnp.where(adv, actx, jnp.where(noprog, 0, ctx))
+    pending2 = pending | go_pending_over | go_pending_drop
+    pend_lvl2 = jnp.where(
+        go_pending_over,
+        jnp.int32(depth),
+        jnp.where(go_pending_drop, drop, pend_lvl),
+    )
+    # flags bit0: widen begin; bit1: widen end; bit2: over-style query
+    # (qb = begin+1 / qe = end-1 instead of the drop's begin / end)
+    flags_new = jnp.where(
+        go_pending_over,
+        jnp.int32(0b111),
+        upd_b.astype(jnp.int32) | (upd_e.astype(jnp.int32) << 1),
+    )
+    pend_flags2 = jnp.where(
+        go_pending_over | go_pending_drop, flags_new, pend_flags
+    )
+    # over lanes already advanced; store their (possibly un-widened when
+    # pending) capped state
+    owned = adv & (pos >= own_lo)
+    oidx = jnp.where(owned, pos + obase, outb.shape[0] - 1)
+    outb = outb.at[oidx].set(ab)
+    oute = oute.at[oidx].set(ae)
+    outc = outc.at[oidx].set(actx)
+    pos2 = jnp.where(adv, pos + 1, pos)
+    return (pos2, begin2, end2, ctx2, outb, oute, outc, obase, own_lo,
+            own_hi, pending2, pend_lvl2, pend_flags2)
+
+
+def _walk_widen_step(d, carry, depth: int):
+    """Serve every pending lane's deferred widen with ONE pair of LtTree
+    queries (the only tree work in the loop; see _walk_cheap_step)."""
+    (pos, begin, end, ctx, outb, oute, outc, obase, own_lo, own_hi,
+     pending, pend_lvl, pend_flags) = carry
+    n = d.n_entries
+    upd_b = (pend_flags & 1) != 0
+    upd_e = (pend_flags & 2) != 0
+    is_over = (pend_flags & 4) != 0
+    qb = jnp.where(is_over, begin + 1, jnp.where(upd_b, begin, jnp.int64(1)))
+    qe = jnp.where(
+        is_over, end - 1, jnp.where(upd_e, end, jnp.int64(n - 1))
+    )
+    wb = d.shared_tree.next_backward_lt(qb, pend_lvl)
+    we = d.shared_tree.next_forward_lt(qe, pend_lvl)
+    sel_b = pending & upd_b
+    sel_e = pending & upd_e
+    begin2 = jnp.where(sel_b, jnp.maximum(wb, 0), begin)
+    end2 = jnp.where(sel_e, we, end)
+    ctx2 = jnp.where(pending, pend_lvl, ctx)
+    # an over lane deferred its OUTPUT too (it advanced with the un-widened
+    # capped range): patch the already-written slot with the widened range
+    owned_over = pending & is_over & (pos - 1 >= own_lo)
+    oidx = jnp.where(owned_over, pos - 1 + obase, outb.shape[0] - 1)
+    outb = outb.at[oidx].set(begin2)
+    oute = oute.at[oidx].set(end2)
+    outc = outc.at[oidx].set(jnp.where(owned_over, ctx2, outc[oidx]))
+    pending2 = jnp.zeros_like(pending)
+    return (pos, begin2, end2, ctx2, outb, oute, outc, obase, own_lo,
+            own_hi, pending2, pend_lvl, pend_flags)
+
+
+WALK_WIDEN_EVERY = int(_os.environ.get("BGT_WALK_WIDEN_EVERY", "8"))
+
+
+@_partial(jax.jit, static_argnums=(3, 4, 5))
+def _walk_device_run(d, text, trunc, depth: int, budget: int, widen_every: int,
+                     carry):
+    """Run walk supersteps on device until every lane finishes (or the
+    safety budget trips — the caller checks the returned undone count).
+    One superstep = `widen_every` cheap steps + one widen step."""
+
+    def cond(state):
+        step, c = state
+        # a lane at its last position may still hold a deferred widen
+        # (pending) — one more widen step must run before exit
+        return (step < budget) & jnp.any((c[0] < c[9]) | c[10])
+
+    def body(state):
+        step, c = state
+        for _ in range(widen_every):
+            c = _walk_cheap_step(d, text, trunc, c, depth)
+        c = _walk_widen_step(d, c, depth)
+        return step + 1, c
+
+    steps, carry = lax.while_loop(cond, body, (jnp.int32(0), carry))
+    undone = jnp.sum(((carry[0] < carry[9]) | carry[10]).astype(jnp.int32))
+    return jnp.stack([steps, undone]), carry
+
+
+WALK_DEV_OWN = int(_os.environ.get("BGT_WALK_DEV_OWN", "128"))
+_LANE_QUANTUM = 1 << 14  # lane-count shape bucket
+
+
+def walk_ranges_device(d, text, reqs, depth: int, trunc=None,
+                       lanes: int | None = None):
+    """walk_ranges_multi semantics in ONE device program (see block comment).
+
+    reqs: list of (p0, ctx_lo, P).  trunc: optional (prev_lt, next_lt)
+    tables built at threshold == depth (variants/discover._trunc_tables) —
+    with them the at-cap widen is two gathers; without, at-cap lanes defer
+    to the periodic widen step like drops.  Returns ([(begin, end, size)]
+    per span, still on device) plus a device [steps, unconverged] check.
+    Lane geometry: every lane owns ~WALK_DEV_OWN positions after a
+    depth-long halo; lane count is padded to a 16K quantum so one compiled
+    shape serves small perturbations."""
+    own = max(WALK_DEV_OWN, 1)
+    if lanes:
+        total_P = sum(P for (_, _, P) in reqs)
+        own = max(own, -(-total_P // lanes))
+    pos_l, obase_l, lo_l, hi_l = [], [], [], []
+    out_off = 0
+    spans = []
+    for p0, ctx_lo, P in reqs:
+        p0, ctx_lo, P = int(p0), int(ctx_lo), int(P)
+        S = -(-P // own)
+        own_lo = p0 + _np.arange(S, dtype=_np.int64) * own
+        own_hi = _np.minimum(own_lo + own, p0 + P)
+        start = _np.minimum(_np.maximum(own_lo - depth, ctx_lo), own_hi)
+        pos_l.append(start)
+        lo_l.append(own_lo)
+        hi_l.append(own_hi)
+        obase_l.append(_np.full(S, out_off - p0, _np.int64))
+        spans.append((out_off, P))
+        out_off += P
+    pos = _np.concatenate(pos_l)
+    S_tot = -(-len(pos) // _LANE_QUANTUM) * _LANE_QUANTUM
+    pad = S_tot - len(pos)
+    pos = _np.concatenate([pos, _np.zeros(pad, _np.int64)])
+    own_lo = _np.concatenate(lo_l + [_np.zeros(pad, _np.int64)])
+    own_hi = _np.concatenate(hi_l + [_np.zeros(pad, _np.int64)])  # pad: done
+    obase = _np.concatenate(obase_l + [_np.zeros(pad, _np.int64)])
+    OUT = out_off + 1  # spill slot for unowned scatters
+    carry = (
+        jnp.asarray(pos),
+        jnp.zeros((S_tot,), jnp.int64),
+        jnp.full((S_tot,), d.n_entries, jnp.int64),
+        jnp.zeros((S_tot,), jnp.int32),
+        jnp.zeros((OUT,), jnp.int64),
+        jnp.zeros((OUT,), jnp.int64),
+        jnp.zeros((OUT,), jnp.int32),
+        jnp.asarray(obase),
+        jnp.asarray(own_lo),
+        jnp.asarray(own_hi),
+        jnp.zeros((S_tot,), bool),
+        jnp.zeros((S_tot,), jnp.int32),
+        jnp.zeros((S_tot,), jnp.int32),
+    )
+    we = max(WALK_WIDEN_EVERY, 1)
+    # every deferral stalls a lane <= we+1 supersteps; drops per position
+    # are bounded by depth in the worst case, but typical genomes see a few
+    # per own-span — the budget is a generous safety valve, not a tuning
+    budget = (8 * (own + depth) + 512) // we + 8
+    check, carry = _walk_device_run(d, text, trunc, depth, budget, we, carry)
+    outb, oute, outc = carry[4], carry[5], carry[6]
+    # check = device [supersteps, lanes_unconverged]; the caller folds it
+    # into an existing fetch and must reject results when unconverged > 0
+    # (budget safety valve tripped — silence would mean wrong ranges)
+    return [
+        (outb[o : o + P], oute[o : o + P], outc[o : o + P]) for o, P in spans
+    ], check
+
+
+def use_walk_device(d) -> bool:
+    """Single-launch device walk gate — default ON for accelerators (least
+    rank work, O(P + lanes*depth), AND fewest launches: one per discovery
+    call, where the probe pipeline's large-but-many programs pay a relay
+    round trip each).  Default OFF on CPU: XLA:CPU both compiles the
+    while-loop program slowly (~40 s per seqset shape — poison for the
+    many-small-seqsets test suite) and runs the probe pipeline's fori
+    programs faster.  BGT_WALK_DEVICE=1/0 overrides either way."""
+    if getattr(d, "shared_tree", None) is None:
+        return False
+    v = _os.environ.get("BGT_WALK_DEVICE")
+    if v is not None:
+        return v not in ("0", "")
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 def use_walk_probes(d) -> bool:
     """Walk engine gate — default OFF everywhere; BGT_WALK_PROBES=1 opts in.
 

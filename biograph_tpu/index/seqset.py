@@ -69,7 +69,7 @@ class Seqset:
     @cached_property
     def d(self):
         """Device-resident arrays bundle (jnp)."""
-        from biograph_tpu.ops.ltsearch import LtSearch
+        from biograph_tpu.ops.ltsearch import LtSearch, LtTree
         from biograph_tpu.ops.rank4 import build_bytes_table, build_rank4_table
 
         # The MXU rank4 kernel needs a real TPU backend (Pallas on the CPU
@@ -86,17 +86,28 @@ class Seqset:
         except Exception:
             table = None
             sizes_table = None
+        shared_dev = jnp.asarray(np.asarray(self.shared))
         return _SeqsetDevice(
             fixed=jnp.asarray(self.fixed),
             prev_words=jnp.asarray(self.prev_words),
             prev_cum=jnp.asarray(self.prev_cum),
             entry_sizes=jnp.asarray(np.asarray(self.entry_sizes)),
-            shared=jnp.asarray(np.asarray(self.shared)),
+            shared=shared_dev,
             pop_sel=jnp.asarray(np.asarray(self.pop_sel)),
             n_entries=self.n_entries,
+            # two query structures over `shared` with one contract
+            # (ops/ltsearch.py): LtSearch's block walk is a lax.while_loop —
+            # fine at top trace level (wavefront, push_front_drop), but
+            # nested-dynamic-while if placed inside a device loop, and its
+            # unrolled form blows up compile time.  The while-free LtTree
+            # serves the single-launch device walk (probes.walk_ranges_device)
+            # where its fixed-depth unrolled queries sit inside
+            # lax.while_loop; built from the device-resident array (no extra
+            # host round trip).
             shared_lt=LtSearch.build(np.asarray(self.shared)),
             rank4_table=table,
             sizes_table=sizes_table,
+            shared_tree=LtTree.build(shared_dev),
         )
 
     # ---------------- convenience (host-side, small queries) -------------
@@ -173,6 +184,7 @@ class _SeqsetDevice:
     shared_lt: object = None  # LtSearch over shared (push_front_drop)
     rank4_table: jnp.ndarray | None = None  # MXU rank kernel table (ops/rank4)
     sizes_table: jnp.ndarray | None = None  # MXU byte-gather table (entry_sizes)
+    shared_tree: object = None  # while-free LtTree (device-loop walk)
 
     def tree_flatten(self):
         children = (
@@ -185,6 +197,7 @@ class _SeqsetDevice:
             self.shared_lt,
             self.rank4_table,
             self.sizes_table,
+            self.shared_tree,
         )
         return children, self.n_entries
 
@@ -201,6 +214,7 @@ class _SeqsetDevice:
             shared_lt=children[6],
             rank4_table=children[7],
             sizes_table=children[8],
+            shared_tree=children[9],
         )
 
     # -- primitive ops (all batched) --

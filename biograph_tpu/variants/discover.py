@@ -391,6 +391,13 @@ def wavefront_assemble(
     return out[: opt.max_assemblies]
 
 
+def _use_wave_device() -> bool:
+    """Whole-device wavefront gate (see _asm_start): default ON — one
+    launch per beam group beats block dispatch wherever launches cost
+    anything, and on CPU this has always been the only path."""
+    return os.environ.get("BGT_WAVE_DEVICE", "1") not in ("0", "")
+
+
 N_POLICY = 4  # beam clones per anchor (2 junction choices x 2 ranks)
 
 
@@ -493,12 +500,18 @@ def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
             seed, MAXP, k, opt.min_extend_width, opt.probe_ctx, pos_bits,
         )
         step = MAXP
-    elif _mxu_gate(d):
+    elif _mxu_gate(d) and not _use_wave_device():
         # interleaved driver advances st block-by-block (pallas at top level)
         st = _wavefront_seed_jit(d, seed, MAXP)
         step = 1
     else:
-        # CPU / no-kernel: one jitted early-exit while_loop runs to the end
+        # one jitted early-exit while_loop runs the whole beam to the end:
+        # ONE launch per group (the block driver pays a relay round trip per
+        # WAVE_BLOCK program + a poll per CHECK_EVERY steps).  use_kernel is
+        # False inside the loop (pallas can't nest there), but the beam's
+        # rank volume is tiny — launch count, not rank rate, is what the
+        # remote link bills for.  BGT_WAVE_DEVICE=0 restores the block
+        # driver for A/B.
         st = _wavefront_jit(
             d, packed_dev, trunc_tables[0], trunc_tables[1], n_packed_dev,
             seed, MAXP, k, opt.min_extend_width, opt.probe_ctx, pos_bits,
@@ -1113,9 +1126,52 @@ def discover_variants(
     ]
     _t = time.time()  # stage wall marks -> stats["stage_s"] (autostats analog)
     stage_s = stats.setdefault("stage_s", {})
+    from biograph_tpu.index.probes import use_walk_device as _use_walk_dev
     from biograph_tpu.index.probes import use_walk_probes as _use_walk
+    from biograph_tpu.index.probes import walk_ranges_device as _walk_dev
     from biograph_tpu.index.probes import walk_ranges_multi as _walk_multi
 
+    if engine is None and _use_walk_dev(ss.d) and not _use_walk(ss.d):
+        # single-launch device walk (probes.walk_ranges_device): the whole
+        # genome's matching statistics in ONE jitted lax.while_loop program —
+        # least rank work (O(P + lanes*depth)) AND least launches, the combo
+        # neither the probe pipeline (O(P*depth) ranks) nor the
+        # host-dispatched walk (hundreds of relay round trips) achieves.
+        seg_nb = [
+            len(range(p_first, p_last + 1, P))
+            for (_, _, p_first, p_last, _) in segments
+        ]
+        trunc = (
+            _trunc_tables(ss, opt.probe_ctx)
+            if (mem_plan is None or mem_plan["use_trunc_tables"])
+            else None
+        )
+        seg_walk, walk_steps = _walk_dev(
+            ss.d, ref2_dev,
+            [
+                (p_first, ctx_lo, nb * P)
+                for (_, ctx_lo, p_first, _, _), nb in zip(segments, seg_nb)
+            ],
+            opt.probe_ctx, trunc=trunc,
+        )
+        # segment-wide batches: the anchor scan consumes each segment's walk
+        # output in ONE launch (the per-P slicing only existed so the probe
+        # pipeline could reuse a single compiled [P] program shape)
+        seg_batches = [
+            (rev_half, ctx_lo, p_first, p_last, seg_hi, nb * P)
+            for (rev_half, ctx_lo, p_first, p_last, seg_hi), nb in zip(
+                segments, seg_nb
+            )
+        ]
+        probe_h = [[b, e, s, None] for (b, e, s) in seg_walk]
+        stage_s["walk"] = stage_s.get("walk", 0.0) + (time.time() - _t)
+        _t = time.time()
+        return _discover_finish(
+            ss, reference, ref, ref2, ref2_dev, seg_batches, probe_h, opt,
+            stats, stage_s, anchor_parts, all_asms, all_records, readmap,
+            out_assemblies, G, P, _t, mem_plan=mem_plan,
+            walk_check=walk_steps,
+        )
     if engine is None and _use_walk(ss.d):
         # walk engine: per-position maximal-window ranges via segmented
         # sequential walks (ref_map's scan-the-reference-through-the-seqset,
@@ -1246,17 +1302,24 @@ def discover_variants(
 def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
                      opt, stats, stage_s, anchor_parts, all_asms,
                      all_records, readmap, out_assemblies, G, P, _t,
-                     engine=None, mem_plan=None):
+                     engine=None, mem_plan=None, walk_check=None):
     """Anchor scan -> wavefront -> score -> extract (shared by the walk-engine
     and probe-pipeline front ends; probe_h = per-batch [begin, end, size, _]
-    device arrays)."""
-    # wave 6: anchor scans
+    device arrays).
+
+    walk_check: optional device [steps, unconverged] from walk_ranges_device;
+    fetched TOGETHER with the anchor counts (no extra sync) and rejected if
+    the walk's safety budget tripped before every lane converged."""
+    # wave 6: anchor scans (batch tuples may carry their own width as a 6th
+    # element — the device-walk front end passes whole segments)
     anchor_h = []
-    for (rev_half, ctx_lo, p0, p_last, seg_hi), h in zip(batches, probe_h):
+    for b, h in zip(batches, probe_h):
+        rev_half, ctx_lo, p0, p_last, seg_hi = b[:5]
+        w = b[5] if len(b) > 5 else P
         if engine is not None:
             anchor_h.append(
                 engine.anchor_scan(
-                    ref2_dev, h[0], h[1], h[2], p0, min(seg_hi, p0 + P),
+                    ref2_dev, h[0], h[1], h[2], p0, min(seg_hi, p0 + w),
                     opt.min_anchor_ctx, opt.min_branch_width,
                 )
             )
@@ -1264,7 +1327,7 @@ def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
             anchor_h.append(
                 _anchor_jit(
                     ss.d, ref2_dev, h[0], h[1], h[2], jnp.asarray(p0, jnp.int64),
-                    jnp.asarray(min(seg_hi, p0 + P), jnp.int64),
+                    jnp.asarray(min(seg_hi, p0 + w), jnp.int64),
                     opt.min_anchor_ctx, opt.min_branch_width,
                 )
             )
@@ -1272,14 +1335,26 @@ def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
     # waves 7-8: anchor counts, then live anchor columns.  All batches'
     # counts come back in ONE fused fetch (a host sync over the remote
     # relay costs ~1s; per-batch fetches would serialize one per batch)
+    count_rows = [c for c, _ in anchor_h]
+    if walk_check is not None:
+        count_rows.append(walk_check.astype(jnp.int64))
     counts_all = (
-        np.asarray(jnp.stack([c for c, _ in anchor_h]))
-        if anchor_h
+        np.asarray(jnp.stack(count_rows))
+        if count_rows
         else np.zeros((0, 2), np.int64)
     )
-    for j, ((rev_half, ctx_lo, p0, p_last, seg_hi), (counts, stacked)) in (
-        enumerate(zip(batches, anchor_h))
-    ):
+    if walk_check is not None:
+        walk_steps, walk_undone = (int(x) for x in counts_all[-1])
+        counts_all = counts_all[:-1]
+        stats["walk_steps"] = walk_steps
+        if walk_undone:
+            raise RuntimeError(
+                f"device walk: {walk_undone} lanes unconverged after "
+                f"{walk_steps} steps (safety budget tripped) — results "
+                "unusable; rerun with BGT_WALK_DEVICE=0"
+            )
+    for j, (b, (counts, stacked)) in enumerate(zip(batches, anchor_h)):
+            rev_half = b[0]
             n, n_raw = (int(x) for x in counts_all[j])
             stats["anchors_found"] += n_raw
             if n_raw > n:

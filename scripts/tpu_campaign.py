@@ -143,7 +143,8 @@ def main():
             if k in ("WAVE_BLOCK", "WAVE_LANES", "CHECK_EVERY"):
                 saved[(D, k)] = getattr(D, k)
                 setattr(D, k, int(v))
-            elif k in ("CHAIN_BLOCK", "WALK_LANES", "WALK_OWN"):
+            elif k in ("CHAIN_BLOCK", "WALK_LANES", "WALK_OWN",
+                       "WALK_DEV_OWN", "WALK_WIDEN_EVERY"):
                 saved[(PR, k)] = getattr(PR, k)
                 setattr(PR, k, int(v))
             else:  # env-dispatched gates (BGT_*)
@@ -161,14 +162,20 @@ def main():
                     os.environ[k] = v
 
     queue = [
+        # default now = single-launch device walk (probes.walk_ranges_device)
         ("pipeline_default", lambda: pipeline_leg(), 3000),
         ("rank4", lambda: rank_leg(), 1200),
+        # A/B: the probe pipeline front end (round-3 default)
+        ("probe_pipeline", lambda: knob_leg(BGT_WALK_DEVICE="0"), 3000),
+        # device-walk lane geometry (shape change -> one compile each)
+        ("walk_own_512", lambda: knob_leg(WALK_DEV_OWN=512), 1800),
+        ("walk_own_32", lambda: knob_leg(WALK_DEV_OWN=32), 1800),
+        ("widen_every_16", lambda: knob_leg(WALK_WIDEN_EVERY=16), 1800),
         ("wave_block_1", lambda: knob_leg(WAVE_BLOCK=1), 1800),
         ("wave_block_16", lambda: knob_leg(WAVE_BLOCK=16), 1800),
         ("check_every_48", lambda: knob_leg(CHECK_EVERY=48), 1800),
         ("wave_lanes_16384", lambda: knob_leg(WAVE_LANES=16384), 1800),
         ("no_mxu_chains", lambda: knob_leg(BGT_NO_MXU_CHAINS="1"), 1800),
-        ("walk_probes_1", lambda: knob_leg(BGT_WALK_PROBES="1"), 3000),
         ("pipeline_repeat", lambda: pipeline_leg(), 1200),
     ]
     done = set()

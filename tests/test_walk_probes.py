@@ -105,3 +105,48 @@ def test_walk_ctx_lo_clip(walk_seqset):
     np.testing.assert_array_equal(we[exists], ee[exists])
     np.testing.assert_array_equal(ws[exists], es[exists])
     assert (wb[~exists] >= we[~exists]).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("own,widen_every,with_trunc", [
+    (32, 8, True),
+    (16, 4, False),
+])
+def test_walk_device_matches_brute(walk_seqset, own, widen_every, with_trunc,
+                                   monkeypatch):
+    """The single-launch device walk (cheap steps + deferred widens,
+    probes.walk_ranges_device) must reproduce the brute-force longest-window
+    ranges exactly, with and without the constant-threshold trunc tables,
+    across lane geometries and multi-span requests."""
+    from biograph_tpu.index import probes as PR
+
+    ss, text = walk_seqset
+    d = ss.d
+    depth = 25
+    monkeypatch.setattr(PR, "WALK_DEV_OWN", own)
+    monkeypatch.setattr(PR, "WALK_WIDEN_EVERY", widen_every)
+    trunc = None
+    if with_trunc:
+        shared = np.asarray(ss.shared)
+        n = len(shared)
+        idx = np.arange(n, dtype=np.int64)
+        lt = shared < depth
+        prev_lt = np.maximum.accumulate(np.where(lt, idx, -1))
+        nxt = np.where(lt, idx, n)
+        next_lt = np.minimum.accumulate(nxt[::-1])[::-1]
+        trunc = (jnp.asarray(prev_lt), jnp.asarray(next_lt.astype(np.int64)))
+    reqs = [(30, 0, 512), (560, 550, 128)]
+    got, check = PR.walk_ranges_device(
+        d, jnp.asarray(text), reqs, depth, trunc=trunc
+    )
+    steps, undone = (int(x) for x in np.asarray(check))
+    assert undone == 0, f"walk budget tripped with {undone} lanes undone"
+    for (p0, ctx_lo, P), (gb, ge, gs) in zip(reqs, got):
+        pos = p0 + np.arange(P, dtype=np.int64)
+        eb, ee, es = _brute(d, text, pos, ctx_lo, depth)
+        gb, ge, gs = (np.asarray(x) for x in (gb, ge, gs))
+        exists = es > 0
+        np.testing.assert_array_equal(gb[exists], eb[exists])
+        np.testing.assert_array_equal(ge[exists], ee[exists])
+        np.testing.assert_array_equal(gs[exists], es[exists])
+        assert (gb[~exists] >= ge[~exists]).all()
