@@ -186,6 +186,100 @@ def raw_read_support(
     return out
 
 
+def alignment_pileup(
+    reference, fastq_path: str, chrom: str, lo: int, hi: int,
+    max_mismatch: int = 5,
+):
+    """Mismatch-tolerant realignment pileup — the second, ORTHOGONAL
+    evidence channel for call validation (the first, raw_read_support,
+    counts exact alt-haplotype windows; this one never consults the call
+    set at all).  Every read (and its reverse complement) is aligned to its
+    best-mismatch-count offset in [lo, hi) of `chrom` by brute force;
+    well-aligned reads (<= max_mismatch of ~L) vote per position.
+
+    Returns (pile [hi-lo, 4] int32 base votes, n_aligned).  Gapless — SNV
+    evidence only; indel calls validate through the haplotype-window
+    channel."""
+    import gzip
+
+    c = reference.contig_by_name(chrom)
+    ref = np.asarray(
+        reference.flat[c.start + lo : c.start + min(hi, c.length)]
+    ).astype(np.int8)
+    G = len(ref)
+    m = {"A": 0, "C": 1, "G": 2, "T": 3, "N": 0}
+    reads = []
+    op = gzip.open if fastq_path.endswith(".gz") else open
+    with op(fastq_path, "rt") as f:
+        for i, ln in enumerate(f):
+            if i % 4 == 1:
+                reads.append(
+                    np.array([m[ch] for ch in ln.strip().upper()], np.int8)
+                )
+    L = max(len(r) for r in reads)
+    R = np.stack([np.pad(r, (0, L - len(r)), constant_values=-1) for r in reads])
+    N = len(reads)
+    Rrc = np.where(R[:, ::-1] >= 0, 3 - R[:, ::-1], -1)
+    if G < L:
+        return np.zeros((G, 4), np.int32), 0
+    W = np.lib.stride_tricks.sliding_window_view(ref, L)
+
+    def best(RD):
+        bests = np.zeros(N, np.int32)
+        bpos = np.zeros(N, np.int32)
+        for i in range(0, N, 512):
+            d = ((RD[i : i + 512, None, :] != W[None, :, :])
+                 & (RD[i : i + 512, None, :] >= 0)).sum(2)
+            bpos[i : i + 512] = d.argmin(1)
+            bests[i : i + 512] = d.min(1)
+        return bests, bpos
+
+    bf, pf = best(R)
+    br, pr = best(Rrc)
+    use_rc = br < bf
+    bb = np.where(use_rc, br, bf)
+    pp = np.where(use_rc, pr, pf)
+    sel = bb <= max_mismatch
+    RD = np.where(use_rc[:, None], Rrc, R)
+    pile = np.zeros((G, 4), np.int32)
+    for r, p in zip(RD[sel], pp[sel]):
+        for j in range(L):
+            if r[j] >= 0:
+                pile[p + j, r[j]] += 1
+    return pile, int(sel.sum())
+
+
+def pileup_confirm(pile, lo: int, calls: List[dict], min_alt: int = 3):
+    """Per-SNV pileup evidence from an alignment_pileup: alt votes, total
+    depth, and confirmed = (alt votes >= min_alt and alt is the majority).
+    Non-SNV calls return confirmed=None (gapless pileup can't judge them)."""
+    m = {"A": 0, "C": 1, "G": 2, "T": 3}
+    out = []
+    for r in calls:
+        if len(r["ref"]) == 1 and len(r["alt"]) == 1 and r["alt"] in m:
+            c = pile[r["pos"] - 1 - lo]
+            alt = int(c[m[r["alt"]]])
+            tot = int(c.sum())
+            out.append(
+                {
+                    **{k: r[k] for k in ("chrom", "pos", "ref", "alt")},
+                    "pileup_alt": alt,
+                    "pileup_depth": tot,
+                    "confirmed": bool(alt >= min_alt and 2 * alt > tot),
+                }
+            )
+        else:
+            out.append(
+                {
+                    **{k: r[k] for k in ("chrom", "pos", "ref", "alt")},
+                    "pileup_alt": None,
+                    "pileup_depth": None,
+                    "confirmed": None,
+                }
+            )
+    return out
+
+
 def parity_report(
     reference,
     fastq_path: str,
@@ -233,6 +327,42 @@ def parity_report(
         for s in support
         if s["alt_reads"] >= min_alt_reads and s["ref_reads"] == 0
     )
+    # second, orthogonal channel: mismatch-tolerant realignment pileup
+    # (never consults the call set) — every extra SNV should also be the
+    # majority base at its position among independently aligned reads
+    pile_summary = {}
+    if extras:
+        chroms = {r["chrom"] for r in extras}
+        confirms = []
+        for chrom in sorted(chroms):
+            grp = [r for r in extras if r["chrom"] == chrom]
+            lo = max(min(r["pos"] for r in grp) - 64, 0)
+            hi = max(r["pos"] for r in grp) + 64
+            pile, n_aligned = alignment_pileup(
+                reference, fastq_path, chrom, lo, hi
+            )
+            confirms.extend(pileup_confirm(pile, lo, grp, min_alt_reads))
+        snvs = [c for c in confirms if c["confirmed"] is not None]
+        # a cluster of many variants within one read length defeats gapless
+        # alignment (every read there exceeds the mismatch cap): the pileup
+        # channel is SILENT (near-zero depth), which is not evidence against
+        # the call — the haplotype-window channel covers those.  A call the
+        # pileup actively CONTRADICTS (real depth, alt in the minority) is
+        # the red flag this channel exists to raise.
+        contradicted = [
+            c for c in snvs
+            if not c["confirmed"] and c["pileup_depth"] >= min_alt_reads
+        ]
+        pile_summary = {
+            "n_snv_extras": len(snvs),
+            "n_pileup_confirmed": sum(1 for c in snvs if c["confirmed"]),
+            "n_pileup_silent": sum(
+                1
+                for c in snvs
+                if not c["confirmed"] and c["pileup_depth"] < min_alt_reads
+            ),
+            "pileup_contradicted": contradicted,
+        }
     report["extras_validation"] = {
         "stage": last,
         "vs": primary,
@@ -243,6 +373,7 @@ def parity_report(
             s for s in support
             if not (s["alt_reads"] >= min_alt_reads and s["ref_reads"] == 0)
         ],
+        **pile_summary,
     }
     # validate what we MISS, too: a truth record our calls lack either has
     # raw-read support (a real recall gap) or none (a truth-set error — e.g.

@@ -173,6 +173,14 @@ def test_cli_full_pipeline_ecoli(tmp_path):
     assert not report["extras_validation"]["unproven"], (
         report["extras_validation"]["unproven"][:3]
     )
+    # the ORTHOGONAL realignment-pileup channel must never actively
+    # contradict an extra (aligned depth with the alt in the minority);
+    # silence (zero aligned depth inside dense variant clusters that defeat
+    # gapless alignment) is expected and covered by the haplotype proof
+    assert not report["extras_validation"].get("pileup_contradicted"), (
+        report["extras_validation"]["pileup_contradicted"][:3]
+    )
+    assert report["extras_validation"].get("n_pileup_confirmed", 0) >= 150
     # every missed truth record must be a truth-set error (zero alt reads)
     for name, v in report["missed_validation"].items():
         assert not v["with_read_support"], (name, v["with_read_support"][:3])
