@@ -341,7 +341,14 @@ class Readmap:
             p0 = jnp.asarray(r0 * Lp, jnp.int64)
             pos = jnp.arange(P, dtype=jnp.int64) + r0 * Lp
             if uniform:
-                if use_mxu_chains(d):
+                import os as _os
+
+                if use_mxu_chains(d) and _os.environ.get("BGT_COV_HOSTLOOP"):
+                    # MXU-rank host-dispatched chain: fastest where launches
+                    # are cheap (locally-attached chips); over the relay the
+                    # ~depth launches cost more than the single-program XLA
+                    # path below saves in rank rate (campaign A/B
+                    # cov_hostloop leg) — so opt-in only
                     from biograph_tpu.index.probes import find_window_hostloop
 
                     b, e, s = find_window_hostloop(

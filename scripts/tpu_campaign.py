@@ -171,11 +171,10 @@ def main():
         ("walk_own_512", lambda: knob_leg(WALK_DEV_OWN=512), 1800),
         ("walk_own_32", lambda: knob_leg(WALK_DEV_OWN=32), 1800),
         ("widen_every_16", lambda: knob_leg(WALK_WIDEN_EVERY=16), 1800),
-        ("wave_block_1", lambda: knob_leg(WAVE_BLOCK=1), 1800),
-        ("wave_block_16", lambda: knob_leg(WAVE_BLOCK=16), 1800),
-        ("check_every_48", lambda: knob_leg(CHECK_EVERY=48), 1800),
-        ("wave_lanes_16384", lambda: knob_leg(WAVE_LANES=16384), 1800),
-        ("no_mxu_chains", lambda: knob_leg(BGT_NO_MXU_CHAINS="1"), 1800),
+        # block-dispatch wavefront vs the whole-device while_loop default
+        ("wave_device_0", lambda: knob_leg(BGT_WAVE_DEVICE="0"), 1800),
+        # MXU host-dispatched coverage chains vs the single-program default
+        ("cov_hostloop", lambda: knob_leg(BGT_COV_HOSTLOOP="1"), 1800),
         ("pipeline_repeat", lambda: pipeline_leg(), 1200),
     ]
     done = set()

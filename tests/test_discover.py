@@ -135,6 +135,7 @@ def test_dispatch_path_ab_identical(rngm, monkeypatch):
     rm = build_readmap(ss, codes, lens)
     base = discover_variants(ss, FakeRef(ref), readmap=rm)
     monkeypatch.setenv("BGT_FORCE_MXU_CHAINS", "1")
+    monkeypatch.setenv("BGT_WAVE_DEVICE", "0")  # drive the BLOCK dispatcher
     # tiny group width + compaction floor so pooling, interleaving AND the
     # shrink path all engage on this small genome
     from biograph_tpu.variants import discover as D
