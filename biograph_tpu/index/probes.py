@@ -784,7 +784,18 @@ def _walk_cheap_step(d, text, trunc, carry, depth: int):
     # no-progress restart is cheap — handle inline (next step advances it
     # via the invalid-range path)
     noprog = fail & (drop == ctx) & ~upd_b & ~upd_e
-    go_pending_drop = fail & ~noprog
+    # drop to level 0 resolves INLINE as a restart-advance: the level-0
+    # widen is always the full range [0, n) (no shared value is < 0), and
+    # pushing b onto [0, n) is exactly the single-base fixed range the
+    # restart path (ab = fb, ae = fe, actx = 1) already holds.  No level in
+    # (0, ctx] widens the range (drop = max shared at the boundaries), so
+    # the longest window ending at the new position really is 1.  This is
+    # the dominant "drop" in low-coverage territory — deferring it to the
+    # widen step stalled every lane ~widen_every/2 steps per uncovered
+    # position (measured 52 s of a 58 s whole-genome call on the chip).
+    drop0 = fail & ~noprog & (drop == 0)
+    go_pending_drop = fail & ~noprog & ~drop0
+    adv = adv | drop0
     begin2 = jnp.where(adv, ab, jnp.where(noprog, jnp.zeros_like(begin), begin))
     end2 = jnp.where(adv, ae, jnp.where(noprog, jnp.zeros_like(end), end))
     ctx2 = jnp.where(adv, actx, jnp.where(noprog, 0, ctx))
@@ -868,7 +879,13 @@ def _walk_device_run(d, text, trunc, depth: int, budget: int, widen_every: int,
         step, c = state
         for _ in range(widen_every):
             c = _walk_cheap_step(d, text, trunc, c, depth)
-        c = _walk_widen_step(d, c, depth)
+        # tree queries only when some lane actually deferred this round
+        c = lax.cond(
+            jnp.any(c[10]),
+            lambda cc: _walk_widen_step(d, cc, depth),
+            lambda cc: cc,
+            c,
+        )
         return step + 1, c
 
     steps, carry = lax.while_loop(cond, body, (jnp.int32(0), carry))

@@ -343,7 +343,26 @@ class Readmap:
             if uniform:
                 import os as _os
 
-                if use_mxu_chains(d) and _os.environ.get("BGT_COV_HOSTLOOP"):
+                from biograph_tpu.ops.rank4 import chain_fixed_pallas
+
+                if (
+                    use_mxu_chains(d)
+                    and d.rank4_table is not None
+                    and d.sizes_table is not None
+                    and depth < 250  # byte-clipped sizes stay exact
+                    and not _os.environ.get("BGT_COV_HOSTLOOP")
+                    and not _os.environ.get("BGT_NO_COV_KERNEL")
+                ):
+                    # whole chain in ONE kernel launch at MXU rank rate
+                    # (ops/rank4.py chain_fixed_pallas): both the launch
+                    # count of the single-program XLA path and the rank
+                    # rate of the host-dispatched MXU chains
+                    b, e, s = chain_fixed_pallas(
+                        d.rank4_table, d.sizes_table, d.fixed,
+                        lax.dynamic_slice_in_dim(text, r0 * Lp, P), depth,
+                    )
+                    b, e, s = _row_mask(b, e, s, pos, Lp, depth)
+                elif use_mxu_chains(d) and _os.environ.get("BGT_COV_HOSTLOOP"):
                     # MXU-rank host-dispatched chain: fastest where launches
                     # are cheap (locally-attached chips); over the relay the
                     # ~depth launches cost more than the single-program XLA

@@ -215,6 +215,174 @@ def gather_bytes_pallas(table: jnp.ndarray, idx: jnp.ndarray,
     return out[0, :B]
 
 
+def _chain_rank4(table_ref, pos2, Q: int):
+    """In-kernel rank4 of 2Q stacked positions via one MXU pass.
+
+    pos2: i32 [1, 2Q] (begin block ++ end block).  Returns i32 [4, 2Q]."""
+    nwp = table_ref.shape[1]
+    W = lax.shift_right_logical(pos2, jnp.int32(5))
+    rem = lax.bitwise_and(pos2, jnp.int32(31))
+    iota = lax.broadcasted_iota(jnp.int32, (nwp, 2 * Q), 0)
+    eq = (iota == W).astype(jnp.bfloat16)
+    sel = jnp.dot(table_ref[...], eq, preferred_element_type=jnp.float32)
+    limbs = sel.astype(jnp.int32)
+    cum = (
+        limbs[0:4, :]
+        + lax.shift_left(limbs[4:8, :], jnp.int32(8))
+        + lax.shift_left(limbs[8:12, :], jnp.int32(16))
+    )
+    word = limbs[12:16, :]
+    for j in range(1, 4):
+        word = lax.bitwise_or(
+            word,
+            lax.shift_left(limbs[12 + 4 * j : 16 + 4 * j, :], jnp.int32(8 * j)),
+        )
+    mask = lax.shift_left(jnp.int32(1), rem) - jnp.int32(1)
+    mask = jnp.where(rem > jnp.int32(0), mask, jnp.int32(0))
+    wu = lax.bitcast_convert_type(word, jnp.uint32)
+    mu = lax.bitcast_convert_type(
+        jnp.broadcast_to(mask, word.shape), jnp.uint32
+    )
+    part = lax.bitcast_convert_type(
+        lax.population_count(lax.bitwise_and(wu, mu)), jnp.int32
+    )
+    return cum + part
+
+
+def _sel_row4(mat4, b):
+    """mat4 [4, Q] -> per-column row pick by base vector b [1, Q]."""
+    riota = lax.broadcasted_iota(jnp.int32, mat4.shape, 0)
+    return jnp.sum(
+        jnp.where(riota == jnp.broadcast_to(b, mat4.shape), mat4, 0),
+        axis=0,
+        keepdims=True,
+        dtype=jnp.int32,  # x64 mode would promote an i32 sum to i64
+    )
+
+
+def _chain_fixed_kernel(fixed_ref, textp_ref, textc_ref, table_ref,
+                        sizes_ref, out_ref, *, depth: int, Q: int):
+    """The WHOLE fixed-depth find chain for Q contiguous positions in ONE
+    kernel: `depth` sequential push_front steps, each one MXU rank pass
+    (both range ends stacked) + one MXU byte-gather (the short-entry kick),
+    all state in registers/VMEM.  This is the launch-free, MXU-rate version
+    of probes.find_window at constant m == depth over contiguous lanes —
+    the uniform-read-length coverage walk's exact shape
+    (readmap._coverage_probe; reference semantics
+    modules/bio_base/readmap.cpp:368-399).
+
+    textp/textc: the previous and current Q-wide text blocks (halo for the
+    depth-long window tails; positions whose window would cross the row
+    boundary are invalidated by the caller's _row_mask).  Output [3, Q] =
+    (begin, end, size) i32."""
+    cat = jnp.concatenate([textp_ref[...], textc_ref[...]], axis=1)  # [1, 2Q]
+    n_total = fixed_ref[...][:, 4:5]  # [1, 1] == n_entries
+    fixed4 = fixed_ref[...][:, 0:4]  # [1, 4]
+
+    def step(s, st):
+        begin, end, size = st
+        # window base for every lane at step s: one dynamic slice (lane j's
+        # index is j - depth + 1 + s within the 2Q concat, offset by Q)
+        seg = lax.dynamic_slice(
+            cat, (jnp.int32(0), jnp.int32(Q - depth + 1) + s), (1, Q)
+        )
+        b = jnp.int32(3) - seg  # chains push the complement
+        pos2 = jnp.concatenate([begin, end], axis=1)
+        r4 = _chain_rank4(table_ref, pos2, Q)
+        b2 = jnp.concatenate([b, b], axis=1)
+        rsel = _sel_row4(r4, b2)  # [1, 2Q]
+        fb = jnp.zeros((1, Q), jnp.int32)
+        for j in range(4):  # fixed[b] as four 2D selects (no in-kernel gather)
+            fb = jnp.where(
+                b == jnp.int32(j),
+                jnp.broadcast_to(fixed4[:, j : j + 1], (1, Q)),
+                fb,
+            )
+        nb = fb + rsel[:, :Q]
+        ne = fb + rsel[:, Q:]
+        new_size = size + 1
+        nmax = jnp.broadcast_to(n_total, nb.shape) - jnp.int32(1)
+        first = jnp.minimum(jnp.maximum(nb, jnp.int32(0)), nmax).astype(
+            jnp.int32
+        )
+        W = lax.shift_right_logical(first, jnp.int32(5))
+        rem = lax.bitwise_and(first, jnp.int32(31))
+        nwp = sizes_ref.shape[1]
+        iota = lax.broadcasted_iota(jnp.int32, (nwp, Q), 0)
+        eq = (iota == W).astype(jnp.bfloat16)
+        sel = jnp.dot(sizes_ref[...], eq, preferred_element_type=jnp.float32)
+        riota = lax.broadcasted_iota(jnp.int32, (32, Q), 0)
+        pick = (riota == jnp.broadcast_to(rem, (32, Q))).astype(jnp.float32)
+        sizes_first = jnp.sum(sel * pick, axis=0, keepdims=True).astype(
+            jnp.int32
+        )
+        kick = jnp.logical_and(nb < ne, sizes_first < new_size)
+        nb = nb + kick.astype(jnp.int32)
+        valid = begin < end
+        return (
+            jnp.where(valid, nb, begin),
+            jnp.where(valid, ne, begin),
+            jnp.where(valid, new_size, size),
+        )
+
+    begin = jnp.zeros((1, Q), jnp.int32)
+    end = jnp.broadcast_to(n_total, (1, Q))
+    size = jnp.zeros((1, Q), jnp.int32)
+    begin, end, size = lax.fori_loop(
+        0, depth, step, (begin, end, size)
+    )
+    out_ref[...] = jnp.concatenate([begin, end, size], axis=0)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def chain_fixed_pallas(table, sizes_table, fixed, text, depth: int,
+                       interpret: bool = False):
+    """(begin, end, size) of the depth-length window ending at every text
+    position, whole chain in one kernel launch (see _chain_fixed_kernel).
+
+    table/sizes_table from build_rank4_table/build_bytes_table; fixed: the
+    seqset's int64 [5] base-offset array; text: uint8 [P].  Positions
+    p < depth-1 read a wrapped/garbage halo — callers mask them (they cross
+    a row boundary by construction).  Sizes are byte-clipped at 255, exact
+    for any chain comparison at depth < 255."""
+    P = text.shape[0]
+    Q = Q_BLOCK
+    Bp = -(-P // Q) * Q
+    tpad = jnp.zeros((1, Bp), jnp.int32).at[0, :P].set(text.astype(jnp.int32))
+    f32 = jnp.asarray(fixed, jnp.int32).reshape(1, 5)
+    f32 = jnp.concatenate([f32, jnp.zeros((1, 3), jnp.int32)], axis=1)
+    grid = Bp // Q
+    out = pl.pallas_call(
+        partial(_chain_fixed_kernel, depth=depth, Q=Q),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (jnp.int32(0), jnp.int32(0))),
+            # halo: previous text block (clamped at the first block; its
+            # wrong halo lanes are the caller-masked row-start positions)
+            pl.BlockSpec(
+                (1, Q), lambda i: (jnp.int32(0), jnp.maximum(i - 1, 0))
+            ),
+            pl.BlockSpec((1, Q), lambda i: (jnp.int32(0), i)),
+            pl.BlockSpec(
+                (table.shape[0], table.shape[1]),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+            ),
+            pl.BlockSpec(
+                (sizes_table.shape[0], sizes_table.shape[1]),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+            ),
+        ],
+        out_specs=pl.BlockSpec((3, Q), lambda i: (jnp.int32(0), i)),
+        out_shape=jax.ShapeDtypeStruct((3, Bp), jnp.int32),
+        interpret=interpret,
+    )(f32, tpad, tpad, table, sizes_table)
+    return (
+        out[0, :P].astype(jnp.int64),
+        out[1, :P].astype(jnp.int64),
+        out[2, :P],
+    )
+
+
 def rank4_xla(prev_words, prev_cum, pos):
     """XLA gather fallback with the same [B, 4] contract."""
     pos = jnp.asarray(pos)

@@ -167,13 +167,15 @@ def main():
         ("rank4", lambda: rank_leg(), 1200),
         # A/B: the probe pipeline front end (round-3 default)
         ("probe_pipeline", lambda: knob_leg(BGT_WALK_DEVICE="0"), 3000),
-        # device-walk lane geometry (shape change -> one compile each)
-        ("walk_own_512", lambda: knob_leg(WALK_DEV_OWN=512), 1800),
-        ("walk_own_32", lambda: knob_leg(WALK_DEV_OWN=32), 1800),
-        ("widen_every_16", lambda: knob_leg(WALK_WIDEN_EVERY=16), 1800),
+        # NOTE: walk_own_512 (lane-geometry resweep) CRASHED the TPU worker
+        # reproducibly at 13:09 and 13:40 ("kernel fault") and wedged the
+        # relay both times — geometry sweeps stay off until that fault is
+        # understood; own=128 is stable.
         # block-dispatch wavefront vs the whole-device while_loop default
         ("wave_device_0", lambda: knob_leg(BGT_WAVE_DEVICE="0"), 1800),
-        # MXU host-dispatched coverage chains vs the single-program default
+        # coverage-scorer A/B: whole-chain kernel (default) vs single XLA
+        # program vs MXU host-dispatched chains
+        ("cov_no_kernel", lambda: knob_leg(BGT_NO_COV_KERNEL="1"), 1800),
         ("cov_hostloop", lambda: knob_leg(BGT_COV_HOSTLOOP="1"), 1800),
         ("pipeline_repeat", lambda: pipeline_leg(), 1200),
     ]
