@@ -898,26 +898,37 @@ _LANE_QUANTUM = 1 << 14  # lane-count shape bucket
 
 
 def walk_ranges_device(d, text, reqs, depth: int, trunc=None,
-                       lanes: int | None = None):
+                       lanes: int | None = None, out_layout=None):
     """walk_ranges_multi semantics in ONE device program (see block comment).
 
     reqs: list of (p0, ctx_lo, P).  trunc: optional (prev_lt, next_lt)
     tables built at threshold == depth (variants/discover._trunc_tables) —
     with them the at-cap widen is two gathers; without, at-cap lanes defer
     to the periodic widen step like drops.  Returns ([(begin, end, size)]
-    per span, still on device) plus a device [steps, unconverged] check.
-    Lane geometry: every lane owns ~WALK_DEV_OWN positions after a
-    depth-long halo; lane count is padded to a 16K quantum so one compiled
-    shape serves small perturbations."""
+    per span, still on device) plus a device [steps, unconverged] check and
+    the raw flat (begin, end, size) output arrays.  out_layout: optional
+    (out_total, [out_off per req]) placing each span's outputs at an
+    explicit offset of an out_total-long array whose un-walked slots stay
+    zero — the k-mer prescreen writes sparse covered spans into full
+    segment-shaped outputs this way.  Lane geometry: every lane owns
+    ~WALK_DEV_OWN positions after a depth-long halo; lane count is padded
+    to a 16K quantum so one compiled shape serves small perturbations."""
     own = max(WALK_DEV_OWN, 1)
     if lanes:
         total_P = sum(P for (_, _, P) in reqs)
         own = max(own, -(-total_P // lanes))
     pos_l, obase_l, lo_l, hi_l = [], [], [], []
-    out_off = 0
+    offs = (
+        out_layout[1]
+        if out_layout is not None
+        else _np.cumsum([0] + [int(P) for (_, _, P) in reqs])[:-1]
+    )
+    out_off = int(out_layout[0]) if out_layout is not None else sum(
+        int(P) for (_, _, P) in reqs
+    )
     spans = []
-    for p0, ctx_lo, P in reqs:
-        p0, ctx_lo, P = int(p0), int(ctx_lo), int(P)
+    for (p0, ctx_lo, P), off in zip(reqs, offs):
+        p0, ctx_lo, P, off = int(p0), int(ctx_lo), int(P), int(off)
         S = -(-P // own)
         own_lo = p0 + _np.arange(S, dtype=_np.int64) * own
         own_hi = _np.minimum(own_lo + own, p0 + P)
@@ -925,9 +936,12 @@ def walk_ranges_device(d, text, reqs, depth: int, trunc=None,
         pos_l.append(start)
         lo_l.append(own_lo)
         hi_l.append(own_hi)
-        obase_l.append(_np.full(S, out_off - p0, _np.int64))
-        spans.append((out_off, P))
-        out_off += P
+        obase_l.append(_np.full(S, off - p0, _np.int64))
+        spans.append((off, P))
+    if not reqs:
+        zb = jnp.zeros((out_off,), jnp.int64)
+        zc = jnp.zeros((out_off,), jnp.int32)
+        return [], jnp.zeros((2,), jnp.int32), (zb, zb, zc)
     pos = _np.concatenate(pos_l)
     S_tot = -(-len(pos) // _LANE_QUANTUM) * _LANE_QUANTUM
     pad = S_tot - len(pos)
@@ -963,26 +977,23 @@ def walk_ranges_device(d, text, reqs, depth: int, trunc=None,
     # (budget safety valve tripped — silence would mean wrong ranges)
     return [
         (outb[o : o + P], oute[o : o + P], outc[o : o + P]) for o, P in spans
-    ], check
+    ], check, (outb[:-1], oute[:-1], outc[:-1])
 
 
 def use_walk_device(d) -> bool:
-    """Single-launch device walk gate — default ON for accelerators (least
-    rank work, O(P + lanes*depth), AND fewest launches: one per discovery
-    call, where the probe pipeline's large-but-many programs pay a relay
-    round trip each).  Default OFF on CPU: XLA:CPU both compiles the
-    while-loop program slowly (~40 s per seqset shape — poison for the
-    many-small-seqsets test suite) and runs the probe pipeline's fori
-    programs faster.  BGT_WALK_DEVICE=1/0 overrides either way."""
+    """Single-launch device walk gate — OPT-IN (BGT_WALK_DEVICE=1).
+
+    Measured on the chip (TPU_CAMPAIGN_r04 + /tmp/diag_walk): the loop is
+    rank-bound, and inside lax.while_loop only the XLA gather rank is legal
+    (pallas can't nest there) — ~4.5M positions/s at walk shapes, 40 s for
+    a dense whole-genome walk vs ~5 s of probe-pipeline MXU chains.  With
+    the k-mer coverage prescreen pruning both paths, the MXU probe pipeline
+    wins everywhere we can measure; the device walk remains the right shape
+    for a future in-kernel (pallas fori) rank chain and for hosts where
+    launches are the scarce resource."""
     if getattr(d, "shared_tree", None) is None:
         return False
-    v = _os.environ.get("BGT_WALK_DEVICE")
-    if v is not None:
-        return v not in ("0", "")
-    try:
-        return jax.devices()[0].platform != "cpu"
-    except Exception:
-        return False
+    return _os.environ.get("BGT_WALK_DEVICE", "") not in ("", "0")
 
 
 def use_walk_probes(d) -> bool:

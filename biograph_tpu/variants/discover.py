@@ -392,10 +392,14 @@ def wavefront_assemble(
 
 
 def _use_wave_device() -> bool:
-    """Whole-device wavefront gate (see _asm_start): default ON — one
-    launch per beam group beats block dispatch wherever launches cost
-    anything, and on CPU this has always been the only path."""
-    return os.environ.get("BGT_WAVE_DEVICE", "1") not in ("0", "")
+    """Whole-device wavefront gate (see _asm_start): default OFF where MXU
+    chains exist — measured on the chip (TPU_CAMPAIGN_r04 wave_device_0),
+    the interleaved block driver with done-lane compaction runs the beam in
+    1.7 s vs the single-launch while_loop's 3.2 s: the while pays full
+    lane width for all MAXP steps (no compaction) at the XLA gather rank
+    rate (no pallas inside the loop), which costs more than the block
+    path's launches.  BGT_WAVE_DEVICE=1 opts back in for A/B."""
+    return os.environ.get("BGT_WAVE_DEVICE", "0") not in ("0", "")
 
 
 N_POLICY = 4  # beam clones per anchor (2 junction choices x 2 ranks)
@@ -659,6 +663,263 @@ def _discovery_memory_plan(ss: Seqset, G: int, stats: dict | None = None):
     if stats is not None:
         stats["memory_plan"] = plan
     return plan
+
+
+_PRESCREEN_K = 12  # bitmap k-mer (4^12 = 16.7M one-byte slots = 16 MB HBM)
+_PRESCREEN_BLK = 256  # coverage-block granularity (>= any probe depth)
+
+
+@jax.jit
+def _prescreen_bitmap_jit(d):
+    """uint8 [4^K] membership bitmap of every K-mer present in the read set.
+
+    The seqset's entries are the prefix-maximal distinct suffixes of
+    reads ++ revcomps, so the K-prefixes of entries with size >= K
+    enumerate EXACTLY the length-K substrings of the read set (a substring
+    is a prefix of the suffix at its position, and prefix-maximality only
+    folds suffixes into longer entries that retain them as prefixes); the
+    set is rc-closed because the build includes revcomps."""
+    K = _PRESCREEN_K
+    n = d.n_entries
+    seqs = d.sequences(jnp.arange(n, dtype=jnp.int64), K)
+    val = jnp.zeros((n,), jnp.int64)
+    for i in range(K):
+        val = (val << 2) | seqs[:, i].astype(jnp.int64)
+    valid = d.entry_sizes >= K
+    return (
+        jnp.zeros((1 << (2 * K),), jnp.uint8)
+        .at[jnp.where(valid, val, 0)]
+        .max(valid.astype(jnp.uint8))
+    )
+
+
+@jax.jit
+def _hit_blocks_packed(bitmap, ref2_dev):
+    """packbits over per-BLK-block 'any position's K-mer is a read K-mer'.
+
+    hit[p] tests the K-mer ENDING at p (positions p < K-1 read a zero pad —
+    anchors need >= min_anchor_ctx of context so none live there)."""
+    K = _PRESCREEN_K
+    BLK = _PRESCREEN_BLK
+    n2 = ref2_dev.shape[0]
+    nb = -(-n2 // BLK)
+    refp = jnp.concatenate(
+        [
+            jnp.zeros((K - 1,), ref2_dev.dtype),
+            ref2_dev,
+            jnp.zeros((nb * BLK - n2,), ref2_dev.dtype),
+        ]
+    )
+    val = jnp.zeros((nb * BLK,), jnp.int64)
+    for j in range(K):
+        val = (val << 2) | lax.dynamic_slice_in_dim(refp, j, nb * BLK).astype(
+            jnp.int64
+        )
+    hit = jnp.take(bitmap, val) > 0
+    return jnp.packbits(hit.reshape(nb, BLK).any(axis=1))
+
+
+def _prescreen_blocks(ss: Seqset, ref2_dev) -> np.ndarray:
+    """Per-BLK-block read-K-mer coverage bits for this (seqset, reference)
+    pair: ONE tiny packed fetch (~n2/BLK/8 bytes) decides the whole
+    genome's walk work.  The K-mer bitmap (a pure seqset property) is
+    cached on the instance; the block bits depend on the reference too and
+    are recomputed per call (the device compute is one cached program)."""
+    bm = ss.__dict__.get("_prescreen_bitmap")
+    if bm is None:
+        bm = _prescreen_bitmap_jit(ss.d)
+        ss.__dict__["_prescreen_bitmap"] = bm
+    return np.unpackbits(np.asarray(_hit_blocks_packed(bm, ref2_dev)))
+
+
+def _prescreen_spans(packed: np.ndarray, lo: int, hi: int):
+    """Merged [lo, hi) sub-intervals whose BLK-blocks contain any read
+    K-mer hit — the only places a >= min_anchor_ctx window (hence an
+    anchor) can exist.  Returns a list of (span_lo, span_hi)."""
+    BLK = _PRESCREEN_BLK
+    b_lo, b_hi = lo // BLK, -(-hi // BLK)
+    cov = np.zeros(b_hi - b_lo, np.int8)
+    m = min(len(packed), b_hi)
+    if m > b_lo:
+        cov[: m - b_lo] = packed[b_lo:m]
+    edges = np.diff(np.concatenate([[0], cov, [0]]))
+    starts = np.nonzero(edges == 1)[0]
+    ends = np.nonzero(edges == -1)[0]
+    return [
+        (a, b)
+        for s, e in zip(starts, ends)
+        for a, b in (
+            (max((b_lo + int(s)) * BLK, lo), min((b_lo + int(e)) * BLK, hi)),
+        )
+        if b > a
+    ]
+
+
+@_partial(jax.jit, static_argnums=(2,))
+def _block_positions_jit(bids, G2, BLK: int):
+    """Covered-block lane positions built ON DEVICE from the (tiny) block-id
+    upload; bid -1 pads produce negative positions (rejected by the cap)."""
+    pos = bids[:, None] * BLK + jnp.arange(BLK, dtype=jnp.int64)[None, :]
+    return jnp.where(bids[:, None] < 0, -1, pos).reshape(-1)
+
+
+@_partial(jax.jit, static_argnums=(6, 7))
+def _anchor_scan_at(d, ref2, pos, begin, end, size, min_anchor_ctx: int,
+                    min_branch_width: int, cap):
+    """anchor_scan over a COMPACT gathered lane set (non-contiguous pos).
+
+    cap: per-lane anchor-position bound encoding every validity gate
+    (segment membership, p_last, seg_hi, min context, padding) as
+    (pos + 1) <= cap; -1 disables a lane.  Same branch-probe math and
+    MAXA compaction as the contiguous scan."""
+    n2 = ref2.shape[0]
+    r = SeqsetRanges(begin, end, size)
+    nb4, ne4 = d.push4(r)
+    W4 = (ne4 - nb4)[:, ::-1]
+    nxt = jnp.take(ref2, jnp.clip(pos + 1, 0, n2 - 1)).astype(jnp.int32)
+    base_ids = jnp.arange(4)[None, :]
+    good = (
+        (W4 >= min_branch_width)
+        & (base_ids != nxt[:, None])
+        & (size[:, None] >= min_anchor_ctx)
+        & ((pos + 1)[:, None] <= cap[:, None])
+        & (begin < end)[:, None]
+    )
+    flat = good.reshape(-1)
+    cs = jnp.cumsum(flat.astype(jnp.int64))
+    n_raw = cs[-1]
+    n_anchors = jnp.minimum(n_raw, MAXA)
+    src = jnp.searchsorted(cs, jnp.arange(1, MAXA + 1, dtype=jnp.int64))
+    valid = src < flat.shape[0]
+    srcc = jnp.clip(src, 0, flat.shape[0] - 1)
+    li = srcc // 4
+    ab = srcc % 4
+    stacked = jnp.stack(
+        [
+            jnp.where(valid, jnp.take(pos, li), 0),
+            jnp.where(valid, ab, 0),
+            jnp.where(valid, jnp.take(begin, li), 0),
+            jnp.where(valid, jnp.take(end, li), 0),
+            jnp.where(valid, jnp.take(size, li).astype(jnp.int64), 0),
+        ]
+    )
+    counts = jnp.stack([n_anchors, n_raw])
+    return counts, stacked
+
+
+def _discover_compact(ss, reference, ref, ref2, ref2_dev, segments, opt,
+                      stats, stage_s, anchor_parts, all_asms, all_records,
+                      readmap, out_assemblies, G, P, _t, mem_plan):
+    """Prescreened compact frontend: filter -> exact -> anchor over the
+    gathered covered-block positions only.
+
+    Replaces the per-position restart-chain wave entirely: candidate lanes
+    are the covered blocks' positions (a tiny device upload of block ids —
+    the positions themselves are built on device), the min_anchor_ctx
+    find-window filter kills non-anchor lanes, and the binary-search exact
+    probe recovers the same longest-window ranges the dense pipeline
+    computes, so anchors — and records — are identical (gated by
+    tests/test_discover.py::test_prescreen_identity)."""
+    from biograph_tpu.index.probes import (
+        fetch_mask as _fetch,
+        find_window_auto,
+        probe_exact_auto,
+    )
+
+    d = ss.d
+    blocks = _prescreen_blocks(ss, ref2_dev)
+    BLK = _PRESCREEN_BLK
+    bids_all = np.nonzero(blocks)[0].astype(np.int64)
+    # keep blocks overlapping some segment's probe range
+    keep = np.zeros(len(bids_all), bool)
+    for _, _, p_first, p_last, _ in segments:
+        keep |= (bids_all * BLK <= p_last) & ((bids_all + 1) * BLK > p_first)
+    bids = bids_all[keep]
+    stats["prescreen_probed"] = int(len(bids)) * BLK
+    if len(bids) == 0:
+        stage_s["anchors"] = stage_s.get("anchors", 0.0) + (time.time() - _t)
+        return _dedup_records(all_records)
+    nbp = max(_next_pow2(len(bids)), 4)
+    bids_p = np.concatenate([bids, np.full(nbp - len(bids), -1, np.int64)])
+    pos = _block_positions_jit(jnp.asarray(bids_p), 2 * G, BLK)
+    # per-lane validity cap and context clip (<= 2 segments: a where-chain)
+    cap = jnp.full(pos.shape, -1, jnp.int64)
+    ctx = jnp.zeros(pos.shape, jnp.int64)
+    for _, ctx_lo, p_first, p_last, seg_hi in segments:
+        in_seg = (pos >= p_first) & (pos <= p_last)
+        cap = jnp.where(
+            in_seg, jnp.int64(min(seg_hi, p_last + 1)), cap
+        )
+        ctx = jnp.where(in_seg, jnp.int64(ctx_lo), ctx)
+    cap = jnp.where(pos - ctx + 1 >= opt.min_anchor_ctx, cap, -1)
+    # filter: does a min_anchor_ctx window end here?
+    m_vec = jnp.full(pos.shape, opt.min_anchor_ctx, jnp.int32)
+    posc = jnp.clip(pos, 0, 2 * G - 1)
+    fb, fe, fs = find_window_auto(d, ref2_dev, posc, m_vec, opt.probe_ctx)
+    stage_s["probe_filter"] = stage_s.get("probe_filter", 0.0) + (time.time() - _t)
+    _t = time.time()
+    alive = _fetch((fb < fe) & (cap >= 0))
+    if not alive.any():
+        stage_s["anchors"] = stage_s.get("anchors", 0.0) + (time.time() - _t)
+        return _dedup_records(all_records)
+    idx = np.nonzero(alive)[0]
+    m2 = _next_pow2(len(idx))
+    sel = np.concatenate([idx, np.full(m2 - len(idx), idx[-1])])
+    selj = jnp.asarray(sel)
+    pos2 = jnp.take(posc, selj)
+    # pad lanes repeat a real lane — disable their anchors via cap
+    cap2 = jnp.where(
+        jnp.arange(m2) < len(idx), jnp.take(cap, selj), jnp.int64(-1)
+    )
+    seed = (jnp.take(fb, selj), jnp.take(fe, selj), jnp.take(fs, selj))
+    b2, e2, s2 = probe_exact_auto(
+        d, ref2_dev, pos2, jnp.take(ctx, selj), opt.probe_ctx,
+        opt.min_anchor_ctx, seed,
+    )
+    stage_s["probe_exact"] = stage_s.get("probe_exact", 0.0) + (time.time() - _t)
+    _t = time.time()
+    counts, stacked = _anchor_scan_at(
+        d, ref2_dev, pos2, b2, e2, s2, opt.min_anchor_ctx,
+        opt.min_branch_width, cap2,
+    )
+    n, n_raw = (int(x) for x in np.asarray(counts))
+    stats["anchors_found"] += n_raw
+    if n_raw > n:
+        stats["anchors_truncated"] += n_raw - n
+        import warnings
+
+        warnings.warn(
+            f"discovery: {n_raw - n} anchors over the {MAXA} cap were "
+            "dropped; raise MAXA"
+        )
+    if n:
+        live = np.asarray(stacked[:, : min(_next_pow2(n), MAXA)])[:, :n]
+        # split by orientation (the compact scan pools both halves)
+        for rev_half in (False, True):
+            m = (live[0] >= G) == rev_half
+            if m.any():
+                anchor_parts.setdefault(rev_half, []).append(
+                    tuple(c[m] for c in live)
+                )
+    stage_s["anchors"] = stage_s.get("anchors", 0.0) + (time.time() - _t)
+    _t = time.time()
+    return _finish_from_anchors(
+        ss, reference, ref, ref2, ref2_dev, opt, stats, stage_s,
+        anchor_parts, all_asms, all_records, readmap, out_assemblies, G, _t,
+        mem_plan=mem_plan,
+    )
+
+
+def use_prescreen(opt) -> bool:
+    """K-mer coverage prescreen gate: sound whenever anchors require at
+    least K bases of context (a window of length >= min_anchor_ctx >= K
+    ending at p contains the K-mer ending at p, so un-hit positions can
+    never anchor and their walk state is never consumed).  BGT_NO_PRESCREEN
+    opts out (e.g. to time the dense walk)."""
+    return (
+        opt.min_anchor_ctx >= _PRESCREEN_K
+        and not os.environ.get("BGT_NO_PRESCREEN")
+    )
 
 
 def _trunc_tables(ss: Seqset, c: int):
@@ -1120,7 +1381,7 @@ def discover_variants(
     # (and transfers) proceed behind it — over a high-latency device link
     # the syncs stop serializing the whole genome.
     batches = [
-        (rev_half, ctx_lo, p0, p_last, seg_hi)
+        (rev_half, ctx_lo, p0, p_last, seg_hi, P)
         for rev_half, ctx_lo, p_first, p_last, seg_hi in segments
         for p0 in range(p_first, p_last + 1, P)
     ]
@@ -1146,21 +1407,53 @@ def discover_variants(
             if (mem_plan is None or mem_plan["use_trunc_tables"])
             else None
         )
-        seg_walk, walk_steps = _walk_dev(
-            ss.d, ref2_dev,
-            [
-                (p_first, ctx_lo, nb * P)
-                for (_, ctx_lo, p_first, _, _), nb in zip(segments, seg_nb)
-            ],
-            opt.probe_ctx, trunc=trunc,
-        )
+        seg_widths = [nb * P for nb in seg_nb]
+        if use_prescreen(opt):
+            # walk ONLY read-k-mer-covered blocks (see _prescreen_spans):
+            # un-hit positions can never anchor, and zeros in the un-walked
+            # output slots fail every anchor gate — output-identical, with
+            # walk work proportional to COVERED genome, not genome length
+            blocks = _prescreen_blocks(ss, ref2_dev)
+            reqs, offs = [], []
+            out_total = sum(seg_widths)
+            seg_off = 0
+            for (rev_half, ctx_lo, p_first, _, _), width in zip(
+                segments, seg_widths
+            ):
+                for a, b in _prescreen_spans(
+                    blocks, p_first, p_first + width
+                ):
+                    reqs.append((a, ctx_lo, b - a))
+                    offs.append(seg_off + (a - p_first))
+                seg_off += width
+            stats["prescreen_walked"] = sum(pp for (_, _, pp) in reqs)
+            _, walk_steps, raw = _walk_dev(
+                ss.d, ref2_dev, reqs, opt.probe_ctx, trunc=trunc,
+                out_layout=(out_total, offs),
+            )
+            bounds = np.cumsum([0] + seg_widths)
+            seg_walk = [
+                tuple(x[bounds[i] : bounds[i + 1]] for x in raw)
+                for i in range(len(segments))
+            ]
+        else:
+            seg_walk, walk_steps, _raw = _walk_dev(
+                ss.d, ref2_dev,
+                [
+                    (p_first, ctx_lo, w)
+                    for (_, ctx_lo, p_first, _, _), w in zip(
+                        segments, seg_widths
+                    )
+                ],
+                opt.probe_ctx, trunc=trunc,
+            )
         # segment-wide batches: the anchor scan consumes each segment's walk
         # output in ONE launch (the per-P slicing only existed so the probe
         # pipeline could reuse a single compiled [P] program shape)
         seg_batches = [
-            (rev_half, ctx_lo, p_first, p_last, seg_hi, nb * P)
-            for (rev_half, ctx_lo, p_first, p_last, seg_hi), nb in zip(
-                segments, seg_nb
+            (rev_half, ctx_lo, p_first, p_last, seg_hi, w)
+            for (rev_half, ctx_lo, p_first, p_last, seg_hi), w in zip(
+                segments, seg_widths
             )
         ]
         probe_h = [[b, e, s, None] for (b, e, s) in seg_walk]
@@ -1206,21 +1499,33 @@ def discover_variants(
             stats, stage_s, anchor_parts, all_asms, all_records, readmap,
             out_assemblies, G, P, _t, mem_plan=mem_plan,
         )
+    # K-mer coverage prescreen (see _prescreen_blocks): positions whose
+    # ending K-mer never occurs in the read set can't host a
+    # >= min_anchor_ctx window, so only covered blocks' positions are
+    # probed — as ONE compact gathered lane array (filter -> exact ->
+    # anchor, no per-position restart chains at all); frontend work scales
+    # with COVERED genome, not genome length.
+    if engine is None and use_prescreen(opt):
+        return _discover_compact(
+            ss, reference, ref, ref2, ref2_dev, segments, opt, stats,
+            stage_s, anchor_parts, all_asms, all_records, readmap,
+            out_assemblies, G, P, _t, mem_plan,
+        )
     # wave 1: all probe chains
     if engine is not None:
         probe_h = [
-            list(engine.probe_ranges(ref2_dev, p0, ctx_lo, P, opt.probe_ctx))
-            for (rev_half, ctx_lo, p0, p_last, seg_hi) in batches
+            list(engine.probe_ranges(ref2_dev, p0, ctx_lo, w, opt.probe_ctx))
+            for (rev_half, ctx_lo, p0, p_last, seg_hi, w) in batches
         ]
     else:
         probe_h = [
             list(
                 _probe_jit(
                     ss.d, ref2_dev, jnp.asarray(p0, jnp.int64),
-                    jnp.asarray(ctx_lo, jnp.int64), P, opt.probe_ctx,
+                    jnp.asarray(ctx_lo, jnp.int64), w, opt.probe_ctx,
                 )
             )
-            for (rev_half, ctx_lo, p0, p_last, seg_hi) in batches
+            for (rev_half, ctx_lo, p0, p_last, seg_hi, w) in batches
         ]
     stage_s["probe_dispatch"] = stage_s.get("probe_dispatch", 0.0) + (time.time() - _t)
     _t = time.time()
@@ -1228,8 +1533,8 @@ def discover_variants(
     # close to the segment start to reach min_anchor_ctx of context, can
     # never anchor — skip their exact recompute
     rst_list = []
-    for (rev_half, ctx_lo, p0, p_last, seg_hi), h in zip(batches, probe_h):
-        lane_pos = p0 + np.arange(P)
+    for (rev_half, ctx_lo, p0, p_last, seg_hi, w), h in zip(batches, probe_h):
+        lane_pos = p0 + np.arange(w)
         rst_list.append(
             _fetch_mask(h[3])
             & (lane_pos <= p_last)
@@ -1246,7 +1551,7 @@ def discover_variants(
     filt = {}
     for i, rst in enumerate(rst_list):
         if rst.any():
-            _, ctx_lo, p0, _, _ = batches[i]
+            _, ctx_lo, p0 = batches[i][:3]
             idx = np.nonzero(rst)[0]
             m = _next_pow2(len(idx))
             idx_p = np.concatenate(
@@ -1268,7 +1573,7 @@ def discover_variants(
         alive = _fetch_mask(fb < fe)
         if not alive.any():
             continue
-        _, ctx_lo, p0, _, _ = batches[i]
+        _, ctx_lo, p0 = batches[i][:3]
         idx2 = np.nonzero(alive)[0]
         m2 = _next_pow2(len(idx2))
         sel = np.concatenate([idx2, np.full(m2 - len(idx2), idx2[-1])])
@@ -1373,6 +1678,18 @@ def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
                 )
     stage_s["anchors"] = stage_s.get("anchors", 0.0) + (time.time() - _t)
     _t = time.time()
+    return _finish_from_anchors(
+        ss, reference, ref, ref2, ref2_dev, opt, stats, stage_s,
+        anchor_parts, all_asms, all_records, readmap, out_assemblies, G, _t,
+        engine=engine, mem_plan=mem_plan,
+    )
+
+
+def _finish_from_anchors(ss, reference, ref, ref2, ref2_dev, opt, stats,
+                         stage_s, anchor_parts, all_asms, all_records,
+                         readmap, out_assemblies, G, _t, engine=None,
+                         mem_plan=None):
+    """Wavefront -> score -> extract from pooled per-orientation anchors."""
     # assemble once per orientation over ALL collected anchors: with sparse
     # anchors (a whole genome yields a few hundred), per-probe-batch assembly
     # ran dozens of tiny wavefronts whose fixed cost (state setup, span
@@ -1380,6 +1697,14 @@ def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
     # fill a few large beam batches instead
     for rev_half, parts in anchor_parts.items():
         anchors = tuple(np.concatenate(cols) for cols in zip(*parts))
+        # prescreen span batches bucket up to pow2 widths and may overlap
+        # the next span — dedup (pos, base) so no anchor is explored twice
+        _, uidx = np.unique(
+            np.stack([anchors[0], anchors[1]]), axis=1, return_index=True
+        )
+        if len(uidx) < len(anchors[0]):
+            uidx = np.sort(uidx)
+            anchors = tuple(a[uidx] for a in anchors)
         asms = wavefront_assemble(
             ss, ref2, anchors, opt, stats=stats,
             ref_limit=(2 * G if rev_half else G),

@@ -167,12 +167,14 @@ def main():
         ("rank4", lambda: rank_leg(), 1200),
         # A/B: the probe pipeline front end (round-3 default)
         ("probe_pipeline", lambda: knob_leg(BGT_WALK_DEVICE="0"), 3000),
+        # A/B: dense device walk (prescreen off)
+        ("no_prescreen", lambda: knob_leg(BGT_NO_PRESCREEN="1"), 3000),
         # NOTE: walk_own_512 (lane-geometry resweep) CRASHED the TPU worker
         # reproducibly at 13:09 and 13:40 ("kernel fault") and wedged the
         # relay both times — geometry sweeps stay off until that fault is
         # understood; own=128 is stable.
-        # block-dispatch wavefront vs the whole-device while_loop default
-        ("wave_device_0", lambda: knob_leg(BGT_WAVE_DEVICE="0"), 1800),
+        # whole-device while_loop wavefront vs the block-dispatch default
+        ("wave_device_1", lambda: knob_leg(BGT_WAVE_DEVICE="1"), 1800),
         # coverage-scorer A/B: whole-chain kernel (default) vs single XLA
         # program vs MXU host-dispatched chains
         ("cov_no_kernel", lambda: knob_leg(BGT_NO_COV_KERNEL="1"), 1800),

@@ -264,3 +264,26 @@ def test_branch_retry_rescues_beam_misses(rngm):
     # the default configuration also finds it
     hit, _ = run(ncl=4, retries=1)
     assert hit
+
+
+def test_prescreen_identity(rngm, monkeypatch):
+    """The k-mer coverage prescreen (compact filter->exact->anchor frontend
+    over covered blocks only) must produce records IDENTICAL to the dense
+    probe pipeline — including on a genome whose reads cover only part of
+    it (the prescreen's reason to exist)."""
+    rng = rngm
+    ref, donor, truth = _sim(
+        rng, G=8000, snps=[700, 1900, 5200], insertions=[(1200, 4)],
+        deletions=[(6400, 5)],
+    )
+    codes, lens = _reads_from(donor, rng)
+    ss = build_seqset(codes, lens)
+    rm = build_readmap(ss, codes, lens)
+    stats = {}
+    compact = discover_variants(ss, FakeRef(ref), readmap=rm, stats=stats)
+    assert "prescreen_probed" in stats  # compact frontend actually ran
+    monkeypatch.setenv("BGT_NO_PRESCREEN", "1")
+    dense = discover_variants(ss, FakeRef(ref), readmap=rm)
+    key = lambda r: (r["chrom"], r["pos"], r["ref"], r["alt"], r["support"])
+    assert sorted(map(key, compact)) == sorted(map(key, dense))
+    assert {r["pos"] for r in compact} >= {t[1] + 1 for t in truth}

@@ -136,7 +136,7 @@ def test_walk_device_matches_brute(walk_seqset, own, widen_every, with_trunc,
         next_lt = np.minimum.accumulate(nxt[::-1])[::-1]
         trunc = (jnp.asarray(prev_lt), jnp.asarray(next_lt.astype(np.int64)))
     reqs = [(30, 0, 512), (560, 550, 128)]
-    got, check = PR.walk_ranges_device(
+    got, check, _raw = PR.walk_ranges_device(
         d, jnp.asarray(text), reqs, depth, trunc=trunc
     )
     steps, undone = (int(x) for x in np.asarray(check))
