@@ -246,7 +246,12 @@ def wavefront_assemble(
     from biograph_tpu.index.probes import use_mxu_chains as _mxu
 
     mxu = False if engine is not None else _mxu(ss.d)
-    eff_width = max(opt.beam_width, WAVE_LANES) if mxu else opt.beam_width
+    # pooled groups everywhere (done-lane compaction recovers the width
+    # decay a small group would have given; fewer groups = fewer fixed
+    # costs); the engine keeps caller-sized groups for shard_map shapes
+    eff_width = (
+        max(opt.beam_width, WAVE_LANES) if engine is None else opt.beam_width
+    )
     flat_pos = np.asarray(anchors[0])
     order = np.argsort(flat_pos, kind="stable")
     groups = []
@@ -279,7 +284,40 @@ def wavefront_assemble(
         npk_all = 16384
         while npk_all < span_all - k_rej + 1:
             npk_all *= 4 if npk_all < (1 << 20) else 2
-        if npk_all <= span_cap:
+        # compact covered-block table (see _span_kmers_compact_dev): sound
+        # whenever rejoin k-mers are guaranteed read substrings covered by
+        # the prescreen blocks (k in [PRESCREEN_K, probe_ctx])
+        if (
+            engine is None
+            and use_prescreen(opt)
+            and _PRESCREEN_K <= k_rej <= opt.probe_ctx
+        ):
+            BLK = _PRESCREEN_BLK
+            blocks = _prescreen_blocks(ss, ref_dev)
+            bids = np.nonzero(blocks)[0].astype(np.int64)
+            # a k-mer STARTING in block b-1 can end (and hit) in block b
+            bids = np.unique(np.concatenate([bids, bids - 1]))
+            bids = bids[
+                (bids >= lo_all // BLK) & (bids * BLK < lo_all + span_all)
+            ]
+            npk_c = 16384
+            while npk_c < len(bids) * BLK:
+                npk_c *= 4 if npk_c < (1 << 20) else 2
+            if npk_c < npk_all:
+                nbp = npk_c // BLK
+                bids_p = np.concatenate(
+                    [bids, np.full(nbp - len(bids), -1, np.int64)]
+                )
+                pos_abs = _block_positions_jit(
+                    jnp.asarray(bids_p), 0, BLK
+                )
+                K_t, key2_t, n_real = _span_kmers_compact_dev(
+                    ref_dev, jnp.asarray(lo_all, jnp.int64),
+                    jnp.asarray(span_all, jnp.int64), npk_c, k_rej,
+                    pos_abs=pos_abs,
+                )
+                span_shared = ((K_t, key2_t), lo_all, int(n_real))
+        if span_shared is None and npk_all <= span_cap:
             span_shared = (
                 _span_kmers_dev(
                     ref_dev, jnp.asarray(lo_all, jnp.int64),
@@ -304,24 +342,37 @@ def wavefront_assemble(
                 pairs.append((sel, c))
         return pairs
 
+    use_blocks = mxu and os.environ.get("BGT_WAVE_CHUNK", "1") in ("0", "")
+
     def drive(cs):
-        """Advance MXU-path groups' beams interleaved (no-op on the CPU /
-        engine paths, whose _asm_start already ran the full loop)."""
-        if not mxu:
-            return
-        active = list(cs)
+        """Advance groups' beams interleaved (no-op on the engine path and
+        the single-launch device-while path, whose _asm_start already ran
+        the full loop).  Inner unit: a chunked early-exit while_loop (ONE
+        launch per CHECK_EVERY steps, XLA rank) by default, or the unrolled
+        WAVE_BLOCK programs with the pallas rank (BGT_WAVE_CHUNK=0 +
+        MXU available); host compaction runs between polls either way."""
+        active = [c for c in cs if c["step"] < c["MAXP"]]
         while active:
-            for c in active:  # dispatch wave: async block enqueues
+            for c in active:  # dispatch wave: async enqueues
                 target = min(c["step"] + CHECK_EVERY, c["MAXP"])
-                while c["step"] < target:
-                    n = min(WAVE_BLOCK, target - c["step"])
-                    c["st"] = _wavefront_block_jit(
+                if not use_blocks:
+                    c["st"] = _wavefront_chunk_jit(
                         d, c["packed"], trunc_tables[0], trunc_tables[1],
-                        c["n_packed"], c["st"], jnp.int32(c["step"]), n,
-                        c["MAXP"], c["k"], c["min_w"], c["probe_ctx"],
-                        True, c["pos_bits"],
+                        c["n_packed"], c["st"], jnp.int32(c["step"]),
+                        target - c["step"], c["MAXP"], c["k"], c["min_w"],
+                        c["probe_ctx"], c["pos_bits"],
                     )
-                    c["step"] += n
+                    c["step"] = target
+                else:
+                    while c["step"] < target:
+                        n = min(WAVE_BLOCK, target - c["step"])
+                        c["st"] = _wavefront_block_jit(
+                            d, c["packed"], trunc_tables[0], trunc_tables[1],
+                            c["n_packed"], c["st"], jnp.int32(c["step"]), n,
+                            c["MAXP"], c["k"], c["min_w"], c["probe_ctx"],
+                            True, c["pos_bits"],
+                        )
+                        c["step"] += n
             nxt = []  # poll wave: one tiny fetch per group
             for c in active:
                 if c["step"] >= c["MAXP"]:
@@ -504,18 +555,15 @@ def _asm_start(d, ref, anchors, opt: DiscoverOptions, ref_limit=None,
             seed, MAXP, k, opt.min_extend_width, opt.probe_ctx, pos_bits,
         )
         step = MAXP
-    elif _mxu_gate(d) and not _use_wave_device():
-        # interleaved driver advances st block-by-block (pallas at top level)
+    elif not _use_wave_device():
+        # the interleaved driver advances st in chunks/blocks with
+        # done-lane compaction between polls (drive() in wavefront_assemble)
         st = _wavefront_seed_jit(d, seed, MAXP)
         step = 1
     else:
-        # one jitted early-exit while_loop runs the whole beam to the end:
-        # ONE launch per group (the block driver pays a relay round trip per
-        # WAVE_BLOCK program + a poll per CHECK_EVERY steps).  use_kernel is
-        # False inside the loop (pallas can't nest there), but the beam's
-        # rank volume is tiny — launch count, not rank rate, is what the
-        # remote link bills for.  BGT_WAVE_DEVICE=0 restores the block
-        # driver for A/B.
+        # single-launch whole-beam while_loop (BGT_WAVE_DEVICE=1 A/B): no
+        # compaction, full lane width to the last straggler — measured
+        # slower than the driven paths on both backends
         st = _wavefront_jit(
             d, packed_dev, trunc_tables[0], trunc_tables[1], n_packed_dev,
             seed, MAXP, k, opt.min_extend_width, opt.probe_ctx, pos_bits,
@@ -1147,6 +1195,33 @@ def _wavefront_jit(d, packed, prev_lt, next_lt, n_packed, seed, MAXP: int,
     )
 
 
+@_partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
+def _wavefront_chunk_jit(d, packed, prev_lt, next_lt, n_packed, st, step0,
+                         nsteps: int, MAXP: int, k: int, min_w: int,
+                         probe_ctx: int, pos_bits: int = None):
+    """`nsteps` beam steps as ONE device while_loop with early exit — the
+    interleaved driver's other inner unit (vs the unrolled block): one
+    launch per CHECK_EVERY steps instead of one per WAVE_BLOCK, early exit
+    inside the chunk, and the driver's host compaction still runs between
+    chunks.  use_kernel=False inside (no pallas in a device loop); at beam
+    widths the gather rank is cheap — launches are what the chunk saves."""
+    step0 = jnp.asarray(step0, jnp.int32)
+
+    def cond(c):
+        i, s = c
+        return (i < nsteps) & jnp.any(~s["done"])
+
+    def body(c):
+        i, s = c
+        return i + 1, _wavefront_body(
+            d, packed, prev_lt, next_lt, n_packed, s, step0 + i,
+            MAXP, k, min_w, probe_ctx, False, pos_bits,
+        )
+
+    _, st = lax.while_loop(cond, body, (jnp.int32(0), st))
+    return st
+
+
 @_partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _wavefront_block_jit(d, packed, prev_lt, next_lt, n_packed, st, step0,
                          nsteps: int, MAXP: int, k: int, min_w: int,
@@ -1292,6 +1367,41 @@ def _span_kmers_dev(ref2_dev, lo, span_len, npk: int, k: int):
         K == ones, ones, (i0.astype(jnp.uint64) << jnp.uint64(32)) | P
     )
     return K, key2
+
+
+@_partial(jax.jit, static_argnums=(3, 4))
+def _span_kmers_compact_dev(ref2_dev, lo, span_len, npk: int, k: int,
+                            pos_abs=None):
+    """_span_kmers_dev over a COMPACT covered-position subset.
+
+    pos_abs: int64 [npk] absolute ref2 start positions (pad with -1).  Every
+    rolling k-mer the beam can query is read content (the truncated range
+    witnesses the path's last probe_ctx >= k bases as a read substring), and
+    every span occurrence of a read k-mer lies in a prescreen-covered block
+    (its ending K-mer is a read K-mer) — so a table holding ONLY covered
+    blocks' rows answers every reachable query identically to the dense
+    span table, at a fraction of the rows (test-gated record identity)."""
+    n2 = ref2_dev.shape[0]
+    i = jnp.arange(npk, dtype=jnp.int64)
+    rel = pos_abs - lo
+    idx = jnp.clip(
+        pos_abs[:, None] + jnp.arange(k, dtype=jnp.int64)[None, :], 0, n2 - 1
+    )
+    w = jnp.take(ref2_dev, idx).astype(jnp.uint64)
+    acc = jnp.zeros((npk,), jnp.uint64)
+    for j in range(k):
+        acc = (acc << jnp.uint64(2)) | w[:, j]
+    valid = (pos_abs >= 0) & (rel >= 0) & (rel + k <= span_len)
+    ones = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    kmers = jnp.where(valid, acc, ones)
+    pos = jnp.where(valid, rel.astype(jnp.uint64), ones)
+    K, P = lax.sort((kmers, pos), num_keys=2)
+    first = jnp.concatenate([jnp.ones((1,), bool), K[1:] != K[:-1]])
+    i0 = lax.cummax(jnp.where(first, i, 0))
+    key2 = jnp.where(
+        K == ones, ones, (i0.astype(jnp.uint64) << jnp.uint64(32)) | P
+    )
+    return K, key2, jnp.sum(valid.astype(jnp.int64))
 
 
 def discover_variants(
