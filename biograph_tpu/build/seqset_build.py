@@ -84,9 +84,8 @@ def build_seqset(
     words, wlens = _suffix_words(jnp.asarray(seqs), jnp.asarray(seq_lens), W)
     # --- sort + dedup + maximality (device) ---
     ew, el, n_entries = _entries_from_suffixes(words, wlens)
-    e_words = np.asarray(ew[:n_entries])
-    e_lens = np.asarray(el[:n_entries])
-    return seqset_from_entries(jnp.asarray(e_words), jnp.asarray(e_lens))
+    # device slices straight into assembly — no host bounce of the entries
+    return seqset_from_entries(ew[:n_entries], el[:n_entries])
 
 
 def _suffix_prefix_values(seqs: jnp.ndarray, seq_lens: jnp.ndarray, d: int):
@@ -287,42 +286,72 @@ def _entries_from_suffixes(words: jnp.ndarray, lens: jnp.ndarray):
     return jnp.stack(out[1:-1], axis=1), out[-1], n_entries
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(2, 3))
+def _rank_structure_dev(first_base, lb, n: int, nw: int):
+    """prev[b] rank bitvectors ON DEVICE: scatter-add each entry's pop
+    lower-bound bit into its first-base row, then exclusive per-word
+    popcount prefix sums (RankBits layout).  Also returns the packed
+    validation/stat vector [counts(4), select_monotone_ok, max_len-slot]
+    so the host needs ONE tiny fetch for the whole assembly."""
+    w = (lb >> 5).astype(jnp.int64)
+    bit = (lb & 31).astype(jnp.uint32)
+    flat = first_base * nw + w
+    words = (
+        jnp.zeros((4 * nw,), jnp.uint32)
+        .at[flat]
+        .add(jnp.uint32(1) << bit)
+        .reshape(4, nw)
+    )
+    pc = lax.population_count(words).astype(jnp.int64)
+    cum = jnp.cumsum(pc, axis=1) - pc  # exclusive
+    counts = jnp.bincount(first_base, length=4).astype(jnp.int64)
+    same_base = first_base[1:] == first_base[:-1]
+    mono = jnp.all(~same_base | (lb[1:] > lb[:-1])) if n > 1 else jnp.asarray(True)
+    stats = jnp.concatenate(
+        [counts, mono.astype(jnp.int64)[None]]
+    )
+    return words, cum, stats
+
+
 def seqset_from_entries(e_words: jnp.ndarray, e_lens: jnp.ndarray) -> Seqset:
-    """Assemble seqset arrays from the sorted prefix-maximal entry list."""
+    """Assemble seqset arrays from the sorted prefix-maximal entry list.
+
+    Everything stays DEVICE-resident (one tiny stat fetch): the Seqset's
+    fields are jnp arrays that `.d` reuses without a host round trip, and
+    save() pulls them down only when persisting.  Over a slow device link
+    the old host bounce (entries down, structures rebuilt in numpy, then
+    everything up again) dominated build time."""
+    e_words = jnp.asarray(e_words)
+    e_lens = jnp.asarray(e_lens)
     n = int(e_words.shape[0])
-    W = e_words.shape[1]
 
-    shared = np.asarray(sortutil.lcp_with_prev(e_words, e_lens), np.int32)
-    sizes = np.asarray(e_lens, np.int32)
-
-    first_base = np.asarray((e_words[:, 0] >> jnp.uint32(30)) & jnp.uint32(3), np.int64)
-    counts = np.bincount(first_base, minlength=4)
+    shared = sortutil.lcp_with_prev(e_words, e_lens).astype(jnp.int32)
+    sizes = jnp.asarray(e_lens, jnp.int32)
+    first_base = ((e_words[:, 0] >> jnp.uint32(30)) & jnp.uint32(3)).astype(
+        jnp.int64
+    )
+    # pop of each entry: shift one base off the front of the packed words
+    popped_words = _shift_one_base(e_words)
+    popped_lens = (e_lens - 1).astype(jnp.int32)
+    lb = sortutil.merge_lower_bound(
+        e_words, e_lens, popped_words, popped_lens
+    ).astype(jnp.int64)
+    nw = n // 32 + 1
+    prev_words, prev_cum, dstats = _rank_structure_dev(first_base, lb, n, nw)
+    max_len_dev = jnp.max(sizes, initial=0)
+    host = np.asarray(
+        jnp.concatenate([dstats, max_len_dev[None].astype(jnp.int64)])
+    )
+    counts, mono, max_len = host[:4], host[4], int(host[5])
     fixed = np.zeros(5, np.int64)
     np.cumsum(counts, out=fixed[1:])
     if fixed[4] != n:
         raise AssertionError("fixed counts disagree with entry count")
-
-    # pop of each entry: shift one base off the front of the packed words
-    popped_words = _shift_one_base(e_words)
-    popped_lens = (e_lens - 1).astype(jnp.int32)
-    lb = sortutil.merge_lower_bound(e_words, e_lens, popped_words, popped_lens)
-    lb = np.asarray(lb, np.int64)
-
-    # entries with first base b, in order, set bits of prev[b] at positions lb
-    # (strictly increasing within each base group); pop_sel is lb itself.
-    nw = n // 32 + 1
-    prev_words = np.zeros((4, nw), np.uint32)
-    prev_cum = np.zeros((4, nw), np.int64)
-    for b in range(4):
-        pos = lb[fixed[b] : fixed[b + 1]]
-        if len(pos):
-            if not (np.diff(pos) > 0).all():
-                raise AssertionError(f"select table for base {b} not increasing")
-        rb = RankBits.from_positions(pos, n)
-        prev_words[b] = rb.words
-        prev_cum[b] = rb.cum
-
-    max_len = int(sizes.max(initial=0))
+    if not mono:
+        raise AssertionError("select table not increasing within a base")
     return Seqset(
         n_entries=n,
         max_entry_len=max_len,

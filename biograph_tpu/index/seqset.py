@@ -86,14 +86,16 @@ class Seqset:
         except Exception:
             table = None
             sizes_table = None
-        shared_dev = jnp.asarray(np.asarray(self.shared))
+        # jnp.asarray is a no-op for already-device-resident fields (the
+        # device builder keeps them there); host-loaded seqsets upload once
+        shared_dev = jnp.asarray(self.shared)
         return _SeqsetDevice(
             fixed=jnp.asarray(self.fixed),
             prev_words=jnp.asarray(self.prev_words),
             prev_cum=jnp.asarray(self.prev_cum),
-            entry_sizes=jnp.asarray(np.asarray(self.entry_sizes)),
+            entry_sizes=jnp.asarray(self.entry_sizes),
             shared=shared_dev,
-            pop_sel=jnp.asarray(np.asarray(self.pop_sel)),
+            pop_sel=jnp.asarray(self.pop_sel),
             n_entries=self.n_entries,
             # two query structures over `shared` with one contract
             # (ops/ltsearch.py): LtSearch's block walk is a lax.while_loop —

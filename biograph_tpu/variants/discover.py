@@ -342,7 +342,13 @@ def wavefront_assemble(
                 pairs.append((sel, c))
         return pairs
 
-    use_blocks = mxu and os.environ.get("BGT_WAVE_CHUNK", "1") in ("0", "")
+    # inner dispatch unit (chip A/B, TPU_CAMPAIGN_r04): with the MXU rank
+    # available the unrolled pallas blocks win (1.5 s vs the chunk-while's
+    # 3.3 s — in-loop gather rank costs more than the launches it saves);
+    # without it (CPU) the chunk-while wins (4.5 s vs 7.4 s).
+    # BGT_WAVE_CHUNK=1/0 forces either for measurement.
+    _wc = os.environ.get("BGT_WAVE_CHUNK")
+    use_blocks = (mxu if _wc is None else _wc in ("0", "")) and mxu
 
     def drive(cs):
         """Advance groups' beams interleaved (no-op on the engine path and
@@ -1911,6 +1917,13 @@ def score_assemblies(rm: Readmap, ref: np.ndarray, asms: List[Assembly], opt: Di
         while b < span:
             b *= 2
         buckets.setdefault(b, []).append(a)
+    from biograph_tpu.index.probes import use_mxu_chains as _mxu
+
+    if len(buckets) > 1 and _mxu(rm.seqset.d):
+        # accelerator: ONE padded batch beats per-bucket calls — the extra
+        # padded positions cost MXU microseconds while every extra
+        # coverage call costs launches plus a result fetch
+        return _score_batch(rm, ref, asms, opt)
     if len(buckets) > 1:
         for group in buckets.values():
             _score_batch(rm, ref, group, opt)
