@@ -1033,13 +1033,77 @@ def probe_ranges_auto(d, text, p0, seg_lo, P: int, depth: int):
     return probe_ranges_jit(d, text, p0, seg_lo, P, depth)
 
 
+def _use_chain_kernel(d, depth: int) -> bool:
+    """Whole-chain-in-one-kernel gate (ops/rank4.chain_window_pallas): the
+    rank + sizes tables fit VMEM and a real accelerator is active.  Beats
+    the host-dispatched blocks wherever launches cost anything (one launch
+    per chain instead of one per CHAIN_BLOCK steps) at the same MXU rank
+    rate.  BGT_NO_CHAIN_KERNEL=1 opts out for A/B."""
+    if _os.environ.get("BGT_NO_CHAIN_KERNEL"):
+        return False
+    if d.rank4_table is None or getattr(d, "sizes_table", None) is None:
+        return False
+    if depth >= 250:  # byte-clipped sizes stay exact below this
+        return False
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 def find_window_auto(d, text, pos, m, depth: int):
+    if _use_chain_kernel(d, depth):
+        from biograph_tpu.ops.rank4 import chain_window_pallas
+
+        win = _window_bases(text, pos, depth)
+        return chain_window_pallas(
+            d.rank4_table, d.sizes_table, d.fixed, win, m, depth
+        )
     if use_mxu_chains(d):
         return find_window_fused(d, text, pos, m, depth, True)
     return find_window_jit(d, text, pos, m, depth)
 
 
+def probe_exact_kernel(d, text, pos, seg_lo, depth: int, min_m: int = 0,
+                       seed=None):
+    """probe_exact with every binary-search round's find chain as ONE
+    kernel launch (chain_window_pallas), all rounds reusing one window
+    gather."""
+    from biograph_tpu.ops.rank4 import chain_window_pallas
+
+    w0 = jnp.minimum(depth, (pos - seg_lo + 1)).astype(jnp.int32)
+    lo_m = (
+        jnp.minimum(jnp.full_like(w0, min_m), w0) if min_m else jnp.zeros_like(w0)
+    )
+    hi_m = w0
+    P = pos.shape[0]
+    win = _window_bases(text, pos, depth)
+    bb = jnp.zeros((P,), jnp.int64)
+    be = jnp.full((P,), d.n_entries, jnp.int64)
+    bs = jnp.zeros((P,), jnp.int32)
+    if min_m:
+        bb, be, bs = (
+            seed
+            if seed is not None
+            else chain_window_pallas(
+                d.rank4_table, d.sizes_table, d.fixed, win, lo_m, depth
+            )
+        )
+        rounds = (depth - min_m).bit_length()
+    else:
+        rounds = max((depth - 1).bit_length(), 1)
+    for _ in range(rounds):
+        mid = _exact_mid(lo_m, hi_m)
+        b, e, s = chain_window_pallas(
+            d.rank4_table, d.sizes_table, d.fixed, win, mid, depth
+        )
+        lo_m, hi_m, bb, be, bs = _exact_round(lo_m, hi_m, bb, be, bs, b, e, s)
+    return bb, be, bs
+
+
 def probe_exact_auto(d, text, pos, seg_lo, depth: int, min_m: int = 0, seed=None):
+    if _use_chain_kernel(d, depth):
+        return probe_exact_kernel(d, text, pos, seg_lo, depth, min_m, seed)
     if use_mxu_chains(d):
         return probe_exact_fused(d, text, pos, seg_lo, depth, min_m, seed)
     return probe_exact_jit(d, text, pos, seg_lo, depth, min_m, seed)

@@ -281,10 +281,11 @@ def _chain_fixed_kernel(fixed_ref, textp_ref, textc_ref, table_ref,
 
     def step(s, st):
         begin, end, size = st
+        si = jnp.asarray(s, jnp.int32)  # fori index may be i64 under x64
         # window base for every lane at step s: one dynamic slice (lane j's
         # index is j - depth + 1 + s within the 2Q concat, offset by Q)
         seg = lax.dynamic_slice(
-            cat, (jnp.int32(0), jnp.int32(Q - depth + 1) + s), (1, Q)
+            cat, (jnp.int32(0), jnp.int32(Q - depth + 1) + si), (1, Q)
         )
         b = jnp.int32(3) - seg  # chains push the complement
         pos2 = jnp.concatenate([begin, end], axis=1)
@@ -376,6 +377,116 @@ def chain_fixed_pallas(table, sizes_table, fixed, text, depth: int,
         out_shape=jax.ShapeDtypeStruct((3, Bp), jnp.int32),
         interpret=interpret,
     )(f32, tpad, tpad, table, sizes_table)
+    return (
+        out[0, :P].astype(jnp.int64),
+        out[1, :P].astype(jnp.int64),
+        out[2, :P],
+    )
+
+
+def _chain_window_kernel(fixed_ref, win_ref, m_ref, table_ref, sizes_ref,
+                         out_ref, *, depth: int, Q: int):
+    """Whole find-window chain over PRE-GATHERED per-lane base windows in
+    one kernel (the non-contiguous-lane sibling of _chain_fixed_kernel):
+    win[q, s] is the (already complemented) base pushed at step s, and the
+    per-lane window length m gates the start step (probes.find_window
+    semantics, masked chain) — so one launch serves the anchor filter AND
+    every binary-search round of the exact probe, reusing one gather."""
+    m = m_ref[...]  # i32 [1, Q]
+    n_total = fixed_ref[...][:, 4:5]
+    fixed4 = fixed_ref[...][:, 0:4]
+
+    def step(s, st):
+        begin, end, size = st
+        si = jnp.asarray(s, jnp.int32)  # fori index may be i64 under x64
+        b = lax.dynamic_slice(win_ref[...], (jnp.int32(0), si), (Q, 1))[:, 0][
+            None, :
+        ]
+        started = jnp.broadcast_to(
+            si >= jnp.int32(depth) - m, (1, Q)
+        )
+        pos2 = jnp.concatenate([begin, end], axis=1)
+        r4 = _chain_rank4(table_ref, pos2, Q)
+        b2 = jnp.concatenate([b, b], axis=1)
+        rsel = _sel_row4(r4, b2)
+        fb = jnp.zeros((1, Q), jnp.int32)
+        for j in range(4):
+            fb = jnp.where(
+                b == jnp.int32(j),
+                jnp.broadcast_to(fixed4[:, j : j + 1], (1, Q)),
+                fb,
+            )
+        nb = fb + rsel[:, :Q]
+        ne = fb + rsel[:, Q:]
+        new_size = size + 1
+        nmax = jnp.broadcast_to(n_total, nb.shape) - jnp.int32(1)
+        first = jnp.minimum(jnp.maximum(nb, jnp.int32(0)), nmax).astype(
+            jnp.int32
+        )
+        W = lax.shift_right_logical(first, jnp.int32(5))
+        rem = lax.bitwise_and(first, jnp.int32(31))
+        nwp = sizes_ref.shape[1]
+        iota = lax.broadcasted_iota(jnp.int32, (nwp, Q), 0)
+        eq = (iota == W).astype(jnp.bfloat16)
+        sel = jnp.dot(sizes_ref[...], eq, preferred_element_type=jnp.float32)
+        riota = lax.broadcasted_iota(jnp.int32, (32, Q), 0)
+        pick = (riota == jnp.broadcast_to(rem, (32, Q))).astype(jnp.float32)
+        sizes_first = jnp.sum(sel * pick, axis=0, keepdims=True).astype(
+            jnp.int32
+        )
+        kick = jnp.logical_and(nb < ne, sizes_first < new_size)
+        nb = nb + kick.astype(jnp.int32)
+        valid = begin < end
+        upd = started & valid
+        return (
+            jnp.where(upd, nb, begin),
+            jnp.where(upd, ne, jnp.where(started, begin, end)),
+            jnp.where(upd, new_size, size),
+        )
+
+    begin = jnp.zeros((1, Q), jnp.int32)
+    end = jnp.broadcast_to(n_total, (1, Q))
+    size = jnp.zeros((1, Q), jnp.int32)
+    begin, end, size = lax.fori_loop(0, depth, step, (begin, end, size))
+    out_ref[...] = jnp.concatenate([begin, end, size], axis=0)
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def chain_window_pallas(table, sizes_table, fixed, win, m, depth: int,
+                        interpret: bool = False):
+    """find_window over pre-gathered complemented windows `win` [P, depth]
+    with per-lane length m, whole chain in one launch.  Same contract as
+    probes.find_window(d, text, pos, m, depth) given
+    win = _window_bases(text, pos, depth)."""
+    P = win.shape[0]
+    Q = Q_BLOCK
+    Bp = -(-P // Q) * Q
+    winp = jnp.zeros((Bp, depth), jnp.int32)
+    winp = winp.at[:P].set(win.astype(jnp.int32))
+    mp = jnp.zeros((1, Bp), jnp.int32).at[0, :P].set(m.astype(jnp.int32))
+    f32 = jnp.asarray(fixed, jnp.int32).reshape(1, 5)
+    f32 = jnp.concatenate([f32, jnp.zeros((1, 3), jnp.int32)], axis=1)
+    grid = Bp // Q
+    out = pl.pallas_call(
+        partial(_chain_window_kernel, depth=depth, Q=Q),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((Q, depth), lambda i: (i, jnp.int32(0))),
+            pl.BlockSpec((1, Q), lambda i: (jnp.int32(0), i)),
+            pl.BlockSpec(
+                (table.shape[0], table.shape[1]),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+            ),
+            pl.BlockSpec(
+                (sizes_table.shape[0], sizes_table.shape[1]),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+            ),
+        ],
+        out_specs=pl.BlockSpec((3, Q), lambda i: (jnp.int32(0), i)),
+        out_shape=jax.ShapeDtypeStruct((3, Bp), jnp.int32),
+        interpret=interpret,
+    )(f32, winp, mp, table, sizes_table)
     return (
         out[0, :P].astype(jnp.int64),
         out[1, :P].astype(jnp.int64),

@@ -286,9 +286,14 @@ def wavefront_assemble(
             npk_all *= 4 if npk_all < (1 << 20) else 2
         # compact covered-block table (see _span_kmers_compact_dev): sound
         # whenever rejoin k-mers are guaranteed read substrings covered by
-        # the prescreen blocks (k in [PRESCREEN_K, probe_ctx])
+        # the prescreen blocks (k in [PRESCREEN_K, probe_ctx]).  Worth it
+        # only where the per-step searchsorted is the beam's cost (CPU:
+        # wavefront 6.7 -> 4.7 s) — on the MXU path the dense table's
+        # slice-rolled build is cheaper than the compact one's window
+        # gather, and the beam is launch-bound anyway (chip A/B 1.5 vs 3.2)
         if (
             engine is None
+            and not mxu
             and use_prescreen(opt)
             and _PRESCREEN_K <= k_rej <= opt.probe_ctx
         ):
@@ -316,7 +321,9 @@ def wavefront_assemble(
                     jnp.asarray(span_all, jnp.int64), npk_c, k_rej,
                     pos_abs=pos_abs,
                 )
-                span_shared = ((K_t, key2_t), lo_all, int(n_real))
+                # n_real stays a device scalar (it only feeds a device-side
+                # bound check) — no extra host sync
+                span_shared = ((K_t, key2_t), lo_all, n_real)
         if span_shared is None and npk_all <= span_cap:
             span_shared = (
                 _span_kmers_dev(
