@@ -368,7 +368,7 @@ def wavefront_assemble(
         while active:
             for c in active:  # dispatch wave: async enqueues
                 target = min(c["step"] + CHECK_EVERY, c["MAXP"])
-                if not use_blocks:
+                if not use_blocks or c.get("chunk_tail"):
                     c["st"] = _wavefront_chunk_jit(
                         d, c["packed"], trunc_tables[0], trunc_tables[1],
                         c["n_packed"], c["st"], jnp.int32(c["step"]),
@@ -394,6 +394,18 @@ def wavefront_assemble(
                 if und == 0:
                     continue
                 _maybe_compact(c, und)
+                # hybrid tail: once the live beam is narrow, the per-step
+                # compute is trivial and launches dominate — finish the
+                # group in chunked early-exit while programs (straight to
+                # MAXP) instead of ~(MAXP-step)/WAVE_BLOCK more launches
+                if (
+                    use_blocks
+                    and not c.get("chunk_tail")
+                    and c["st"]["begin"].shape[0] <= WAVE_TAIL_WIDTH
+                ):
+                    c["chunk_tail"] = True
+                    global WAVE_TAIL_SWITCHES
+                    WAVE_TAIL_SWITCHES += 1
                 nxt.append(c)
             active = nxt
 
@@ -1323,6 +1335,10 @@ WAVE_LANES = int(os.environ.get("BGT_WAVE_LANES", "4096"))  # lanes per group
 WAVE_COMPACT = not os.environ.get("BGT_NO_WAVE_COMPACT")
 WAVE_COMPACT_MIN = 512  # never shrink below this width
 WAVE_COMPACTIONS = 0  # process-lifetime shrink count (autostats counter)
+# beam width at/under which the block driver hands a group to the chunked
+# while_loop tail (launches dominate trivial narrow steps)
+WAVE_TAIL_WIDTH = int(os.environ.get("BGT_WAVE_TAIL_WIDTH", "1024"))
+WAVE_TAIL_SWITCHES = 0  # autostats counter
 
 
 def _asm_better(a: Assembly, b: Assembly) -> bool:
