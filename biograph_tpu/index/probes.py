@@ -1055,9 +1055,9 @@ def find_window_auto(d, text, pos, m, depth: int):
     if _use_chain_kernel(d, depth):
         from biograph_tpu.ops.rank4 import chain_window_pallas
 
-        win = _window_bases(text, pos, depth)
+        win_t = _window_bases(text, pos, depth).T
         return chain_window_pallas(
-            d.rank4_table, d.sizes_table, d.fixed, win, m, depth
+            d.rank4_table, d.sizes_table, d.fixed, win_t, m, depth
         )
     if use_mxu_chains(d):
         return find_window_fused(d, text, pos, m, depth, True)
@@ -1077,7 +1077,7 @@ def probe_exact_kernel(d, text, pos, seg_lo, depth: int, min_m: int = 0,
     )
     hi_m = w0
     P = pos.shape[0]
-    win = _window_bases(text, pos, depth)
+    win_t = _window_bases(text, pos, depth).T
     bb = jnp.zeros((P,), jnp.int64)
     be = jnp.full((P,), d.n_entries, jnp.int64)
     bs = jnp.zeros((P,), jnp.int32)
@@ -1086,7 +1086,7 @@ def probe_exact_kernel(d, text, pos, seg_lo, depth: int, min_m: int = 0,
             seed
             if seed is not None
             else chain_window_pallas(
-                d.rank4_table, d.sizes_table, d.fixed, win, lo_m, depth
+                d.rank4_table, d.sizes_table, d.fixed, win_t, lo_m, depth
             )
         )
         rounds = (depth - min_m).bit_length()
@@ -1095,7 +1095,7 @@ def probe_exact_kernel(d, text, pos, seg_lo, depth: int, min_m: int = 0,
     for _ in range(rounds):
         mid = _exact_mid(lo_m, hi_m)
         b, e, s = chain_window_pallas(
-            d.rank4_table, d.sizes_table, d.fixed, win, mid, depth
+            d.rank4_table, d.sizes_table, d.fixed, win_t, mid, depth
         )
         lo_m, hi_m, bb, be, bs = _exact_round(lo_m, hi_m, bb, be, bs, b, e, s)
     return bb, be, bs

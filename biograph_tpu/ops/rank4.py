@@ -250,161 +250,47 @@ def _chain_rank4(table_ref, pos2, Q: int):
 
 
 def _sel_row4(mat4, b):
-    """mat4 [4, Q] -> per-column row pick by base vector b [1, Q]."""
+    """mat4 [4, Q] -> per-column row pick by base vector b [1, Q].
+
+    Four explicit adds, NOT jnp.sum: with x64 enabled (this package's
+    global default) an integer sum accumulates in int64, and any 64-bit
+    value inside a Mosaic kernel sends the lowering's convert helper into
+    infinite recursion."""
     riota = lax.broadcasted_iota(jnp.int32, mat4.shape, 0)
-    return jnp.sum(
-        jnp.where(riota == jnp.broadcast_to(b, mat4.shape), mat4, 0),
-        axis=0,
-        keepdims=True,
-        dtype=jnp.int32,  # x64 mode would promote an i32 sum to i64
-    )
-
-
-def _chain_fixed_kernel(fixed_ref, textp_ref, textc_ref, table_ref,
-                        sizes_ref, out_ref, *, depth: int, Q: int):
-    """The WHOLE fixed-depth find chain for Q contiguous positions in ONE
-    kernel: `depth` sequential push_front steps, each one MXU rank pass
-    (both range ends stacked) + one MXU byte-gather (the short-entry kick),
-    all state in registers/VMEM.  This is the launch-free, MXU-rate version
-    of probes.find_window at constant m == depth over contiguous lanes —
-    the uniform-read-length coverage walk's exact shape
-    (readmap._coverage_probe; reference semantics
-    modules/bio_base/readmap.cpp:368-399).
-
-    textp/textc: the previous and current Q-wide text blocks (halo for the
-    depth-long window tails; positions whose window would cross the row
-    boundary are invalidated by the caller's _row_mask).  Output [3, Q] =
-    (begin, end, size) i32."""
-    cat = jnp.concatenate([textp_ref[...], textc_ref[...]], axis=1)  # [1, 2Q]
-    n_total = fixed_ref[...][:, 4:5]  # [1, 1] == n_entries
-    fixed4 = fixed_ref[...][:, 0:4]  # [1, 4]
-
-    def step(s, st):
-        begin, end, size = st
-        si = jnp.asarray(s, jnp.int32)  # fori index may be i64 under x64
-        # window base for every lane at step s: one dynamic slice (lane j's
-        # index is j - depth + 1 + s within the 2Q concat, offset by Q)
-        seg = lax.dynamic_slice(
-            cat, (jnp.int32(0), jnp.int32(Q - depth + 1) + si), (1, Q)
-        )
-        b = jnp.int32(3) - seg  # chains push the complement
-        pos2 = jnp.concatenate([begin, end], axis=1)
-        r4 = _chain_rank4(table_ref, pos2, Q)
-        b2 = jnp.concatenate([b, b], axis=1)
-        rsel = _sel_row4(r4, b2)  # [1, 2Q]
-        fb = jnp.zeros((1, Q), jnp.int32)
-        for j in range(4):  # fixed[b] as four 2D selects (no in-kernel gather)
-            fb = jnp.where(
-                b == jnp.int32(j),
-                jnp.broadcast_to(fixed4[:, j : j + 1], (1, Q)),
-                fb,
-            )
-        nb = fb + rsel[:, :Q]
-        ne = fb + rsel[:, Q:]
-        new_size = size + 1
-        nmax = jnp.broadcast_to(n_total, nb.shape) - jnp.int32(1)
-        first = jnp.minimum(jnp.maximum(nb, jnp.int32(0)), nmax).astype(
-            jnp.int32
-        )
-        W = lax.shift_right_logical(first, jnp.int32(5))
-        rem = lax.bitwise_and(first, jnp.int32(31))
-        nwp = sizes_ref.shape[1]
-        iota = lax.broadcasted_iota(jnp.int32, (nwp, Q), 0)
-        eq = (iota == W).astype(jnp.bfloat16)
-        sel = jnp.dot(sizes_ref[...], eq, preferred_element_type=jnp.float32)
-        riota = lax.broadcasted_iota(jnp.int32, (32, Q), 0)
-        pick = (riota == jnp.broadcast_to(rem, (32, Q))).astype(jnp.float32)
-        sizes_first = jnp.sum(sel * pick, axis=0, keepdims=True).astype(
-            jnp.int32
-        )
-        kick = jnp.logical_and(nb < ne, sizes_first < new_size)
-        nb = nb + kick.astype(jnp.int32)
-        valid = begin < end
-        return (
-            jnp.where(valid, nb, begin),
-            jnp.where(valid, ne, begin),
-            jnp.where(valid, new_size, size),
-        )
-
-    begin = jnp.zeros((1, Q), jnp.int32)
-    end = jnp.broadcast_to(n_total, (1, Q))
-    size = jnp.zeros((1, Q), jnp.int32)
-    begin, end, size = lax.fori_loop(
-        0, depth, step, (begin, end, size)
-    )
-    out_ref[...] = jnp.concatenate([begin, end, size], axis=0)
-
-
-@partial(jax.jit, static_argnums=(4, 5))
-def chain_fixed_pallas(table, sizes_table, fixed, text, depth: int,
-                       interpret: bool = False):
-    """(begin, end, size) of the depth-length window ending at every text
-    position, whole chain in one kernel launch (see _chain_fixed_kernel).
-
-    table/sizes_table from build_rank4_table/build_bytes_table; fixed: the
-    seqset's int64 [5] base-offset array; text: uint8 [P].  Positions
-    p < depth-1 read a wrapped/garbage halo — callers mask them (they cross
-    a row boundary by construction).  Sizes are byte-clipped at 255, exact
-    for any chain comparison at depth < 255."""
-    P = text.shape[0]
-    Q = Q_BLOCK
-    Bp = -(-P // Q) * Q
-    tpad = jnp.zeros((1, Bp), jnp.int32).at[0, :P].set(text.astype(jnp.int32))
-    f32 = jnp.asarray(fixed, jnp.int32).reshape(1, 5)
-    f32 = jnp.concatenate([f32, jnp.zeros((1, 3), jnp.int32)], axis=1)
-    grid = Bp // Q
-    out = pl.pallas_call(
-        partial(_chain_fixed_kernel, depth=depth, Q=Q),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (jnp.int32(0), jnp.int32(0))),
-            # halo: previous text block (clamped at the first block; its
-            # wrong halo lanes are the caller-masked row-start positions)
-            pl.BlockSpec(
-                (1, Q), lambda i: (jnp.int32(0), jnp.maximum(i - 1, 0))
-            ),
-            pl.BlockSpec((1, Q), lambda i: (jnp.int32(0), i)),
-            pl.BlockSpec(
-                (table.shape[0], table.shape[1]),
-                lambda i: (jnp.int32(0), jnp.int32(0)),
-            ),
-            pl.BlockSpec(
-                (sizes_table.shape[0], sizes_table.shape[1]),
-                lambda i: (jnp.int32(0), jnp.int32(0)),
-            ),
-        ],
-        out_specs=pl.BlockSpec((3, Q), lambda i: (jnp.int32(0), i)),
-        out_shape=jax.ShapeDtypeStruct((3, Bp), jnp.int32),
-        interpret=interpret,
-    )(f32, tpad, tpad, table, sizes_table)
-    return (
-        out[0, :P].astype(jnp.int64),
-        out[1, :P].astype(jnp.int64),
-        out[2, :P],
-    )
+    w = jnp.where(riota == jnp.broadcast_to(b, mat4.shape), mat4, jnp.int32(0))
+    return (w[0:1, :] + w[1:2, :]) + (w[2:3, :] + w[3:4, :])
 
 
 def _chain_window_kernel(fixed_ref, win_ref, m_ref, table_ref, sizes_ref,
                          out_ref, *, depth: int, Q: int):
-    """Whole find-window chain over PRE-GATHERED per-lane base windows in
-    one kernel (the non-contiguous-lane sibling of _chain_fixed_kernel):
-    win[q, s] is the (already complemented) base pushed at step s, and the
-    per-lane window length m gates the start step (probes.find_window
-    semantics, masked chain) — so one launch serves the anchor filter AND
-    every binary-search round of the exact probe, reusing one gather."""
-    m = m_ref[...]  # i32 [1, Q]
+    """The WHOLE find-window chain for Q lanes in ONE kernel: `depth`
+    sequential push_front steps, each one stacked rank4 MXU pass (both
+    range ends) plus one byte-gather MXU pass (the short-entry kick), all
+    state in registers/VMEM.  Serves the anchor filter, every binary-search
+    round of the exact probe, and (with per-slab shift-built windows) the
+    uniform-read coverage walk — probes.find_window semantics at MXU rank
+    rate with one launch per chain.
+
+    win_ref: f32 [depth, Q] — win[s, q] is the (already complemented) base
+    lane q pushes at step s, stored as float so the per-step row pick is a
+    one-hot sum (f32 accumulates without x64 promotion; Mosaic has no
+    dynamic-slice lowering and requires 128-aligned lane slices, so NO
+    in-kernel slicing happens at all).  m_ref: i32 [1, Q] per-lane window
+    length (start-step gate).  Every in-kernel value stays 32-bit: int64
+    anywhere sends the Mosaic convert helper into infinite recursion."""
+    m = m_ref[...]
     n_total = fixed_ref[...][:, 4:5]
     fixed4 = fixed_ref[...][:, 0:4]
+    win = win_ref[...]
+    riota = lax.broadcasted_iota(jnp.int32, (depth, Q), 0)
 
     def step(s, st):
-        begin, end, size = st
-        si = jnp.asarray(s, jnp.int32)  # fori index may be i64 under x64
-        b = lax.dynamic_slice(win_ref[...], (jnp.int32(0), si), (Q, 1))[:, 0][
-            None, :
-        ]
-        started = jnp.broadcast_to(
-            si >= jnp.int32(depth) - m, (1, Q)
-        )
+        begin, end, size, si = st
+        # carried i32 counter: the fori index is i64 under x64 (recursing
+        # convert); one-hot row pick instead of any dynamic slice
+        onehot = (riota == si).astype(jnp.float32)
+        b = jnp.sum(win * onehot, axis=0, keepdims=True).astype(jnp.int32)
+        started = si >= jnp.int32(depth) - m
         pos2 = jnp.concatenate([begin, end], axis=1)
         r4 = _chain_rank4(table_ref, pos2, Q)
         b2 = jnp.concatenate([b, b], axis=1)
@@ -418,51 +304,53 @@ def _chain_window_kernel(fixed_ref, win_ref, m_ref, table_ref, sizes_ref,
             )
         nb = fb + rsel[:, :Q]
         ne = fb + rsel[:, Q:]
-        new_size = size + 1
+        new_size = size + jnp.int32(1)
         nmax = jnp.broadcast_to(n_total, nb.shape) - jnp.int32(1)
-        first = jnp.minimum(jnp.maximum(nb, jnp.int32(0)), nmax).astype(
-            jnp.int32
-        )
+        first = jnp.minimum(jnp.maximum(nb, jnp.int32(0)), nmax)
         W = lax.shift_right_logical(first, jnp.int32(5))
         rem = lax.bitwise_and(first, jnp.int32(31))
         nwp = sizes_ref.shape[1]
         iota = lax.broadcasted_iota(jnp.int32, (nwp, Q), 0)
         eq = (iota == W).astype(jnp.bfloat16)
         sel = jnp.dot(sizes_ref[...], eq, preferred_element_type=jnp.float32)
-        riota = lax.broadcasted_iota(jnp.int32, (32, Q), 0)
-        pick = (riota == jnp.broadcast_to(rem, (32, Q))).astype(jnp.float32)
+        riota32 = lax.broadcasted_iota(jnp.int32, (32, Q), 0)
+        pick = (riota32 == jnp.broadcast_to(rem, (32, Q))).astype(jnp.float32)
         sizes_first = jnp.sum(sel * pick, axis=0, keepdims=True).astype(
             jnp.int32
         )
         kick = jnp.logical_and(nb < ne, sizes_first < new_size)
-        nb = nb + kick.astype(jnp.int32)
+        # bool->int astype recurses in the Mosaic lowering; where() is clean
+        nb = nb + jnp.where(kick, jnp.int32(1), jnp.int32(0))
         valid = begin < end
         upd = started & valid
         return (
             jnp.where(upd, nb, begin),
             jnp.where(upd, ne, jnp.where(started, begin, end)),
             jnp.where(upd, new_size, size),
+            si + jnp.int32(1),
         )
 
     begin = jnp.zeros((1, Q), jnp.int32)
     end = jnp.broadcast_to(n_total, (1, Q))
     size = jnp.zeros((1, Q), jnp.int32)
-    begin, end, size = lax.fori_loop(0, depth, step, (begin, end, size))
+    begin, end, size, _ = lax.fori_loop(
+        0, depth, step, (begin, end, size, jnp.zeros((), jnp.int32))
+    )
     out_ref[...] = jnp.concatenate([begin, end, size], axis=0)
 
 
 @partial(jax.jit, static_argnums=(5, 6))
-def chain_window_pallas(table, sizes_table, fixed, win, m, depth: int,
+def chain_window_pallas(table, sizes_table, fixed, win_t, m, depth: int,
                         interpret: bool = False):
-    """find_window over pre-gathered complemented windows `win` [P, depth]
+    """find_window over pre-built complemented window rows win_t [depth, P]
     with per-lane length m, whole chain in one launch.  Same contract as
     probes.find_window(d, text, pos, m, depth) given
-    win = _window_bases(text, pos, depth)."""
-    P = win.shape[0]
+    win_t = _window_bases(text, pos, depth).T (float32)."""
+    P = win_t.shape[1]
     Q = Q_BLOCK
     Bp = -(-P // Q) * Q
-    winp = jnp.zeros((Bp, depth), jnp.int32)
-    winp = winp.at[:P].set(win.astype(jnp.int32))
+    winp = jnp.zeros((depth, Bp), jnp.float32)
+    winp = winp.at[:, :P].set(win_t.astype(jnp.float32))
     mp = jnp.zeros((1, Bp), jnp.int32).at[0, :P].set(m.astype(jnp.int32))
     f32 = jnp.asarray(fixed, jnp.int32).reshape(1, 5)
     f32 = jnp.concatenate([f32, jnp.zeros((1, 3), jnp.int32)], axis=1)
@@ -472,7 +360,7 @@ def chain_window_pallas(table, sizes_table, fixed, win, m, depth: int,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (jnp.int32(0), jnp.int32(0))),
-            pl.BlockSpec((Q, depth), lambda i: (i, jnp.int32(0))),
+            pl.BlockSpec((depth, Q), lambda i: (jnp.int32(0), i)),
             pl.BlockSpec((1, Q), lambda i: (jnp.int32(0), i)),
             pl.BlockSpec(
                 (table.shape[0], table.shape[1]),
@@ -491,6 +379,41 @@ def chain_window_pallas(table, sizes_table, fixed, win, m, depth: int,
         out[0, :P].astype(jnp.int64),
         out[1, :P].astype(jnp.int64),
         out[2, :P],
+    )
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _contig_windows(text, p0, P: int, depth: int):
+    """Shift-built complemented window rows for CONTIGUOUS positions
+    [p0, p0+P): win_t[s, j] = 3 - text[p0 + j - depth + 1 + s], i.e. depth
+    cheap slices instead of a [P, depth] gather."""
+    tf = jnp.concatenate(
+        [
+            jnp.zeros((depth,), text.dtype),
+            text,
+            jnp.zeros((P + depth,), text.dtype),
+        ]
+    )
+    rows = [
+        jnp.int32(3)
+        - lax.dynamic_slice_in_dim(tf, p0 + s + 1, P).astype(jnp.int32)
+        for s in range(depth)
+    ]
+    return jnp.stack(rows, axis=0).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def chain_fixed_pallas(table, sizes_table, fixed, text, depth: int,
+                       interpret: bool = False):
+    """(begin, end, size) of the depth-length window ending at every text
+    position, via the window kernel over shift-built rows.  Positions
+    p < depth-1 read a zero halo — callers mask them (they cross a row
+    boundary by construction)."""
+    P = text.shape[0]
+    win_t = _contig_windows(text, jnp.asarray(0, jnp.int64), P, depth)
+    m = jnp.full((P,), depth, jnp.int32)
+    return chain_window_pallas(
+        table, sizes_table, fixed, win_t, m, depth, interpret
     )
 
 

@@ -85,10 +85,10 @@ def test_chain_window_kernel_matches_find_window():
         np.asarray(x)
         for x in find_window_jit(ss.d, jnp.asarray(text), pos, m, depth)
     )
-    win = _window_bases(jnp.asarray(text), pos, depth)
+    win_t = _window_bases(jnp.asarray(text), pos, depth).T
     kb, ke, ks = (
         np.asarray(x)
-        for x in chain_window_pallas(table, sizes_t, ss.fixed, win, m, depth, True)
+        for x in chain_window_pallas(table, sizes_t, ss.fixed, win_t, m, depth, True)
     )
     np.testing.assert_array_equal(kb, wb)
     np.testing.assert_array_equal(ke, we)
