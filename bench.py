@@ -141,8 +141,10 @@ def main():
         return
 
     # one subprocess per platform (backend selection is sticky); run them
-    # concurrently — the TPU leg mostly waits on the remote chip
-    procs = {}
+    # SEQUENTIALLY — the TPU leg's dispatch/compaction driver needs host
+    # cycles, so a concurrent CPU leg distorts BOTH measurements
+    rates = {}
+    rank = {}
     for platform in ("tpu", "cpu"):
         rank_part = (
             "rr = bench._rank_rate();"
@@ -156,16 +158,13 @@ def main():
             f"r = bench._pipeline_rate({platform!r});"
             "print('RATE', json.dumps(r));" + rank_part
         )
-        procs[platform] = subprocess.Popen(
+        p = subprocess.Popen(
             [sys.executable, "-c", code],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
             cwd="/root/repo",
         )
-    rates = {}
-    rank = {}
-    for platform, p in procs.items():
         try:
             stdout, stderr = p.communicate(timeout=1800)
             for ln in stdout.splitlines():

@@ -43,7 +43,11 @@ def build_readmap(
     olens = np.concatenate([lengths, lengths])
 
     if entry_words is None:
-        entry_words, entry_lens = reconstruct_entry_words(seqset)
+        cached = seqset.__dict__.get("_entry_cache")
+        if cached is not None:
+            entry_words, entry_lens = cached
+        else:
+            entry_words, entry_lens = reconstruct_entry_words(seqset)
     W = entry_words.shape[1]
     ew_dev = jnp.asarray(entry_words)
     el_dev = jnp.asarray(entry_lens)

@@ -25,6 +25,8 @@ from __future__ import annotations
 from typing import Tuple
 
 import numpy as np
+from functools import partial as _partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -74,14 +76,20 @@ def build_seqset(
         )
         return seqset_from_entries(jnp.asarray(e_words), jnp.asarray(e_lens))
 
-    seqs = codes
-    seq_lens = lengths
+    # device-resident from here: the revcomp + concat stay on device (the
+    # old np.asarray bounce shipped the read matrix down and back up — a
+    # full megabyte of relay traffic on the golden sample)
+    codes_dev = jnp.asarray(codes)
+    lens_dev = jnp.asarray(lengths)
     if include_rc:
-        rc = np.asarray(dna.revcomp_codes(jnp.asarray(codes), jnp.asarray(lengths)))
-        seqs = np.concatenate([codes, rc], axis=0)
-        seq_lens = np.concatenate([lengths, lengths])
+        seqs = jnp.concatenate(
+            [codes_dev, dna.revcomp_codes(codes_dev, lens_dev)], axis=0
+        )
+        seq_lens = jnp.concatenate([lens_dev, lens_dev])
+    else:
+        seqs, seq_lens = codes_dev, lens_dev
 
-    words, wlens = _suffix_words(jnp.asarray(seqs), jnp.asarray(seq_lens), W)
+    words, wlens = _suffix_words(seqs, seq_lens, W)
     # --- sort + dedup + maximality (device) ---
     ew, el, n_entries = _entries_from_suffixes(words, wlens)
     # device slices straight into assembly — no host bounce of the entries
@@ -236,39 +244,42 @@ def _suffix_words_range(
     )
 
 
-def _suffix_words(seqs: jnp.ndarray, seq_lens: jnp.ndarray, W: int):
-    """All nonempty suffixes of all rows, packed.  Returns ([N, W] u32, [N])."""
+@_partial(jax.jit, static_argnums=(2, 3))
+def _suffix_words_jit(seqs, seq_lens, W: int, Lcap: int):
+    """All suffixes j < Lcap of all rows, packed + keep-sorted, ONE device
+    program (the old per-j dispatch loop paid a launch per base position)."""
     S, L = seqs.shape
-    # suffix j of row r: codes shifted left j; generate via gather
-    # [S, L(j), L(pos)] would be L^2 memory per read; chunk over j instead.
     out_words = []
     out_lens = []
-    chunk = max(1, (1 << 22) // max(S, 1))  # rows of j per pass
-    for j0 in range(0, L, chunk):
-        j1 = min(L, j0 + chunk)
-        for j in range(j0, j1):
-            ln = seq_lens - j
-            keep_any = int(jnp.max(ln)) if ln.size else 0
-            if keep_any <= 0:
-                break
-            shifted = jnp.concatenate(
-                [seqs[:, j:], jnp.zeros((S, j), jnp.uint8)], axis=1
-            )
-            w = dna.pack_codes(shifted, jnp.maximum(ln, 0))
-            out_words.append(w)
-            out_lens.append(jnp.maximum(ln, 0).astype(jnp.int32))
+    for j in range(Lcap):
+        ln = seq_lens - j
+        shifted = jnp.concatenate(
+            [seqs[:, j:], jnp.zeros((S, j), jnp.uint8)], axis=1
+        )
+        out_words.append(dna.pack_codes(shifted, jnp.maximum(ln, 0)))
+        out_lens.append(jnp.maximum(ln, 0).astype(jnp.int32))
     words = jnp.concatenate(out_words, axis=0)
     lens = jnp.concatenate(out_lens, axis=0)
     keep = lens > 0
-    # compact: sort by ~keep then slice (device-friendly)
-    n_keep = int(jnp.sum(keep))
     ops = (jnp.where(keep, 0, 1).astype(jnp.int32),) + tuple(
         words[:, i] for i in range(words.shape[1])
     ) + (lens,)
     out = lax.sort(ops, num_keys=1, is_stable=True)
-    words = jnp.stack(out[1:-1], axis=1)[:n_keep]
-    lens = out[-1][:n_keep]
-    return words, lens
+    return (
+        jnp.stack(out[1:-1], axis=1),
+        out[-1],
+        jnp.sum(keep.astype(jnp.int64)),
+    )
+
+
+def _suffix_words(seqs: jnp.ndarray, seq_lens: jnp.ndarray, W: int):
+    """All nonempty suffixes of all rows, packed.  Returns ([N, W] u32, [N])."""
+    S, L = seqs.shape
+    # ONE host read bounds the unroll; ONE more slices the keep prefix
+    Lmax = int(jnp.max(seq_lens)) if seq_lens.size else 0
+    words, lens, n_keep = _suffix_words_jit(seqs, seq_lens, W, min(L, Lmax))
+    n_keep = int(n_keep)
+    return words[:n_keep], lens[:n_keep]
 
 
 def _entries_from_suffixes(words: jnp.ndarray, lens: jnp.ndarray):
@@ -286,7 +297,6 @@ def _entries_from_suffixes(words: jnp.ndarray, lens: jnp.ndarray):
     return jnp.stack(out[1:-1], axis=1), out[-1], n_entries
 
 
-from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnums=(2, 3))
@@ -352,7 +362,7 @@ def seqset_from_entries(e_words: jnp.ndarray, e_lens: jnp.ndarray) -> Seqset:
         raise AssertionError("fixed counts disagree with entry count")
     if not mono:
         raise AssertionError("select table not increasing within a base")
-    return Seqset(
+    ss = Seqset(
         n_entries=n,
         max_entry_len=max_len,
         fixed=fixed,
@@ -362,6 +372,10 @@ def seqset_from_entries(e_words: jnp.ndarray, e_lens: jnp.ndarray) -> Seqset:
         shared=shared,
         pop_sel=lb,
     )
+    # keep the packed entry matrix for the readmap build (it would otherwise
+    # reconstruct it entry-by-entry via pop chains)
+    ss.__dict__["_entry_cache"] = (e_words, e_lens)
+    return ss
 
 
 def _shift_one_base(words: jnp.ndarray) -> jnp.ndarray:

@@ -767,11 +767,10 @@ def _prescreen_bitmap_jit(d):
 
 
 @jax.jit
-def _hit_blocks_packed(bitmap, ref2_dev):
-    """packbits over per-BLK-block 'any position's K-mer is a read K-mer'.
-
-    hit[p] tests the K-mer ENDING at p (positions p < K-1 read a zero pad —
-    anchors need >= min_anchor_ctx of context so none live there)."""
+def _hit_mask(bitmap, ref2_dev):
+    """Per-position 'the K-mer ENDING here is a read K-mer' (positions
+    p < K-1 read a zero pad — anchors need >= min_anchor_ctx of context so
+    none live there).  Padded to a BLK multiple."""
     K = _PRESCREEN_K
     BLK = _PRESCREEN_BLK
     n2 = ref2_dev.shape[0]
@@ -789,7 +788,29 @@ def _hit_blocks_packed(bitmap, ref2_dev):
             jnp.int64
         )
     hit = jnp.take(bitmap, val) > 0
-    return jnp.packbits(hit.reshape(nb, BLK).any(axis=1))
+    return hit.at[n2:].set(False)
+
+
+@jax.jit
+def _hit_blocks_packed(bitmap, ref2_dev):
+    """packbits over per-BLK-block 'any position's K-mer is a read K-mer'."""
+    hit = _hit_mask(bitmap, ref2_dev)
+    return jnp.packbits(hit.reshape(-1, _PRESCREEN_BLK).any(axis=1))
+
+
+@jax.jit
+def _hit_count(bitmap, ref2_dev):
+    return jnp.sum(_hit_mask(bitmap, ref2_dev).astype(jnp.int64))
+
+
+@_partial(jax.jit, static_argnums=(2,))
+def _hit_positions_jit(bitmap, ref2_dev, Pc: int):
+    """The first Pc hit positions via cumsum + searchsorted compaction
+    (pads -> -1)."""
+    hit = _hit_mask(bitmap, ref2_dev)
+    cs = jnp.cumsum(hit.astype(jnp.int64))
+    src = jnp.searchsorted(cs, jnp.arange(1, Pc + 1, dtype=jnp.int64))
+    return jnp.where(src < hit.shape[0], src, jnp.int64(-1))
 
 
 def _prescreen_blocks(ss: Seqset, ref2_dev) -> np.ndarray:
@@ -900,21 +921,20 @@ def _discover_compact(ss, reference, ref, ref2, ref2_dev, segments, opt,
     )
 
     d = ss.d
-    blocks = _prescreen_blocks(ss, ref2_dev)
-    BLK = _PRESCREEN_BLK
-    bids_all = np.nonzero(blocks)[0].astype(np.int64)
-    # keep blocks overlapping some segment's probe range
-    keep = np.zeros(len(bids_all), bool)
-    for _, _, p_first, p_last, _ in segments:
-        keep |= (bids_all * BLK <= p_last) & ((bids_all + 1) * BLK > p_first)
-    bids = bids_all[keep]
-    stats["prescreen_probed"] = int(len(bids)) * BLK
-    if len(bids) == 0:
+    bm = ss.__dict__.get("_prescreen_bitmap")
+    if bm is None:
+        bm = _prescreen_bitmap_jit(ss.d)
+        ss.__dict__["_prescreen_bitmap"] = bm
+    # candidate lanes = EXACT hit positions (block granularity over-covers
+    # ~10x: repeats scatter sites genome-wide and every site pays
+    # 2*BLK*strands lanes) — one tiny count fetch sizes the compaction
+    n_hits = int(_hit_count(bm, ref2_dev))
+    stats["prescreen_probed"] = n_hits
+    if n_hits == 0:
         stage_s["anchors"] = stage_s.get("anchors", 0.0) + (time.time() - _t)
         return _dedup_records(all_records)
-    nbp = max(_next_pow2(len(bids)), 4)
-    bids_p = np.concatenate([bids, np.full(nbp - len(bids), -1, np.int64)])
-    pos = _block_positions_jit(jnp.asarray(bids_p), 2 * G, BLK)
+    Pc = max(_next_pow2(n_hits), 1024)
+    pos = _hit_positions_jit(bm, ref2_dev, Pc)
     # per-lane validity cap and context clip (<= 2 segments: a where-chain)
     cap = jnp.full(pos.shape, -1, jnp.int64)
     ctx = jnp.zeros(pos.shape, jnp.int64)
@@ -931,22 +951,33 @@ def _discover_compact(ss, reference, ref, ref2, ref2_dev, segments, opt,
     fb, fe, fs = find_window_auto(d, ref2_dev, posc, m_vec, opt.probe_ctx)
     stage_s["probe_filter"] = stage_s.get("probe_filter", 0.0) + (time.time() - _t)
     _t = time.time()
-    alive = _fetch((fb < fe) & (cap >= 0))
-    if not alive.any():
-        stage_s["anchors"] = stage_s.get("anchors", 0.0) + (time.time() - _t)
-        return _dedup_records(all_records)
-    idx = np.nonzero(alive)[0]
-    m2 = _next_pow2(len(idx))
-    sel = np.concatenate([idx, np.full(m2 - len(idx), idx[-1])])
-    selj = jnp.asarray(sel)
-    pos2 = jnp.take(posc, selj)
-    # pad lanes repeat a real lane — disable their anchors via cap
-    cap2 = jnp.where(
-        jnp.arange(m2) < len(idx), jnp.take(cap, selj), jnp.int64(-1)
-    )
-    seed = (jnp.take(fb, selj), jnp.take(fe, selj), jnp.take(fs, selj))
+    from biograph_tpu.index.probes import _use_chain_kernel
+
+    if _use_chain_kernel(d, opt.probe_ctx):
+        # kernel path: exact rounds are so cheap that compacting to the
+        # alive subset costs MORE (a packed-mask host round trip) than it
+        # saves — run every lane; dead lanes stay invalid through the
+        # rounds and the anchor gate drops them
+        pos2, cap2, ctx2 = posc, cap, ctx
+        seed = (fb, fe, fs)
+    else:
+        alive = _fetch((fb < fe) & (cap >= 0))
+        if not alive.any():
+            stage_s["anchors"] = stage_s.get("anchors", 0.0) + (time.time() - _t)
+            return _dedup_records(all_records)
+        idx = np.nonzero(alive)[0]
+        m2 = _next_pow2(len(idx))
+        sel = np.concatenate([idx, np.full(m2 - len(idx), idx[-1])])
+        selj = jnp.asarray(sel)
+        pos2 = jnp.take(posc, selj)
+        # pad lanes repeat a real lane — disable their anchors via cap
+        cap2 = jnp.where(
+            jnp.arange(m2) < len(idx), jnp.take(cap, selj), jnp.int64(-1)
+        )
+        ctx2 = jnp.take(ctx, selj)
+        seed = (jnp.take(fb, selj), jnp.take(fe, selj), jnp.take(fs, selj))
     b2, e2, s2 = probe_exact_auto(
-        d, ref2_dev, pos2, jnp.take(ctx, selj), opt.probe_ctx,
+        d, ref2_dev, pos2, ctx2, opt.probe_ctx,
         opt.min_anchor_ctx, seed,
     )
     stage_s["probe_exact"] = stage_s.get("probe_exact", 0.0) + (time.time() - _t)
