@@ -60,6 +60,55 @@ def _pipeline_rate(platform: str):
     }
 
 
+def _scaled_pipeline_rate(platform: str):
+    """reads/s on a COMPUTE-BOUND workload: 120k 100bp reads at ~6x over a
+    2 Mb genome with 4000 planted SNPs (deterministic).  The golden sample
+    (10k 35bp reads, 12 kb covered) measures fixed costs — launch latency,
+    syncs, compile-cache hits — which a relay-attached chip can never win;
+    this leg measures the engine at a size where rank volume dominates."""
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+
+    from biograph_tpu.build.seqset_build import build_seqset
+    from biograph_tpu.build.readmap_build import build_readmap
+    from biograph_tpu.index.reference import Contig
+    from biograph_tpu.variants.discover import DiscoverOptions, discover_variants
+
+    rng = np.random.default_rng(12345)
+    G, L, R = 2_000_000, 100, 120_000
+    genome = rng.integers(0, 4, G, dtype=np.uint8)
+    donor = genome.copy()
+    snp = rng.choice(np.arange(200, G - 200), 4000, replace=False)
+    donor[snp] = (donor[snp] + 1 + rng.integers(0, 3, 4000)) % 4
+    starts = rng.integers(0, G - L, R)
+    codes = np.stack([donor[s : s + L] for s in starts])
+    half = R // 2
+    codes[:half] = (3 - codes[:half])[:, ::-1]
+    lengths = np.full(R, L, np.int32)
+
+    class Ref:
+        flat = genome
+        is_n = np.zeros(G, bool)
+        contigs = [Contig(name="chr", start=0, length=G)]
+
+    opt = DiscoverOptions(min_alt_support=5)
+
+    def once():
+        t0 = time.time()
+        ss = build_seqset(codes, lengths)
+        rm = build_readmap(ss, codes, lengths)
+        recs = discover_variants(ss, Ref(), opt=opt, readmap=rm)
+        return time.time() - t0, recs
+
+    once()
+    dt, recs = once()
+    return {"reads_per_s": R / dt, "wall_s": round(dt, 2), "records": len(recs)}
+
+
 def _rank_rate():
     """Rank-query throughput of the MXU kernel vs the XLA gather path (the
     speed-of-light microbenchmark SURVEY §7 hard-part 3 calls for;

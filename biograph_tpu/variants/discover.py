@@ -218,6 +218,7 @@ def wavefront_assemble(
     ref_dev=None,
     engine=None,
     mem_plan=None,
+    prescreen=None,
 ) -> List[Assembly]:
     """Extend alt branches through the seqset; rejoin to reference.
 
@@ -284,42 +285,22 @@ def wavefront_assemble(
         npk_all = 16384
         while npk_all < span_all - k_rej + 1:
             npk_all *= 4 if npk_all < (1 << 20) else 2
-        # compact covered-block table (see _span_kmers_compact_dev): sound
-        # whenever rejoin k-mers are guaranteed read substrings covered by
-        # the prescreen blocks (k in [PRESCREEN_K, probe_ctx]).  Worth it
-        # only where the per-step searchsorted is the beam's cost (CPU:
-        # wavefront 6.7 -> 4.7 s) — on the MXU path the dense table's
-        # slice-rolled build is cheaper than the compact one's window
-        # gather, and the beam is launch-bound anyway (chip A/B 1.5 vs 3.2)
+        # compact HIT-POSITION table (see _span_kmers_compact_dev): every
+        # reachable query k-mer is read content whose last PRESCREEN_K
+        # bases hit, so span occurrences only start at hit_pos - (k-1) —
+        # a ~100x smaller table (no 8M-row sort per orientation) with
+        # identical answers
         if (
             engine is None
-            and not mxu
-            and use_prescreen(opt)
+            and prescreen is not None
             and _PRESCREEN_K <= k_rej <= opt.probe_ctx
         ):
-            BLK = _PRESCREEN_BLK
-            blocks = _prescreen_blocks(ss, ref_dev)
-            bids = np.nonzero(blocks)[0].astype(np.int64)
-            # a k-mer STARTING in block b-1 can end (and hit) in block b
-            bids = np.unique(np.concatenate([bids, bids - 1]))
-            bids = bids[
-                (bids >= lo_all // BLK) & (bids * BLK < lo_all + span_all)
-            ]
-            npk_c = 16384
-            while npk_c < len(bids) * BLK:
-                npk_c *= 4 if npk_c < (1 << 20) else 2
+            npk_c = prescreen["pos"].shape[0]
             if npk_c < npk_all:
-                nbp = npk_c // BLK
-                bids_p = np.concatenate(
-                    [bids, np.full(nbp - len(bids), -1, np.int64)]
-                )
-                pos_abs = _block_positions_jit(
-                    jnp.asarray(bids_p), 0, BLK
-                )
                 K_t, key2_t, n_real = _span_kmers_compact_dev(
                     ref_dev, jnp.asarray(lo_all, jnp.int64),
                     jnp.asarray(span_all, jnp.int64), npk_c, k_rej,
-                    pos_abs=pos_abs,
+                    pos_abs=prescreen["pos"] - (k_rej - 1),
                 )
                 # n_real stays a device scalar (it only feeds a device-side
                 # bound check) — no extra host sync
@@ -1010,7 +991,7 @@ def _discover_compact(ss, reference, ref, ref2, ref2_dev, segments, opt,
     return _finish_from_anchors(
         ss, reference, ref, ref2, ref2_dev, opt, stats, stage_s,
         anchor_parts, all_asms, all_records, readmap, out_assemblies, G, _t,
-        mem_plan=mem_plan,
+        mem_plan=mem_plan, prescreen={"pos": pos},
     )
 
 
@@ -1858,7 +1839,7 @@ def _discover_finish(ss, reference, ref, ref2, ref2_dev, batches, probe_h,
 def _finish_from_anchors(ss, reference, ref, ref2, ref2_dev, opt, stats,
                          stage_s, anchor_parts, all_asms, all_records,
                          readmap, out_assemblies, G, _t, engine=None,
-                         mem_plan=None):
+                         mem_plan=None, prescreen=None):
     """Wavefront -> score -> extract from pooled per-orientation anchors."""
     # assemble once per orientation over ALL collected anchors: with sparse
     # anchors (a whole genome yields a few hundred), per-probe-batch assembly
@@ -1879,6 +1860,7 @@ def _finish_from_anchors(ss, reference, ref, ref2, ref2_dev, opt, stats,
             ss, ref2, anchors, opt, stats=stats,
             ref_limit=(2 * G if rev_half else G),
             ref_dev=ref2_dev, engine=engine, mem_plan=mem_plan,
+            prescreen=prescreen,
         )
         if rev_half:
             asms = [
