@@ -85,7 +85,7 @@ def _scaled_pipeline_rate(platform: str):
     snp = rng.choice(np.arange(200, G - 200), 4000, replace=False)
     donor[snp] = (donor[snp] + 1 + rng.integers(0, 3, 4000)) % 4
     starts = rng.integers(0, G - L, R)
-    codes = np.stack([donor[s : s + L] for s in starts])
+    codes = donor[starts[:, None] + np.arange(L)]
     half = R // 2
     codes[:half] = (3 - codes[:half])[:, ::-1]
     lengths = np.full(R, L, np.int32)
@@ -101,12 +101,21 @@ def _scaled_pipeline_rate(platform: str):
         t0 = time.time()
         ss = build_seqset(codes, lengths)
         rm = build_readmap(ss, codes, lengths)
-        recs = discover_variants(ss, Ref(), opt=opt, readmap=rm)
-        return time.time() - t0, recs
+        t1 = time.time()
+        stats = {}
+        recs = discover_variants(ss, Ref(), opt=opt, readmap=rm, stats=stats)
+        return t1 - t0, time.time() - t1, recs, stats
 
     once()
-    dt, recs = once()
-    return {"reads_per_s": R / dt, "wall_s": round(dt, 2), "records": len(recs)}
+    tb, tc, recs, stats = once()
+    dt = tb + tc
+    return {
+        "reads_per_s": R / dt,
+        "build_s": round(tb, 2),
+        "call_s": round(tc, 2),
+        "records": len(recs),
+        "stage_s": {k: round(v, 2) for k, v in stats.get("stage_s", {}).items()},
+    }
 
 
 def _rank_rate():
@@ -191,8 +200,12 @@ def main():
 
     # one subprocess per platform (backend selection is sticky); run them
     # SEQUENTIALLY — the TPU leg's dispatch/compaction driver needs host
-    # cycles, so a concurrent CPU leg distorts BOTH measurements
+    # cycles, so a concurrent CPU leg distorts BOTH measurements.  Each
+    # platform runs the golden-toy leg (fixed-cost regime, round-to-round
+    # continuity) AND the scaled compute-bound leg (the BASELINE target's
+    # actual regime: 120k 100bp reads over a 2 Mb genome).
     rates = {}
+    scaled = {}
     rank = {}
     for platform in ("tpu", "cpu"):
         rank_part = (
@@ -205,7 +218,9 @@ def main():
             "import json,sys; sys.path.insert(0, '/root/repo');"
             "import bench;"
             f"r = bench._pipeline_rate({platform!r});"
-            "print('RATE', json.dumps(r));" + rank_part
+            "print('RATE', json.dumps(r), flush=True);"
+            f"s = bench._scaled_pipeline_rate({platform!r});"
+            "print('SCALED', json.dumps(s), flush=True);" + rank_part
         )
         p = subprocess.Popen(
             [sys.executable, "-c", code],
@@ -215,10 +230,12 @@ def main():
             cwd="/root/repo",
         )
         try:
-            stdout, stderr = p.communicate(timeout=1800)
+            stdout, stderr = p.communicate(timeout=2700)
             for ln in stdout.splitlines():
                 if ln.startswith("RATE "):
                     rates[platform] = json.loads(ln[5:])
+                if ln.startswith("SCALED "):
+                    scaled[platform] = json.loads(ln[7:])
                 if ln.startswith("RANK "):
                     rank = {
                         "rank_mxu_queries_per_s": round(float(ln.split()[1]), 0),
@@ -256,6 +273,22 @@ def main():
         if cpu and cpu.get("reads_per_s")
         else 0.0
     )
+    s_tpu, s_cpu = scaled.get("tpu"), scaled.get("cpu")
+    scaled_fields = {}
+    if s_tpu:
+        scaled_fields["scaled_tpu_reads_per_s"] = round(s_tpu["reads_per_s"], 1)
+        scaled_fields["scaled_tpu_stages"] = {
+            k: s_tpu[k] for k in ("build_s", "call_s", "records", "stage_s")
+        }
+    if s_cpu:
+        scaled_fields["scaled_cpu_reads_per_s"] = round(s_cpu["reads_per_s"], 1)
+        scaled_fields["scaled_cpu_stages"] = {
+            k: s_cpu[k] for k in ("build_s", "call_s", "records")
+        }
+    if s_tpu and s_cpu and s_cpu.get("reads_per_s"):
+        scaled_fields["scaled_vs_baseline"] = round(
+            s_tpu["reads_per_s"] / s_cpu["reads_per_s"], 2
+        )
     print(
         json.dumps(
             {
@@ -273,6 +306,7 @@ def main():
                     if cpu
                     else {}
                 ),
+                **scaled_fields,
                 **rank,
             }
         )

@@ -70,12 +70,19 @@ class Seqset:
     def d(self):
         """Device-resident arrays bundle (jnp)."""
         from biograph_tpu.ops.ltsearch import LtSearch, LtTree
-        from biograph_tpu.ops.rank4 import build_bytes_table, build_rank4_table
+        from biograph_tpu.ops.rank4 import (
+            build_bytes_table,
+            build_rank4_hbm_table,
+            build_rank4_table,
+        )
 
         # The MXU rank4 kernel needs a real TPU backend (Pallas on the CPU
-        # backend only runs interpreted) and a VMEM-resident structure
+        # backend only runs interpreted) and a VMEM-resident structure;
+        # above the VMEM cap the TILED HBM kernel (scalar-prefetched tile
+        # DMA, ops/rank4.py) serves batch rank4 up to HBM_MAX_NW words
         table = None
         sizes_table = None
+        hbm = None
         try:
             if jax.devices()[0].platform != "cpu":
                 table = build_rank4_table(self.prev_words, self.prev_cum)
@@ -83,9 +90,12 @@ class Seqset:
                     # clipped at 255: the kick test only ever compares against
                     # chain window sizes (<= probe depth + 1, far below 255)
                     sizes_table = build_bytes_table(np.asarray(self.entry_sizes))
+                else:
+                    hbm = build_rank4_hbm_table(self.prev_words, self.prev_cum)
         except Exception:
             table = None
             sizes_table = None
+            hbm = None
         # jnp.asarray is a no-op for already-device-resident fields (the
         # device builder keeps them there); host-loaded seqsets upload once
         shared_dev = jnp.asarray(self.shared)
@@ -110,6 +120,7 @@ class Seqset:
             rank4_table=table,
             sizes_table=sizes_table,
             shared_tree=LtTree.build(shared_dev),
+            rank4_hbm=hbm,
         )
 
     # ---------------- convenience (host-side, small queries) -------------
@@ -187,6 +198,7 @@ class _SeqsetDevice:
     rank4_table: jnp.ndarray | None = None  # MXU rank kernel table (ops/rank4)
     sizes_table: jnp.ndarray | None = None  # MXU byte-gather table (entry_sizes)
     shared_tree: object = None  # while-free LtTree (device-loop walk)
+    rank4_hbm: tuple | None = None  # (tiles, base) HBM-tier rank kernel
 
     def tree_flatten(self):
         children = (
@@ -200,6 +212,7 @@ class _SeqsetDevice:
             self.rank4_table,
             self.sizes_table,
             self.shared_tree,
+            self.rank4_hbm,
         )
         return children, self.n_entries
 
@@ -217,6 +230,7 @@ class _SeqsetDevice:
             rank4_table=children[7],
             sizes_table=children[8],
             shared_tree=children[9],
+            rank4_hbm=children[10] if len(children) > 10 else None,
         )
 
     # -- primitive ops (all batched) --
@@ -311,7 +325,11 @@ class _SeqsetDevice:
         use_kernel=False forces the XLA path — a pallas_call nested inside a
         long lax.scan has crashed the TPU worker on this toolchain, so the
         scanned reference walk opts out."""
-        from biograph_tpu.ops.rank4 import rank4_pallas, rank4_xla
+        from biograph_tpu.ops.rank4 import (
+            rank4_hbm_pallas,
+            rank4_pallas,
+            rank4_xla,
+        )
 
         if (
             use_kernel
@@ -319,6 +337,13 @@ class _SeqsetDevice:
             and pos.shape[0] >= 256
         ):
             return rank4_pallas(self.rank4_table, pos)
+        if (
+            use_kernel
+            and self.rank4_table is None
+            and self.rank4_hbm is not None
+            and pos.shape[0] >= 1024  # the sort/bucket prologue must amortize
+        ):
+            return rank4_hbm_pallas(self.rank4_hbm[0], self.rank4_hbm[1], pos)
         return rank4_xla(self.prev_words, self.prev_cum, pos)
 
     def push4(self, r: SeqsetRanges, use_kernel: bool = True):

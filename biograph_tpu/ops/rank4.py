@@ -28,6 +28,7 @@ bitcast instead of uint<->int astype, no 64-bit types in-kernel.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -415,6 +416,167 @@ def chain_fixed_pallas(table, sizes_table, fixed, text, depth: int,
     return chain_window_pallas(
         table, sizes_table, fixed, win_t, m, depth, interpret
     )
+
+
+# ---------------------------------------------------------------------------
+# HBM-tier rank kernel: lifts the VMEM MAX_NW cap (SURVEY §7 hard-part 3's
+# "blocked layouts + software prefetch batching").  The structure lives in
+# HBM as [n_tiles, 32, TILE_W] byte-limb tiles with per-tile REBASED cum
+# (within-tile cum < 32*TILE_W, always limb-exact); queries are sorted and
+# bucketed by tile on-device, each padded bucket is a whole number of
+# Q_BLOCK lane blocks, and a scalar-prefetched per-block tile id lets
+# Mosaic DMA each tile once per bucket (consecutive blocks with the same
+# index re-use the resident block).  Reference yardstick: the mmap'd
+# bitcount accel tables (modules/io/bitcount.h:13-56) serving multi-GB
+# bitvectors — this is their TPU shape.
+# ---------------------------------------------------------------------------
+
+TILE_W = int(os.environ.get("BGT_RANK_TILE_W", "2048"))  # words per HBM tile
+HBM_MAX_NW = int(
+    os.environ.get("BGT_RANK_HBM_MAX_NW", str(1 << 24))
+)  # 16.7M words = 536M entries; table = 64 B/word of HBM
+
+
+def build_rank4_hbm_table(prev_words: np.ndarray, prev_cum: np.ndarray,
+                          tile_w: int = 0):
+    """Tiled HBM packing of the rank structure.
+
+    Returns (tiles bf16 [n_tiles, 32, tile_w], base int64 [4, n_tiles]) or
+    None when the structure exceeds HBM_MAX_NW.  Row layout inside a tile
+    matches the VMEM table (cum limb j at rows 4j..4j+3, word limb j at
+    rows 12+4j..15+4j) with rows 28..31 zero padding (bf16 sublane tiling);
+    cum rows hold cum - base[tile], exact in 2 byte limbs by construction.
+    Padded columns past the real structure select total counts with a zero
+    word (end positions on the last word boundary land there)."""
+    tile_w = tile_w or TILE_W
+    words = np.asarray(prev_words, np.uint32)
+    cum = np.asarray(prev_cum, np.int64)
+    nw = words.shape[1]
+    if nw == 0 or nw > HBM_MAX_NW:
+        return None
+    n_tiles = -(-(nw + 1) // tile_w)
+    ncol = n_tiles * tile_w
+    totals = cum[:, -1] + np.array(
+        [int(bin(int(w)).count("1")) for w in words[:, -1]], np.int64
+    )
+    cum_pad = np.concatenate(
+        [cum, np.repeat(totals[:, None], ncol - nw, axis=1)], axis=1
+    )
+    words_pad = np.zeros((4, ncol), np.uint32)
+    words_pad[:, :nw] = words
+    base = cum_pad[:, ::tile_w].copy()  # [4, n_tiles]
+    rel = (
+        cum_pad.reshape(4, n_tiles, tile_w)
+        - base[:, :, None]
+    )  # < 32*tile_w, fits 2 byte limbs
+    out = np.zeros((n_tiles, 32, tile_w), np.float32)
+    for j in range(3):
+        out[:, 4 * j : 4 * j + 4] = np.moveaxis(
+            (rel >> (8 * j)) & 0xFF, 0, 1
+        ).astype(np.float32)
+    wtile = np.moveaxis(words_pad.reshape(4, n_tiles, tile_w), 0, 1)
+    for j in range(4):
+        out[:, 12 + 4 * j : 16 + 4 * j] = (
+            (wtile >> np.uint32(8 * j)) & np.uint32(0xFF)
+        ).astype(np.float32)
+    return jnp.asarray(out, jnp.bfloat16), jnp.asarray(base)
+
+
+def _rank4_hbm_kernel(bt_ref, lw_ref, rem_ref, tile_ref, out_ref):
+    """One grid step: Q_BLOCK tile-local queries against ONE resident tile."""
+    lw = lw_ref[...]  # i32 [1, Q] word index WITHIN the tile
+    rem = rem_ref[...]  # i32 [1, Q]
+    tw = tile_ref.shape[1]
+    iota = lax.broadcasted_iota(jnp.int32, (tw, Q_BLOCK), 0)
+    eq = (iota == lw).astype(jnp.bfloat16)
+    sel = jnp.dot(
+        tile_ref[...], eq, preferred_element_type=jnp.float32
+    )  # [32, Q] exact byte limbs
+    limbs = sel.astype(jnp.int32)
+    cum = (
+        limbs[0:4, :]
+        + lax.shift_left(limbs[4:8, :], jnp.int32(8))
+        + lax.shift_left(limbs[8:12, :], jnp.int32(16))
+    )
+    word = limbs[12:16, :]
+    for j in range(1, 4):
+        word = lax.bitwise_or(
+            word,
+            lax.shift_left(limbs[12 + 4 * j : 16 + 4 * j, :], jnp.int32(8 * j)),
+        )
+    mask = lax.shift_left(jnp.int32(1), rem) - jnp.int32(1)
+    mask = jnp.where(rem > jnp.int32(0), mask, jnp.int32(0))
+    wu = lax.bitcast_convert_type(word, jnp.uint32)
+    mu = lax.bitcast_convert_type(jnp.broadcast_to(mask, word.shape), jnp.uint32)
+    part = lax.bitcast_convert_type(
+        lax.population_count(lax.bitwise_and(wu, mu)), jnp.int32
+    )
+    out_ref[...] = cum + part
+
+
+@partial(jax.jit, static_argnums=(3,))
+def rank4_hbm_pallas(tiles: jnp.ndarray, base: jnp.ndarray, pos: jnp.ndarray,
+                     interpret: bool = False):
+    """All-4-bases rank at each position against the TILED HBM structure.
+
+    tiles/base from build_rank4_hbm_table; pos int [B].  Returns int32
+    [B, 4].  Fully jittable: the sort/bucket/scatter prologue and the
+    un-permute epilogue are XLA; only the rank itself is the kernel."""
+    n_tiles, _, tile_w = tiles.shape
+    B = pos.shape[0]
+    Q = Q_BLOCK
+    w = (pos.astype(jnp.int64) >> 5)
+    rem = (pos.astype(jnp.int64) & 31).astype(jnp.int32)
+    w = jnp.minimum(w, n_tiles * tile_w - 1)
+    tile = (w // tile_w).astype(jnp.int32)
+    local_w = (w % tile_w).astype(jnp.int32)
+
+    perm = jnp.argsort(tile)
+    tile_s = tile[perm]
+    # bucket offsets: counts per tile, each padded bucket a multiple of Q,
+    # so USED blocks form a contiguous prefix of the padded layout
+    counts = jnp.bincount(tile_s, length=n_tiles)
+    padded = -(-counts // Q) * Q
+    bucket_off = jnp.cumsum(padded) - padded  # exclusive
+    csum = jnp.cumsum(counts) - counts
+    within = jnp.arange(B, dtype=counts.dtype) - csum[tile_s]
+    dest = (bucket_off[tile_s] + within).astype(jnp.int32)
+
+    PB = -(-B // Q) * Q + n_tiles * Q  # static worst case
+    lw_p = jnp.zeros((1, PB), jnp.int32).at[0, dest].set(local_w[perm])
+    rem_p = jnp.zeros((1, PB), jnp.int32).at[0, dest].set(rem[perm])
+    n_blocks = PB // Q
+    total = jnp.sum(padded)
+    bstart = jnp.arange(n_blocks, dtype=total.dtype) * Q
+    bt = jnp.searchsorted(jnp.cumsum(padded), bstart, side="right").astype(
+        jnp.int32
+    )
+    # dead-tail blocks re-read the last used tile (no DMA, no effect)
+    n_used = jnp.maximum(total // Q, 1)
+    last_bt = bt[jnp.minimum(n_used - 1, n_blocks - 1)]
+    bt = jnp.where(bstart < total, jnp.minimum(bt, n_tiles - 1), last_bt)
+
+    out = pl.pallas_call(
+        _rank4_hbm_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, Q), lambda i, bt: (jnp.int32(0), i)),
+                pl.BlockSpec((1, Q), lambda i, bt: (jnp.int32(0), i)),
+                pl.BlockSpec(
+                    (None, 32, tile_w),
+                    lambda i, bt: (bt[i], jnp.int32(0), jnp.int32(0)),
+                ),
+            ],
+            out_specs=pl.BlockSpec((4, Q), lambda i, bt: (jnp.int32(0), i)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, PB), jnp.int32),
+        interpret=interpret,
+    )(bt, lw_p, rem_p, tiles)
+    local = out[:, dest].astype(jnp.int64) + base[:, tile[perm]]  # [4, B]
+    inv = jnp.argsort(perm)
+    return local[:, inv].T.astype(jnp.int32)
 
 
 def rank4_xla(prev_words, prev_cum, pos):

@@ -81,6 +81,43 @@ def test_push4_matches_push_front(rng):
         assert (np.asarray(ne4[:, b]) == np.asarray(c.end)).all()
 
 
+def test_rank4_hbm_matches_xla(rng):
+    """HBM-tier tiled kernel (past the VMEM cap) vs the gather path,
+    random AND clustered (tile-locality) query shapes, boundary positions."""
+    from biograph_tpu.ops.rank4 import build_rank4_hbm_table, rank4_hbm_pallas
+
+    nw = MAX_NW + 1000  # just past the VMEM cap -> multiple tiles
+    words, cum = _structure(rng, nw)
+    res = build_rank4_hbm_table(words, cum)
+    assert res is not None
+    tiles, base = res
+    assert tiles.shape[0] >= 3
+    n = nw * 32
+    pos = np.concatenate(
+        [
+            rng.integers(0, n, 800),
+            np.clip(rng.normal(n // 2, 300, 800), 0, n).astype(np.int64),
+            [0, 1, 31, 32, n - 1, n],
+        ]
+    ).astype(np.int64)
+    got = np.asarray(rank4_hbm_pallas(tiles, base, jnp.asarray(pos), True))
+    want = np.asarray(rank4_xla(jnp.asarray(words), jnp.asarray(cum), pos))
+    assert (got == want).all(), np.argwhere(got != want)[:5]
+
+
+def test_rank4_hbm_single_tile_bucket(rng):
+    """All queries landing in ONE tile exercise the dead-tail block path."""
+    from biograph_tpu.ops.rank4 import build_rank4_hbm_table, rank4_hbm_pallas
+
+    nw = 3 * 2048  # 3 tiles exactly
+    words, cum = _structure(rng, nw)
+    tiles, base = build_rank4_hbm_table(words, cum)
+    pos = rng.integers(2048 * 32, 2 * 2048 * 32, 300).astype(np.int64)
+    got = np.asarray(rank4_hbm_pallas(tiles, base, jnp.asarray(pos), True))
+    want = np.asarray(rank4_xla(jnp.asarray(words), jnp.asarray(cum), pos))
+    assert (got == want).all()
+
+
 def test_gather_bytes_interpret(rng):
     from biograph_tpu.ops.rank4 import build_bytes_table, gather_bytes_pallas
 
