@@ -78,6 +78,44 @@ class Readmap:
         return np.asarray(lens, np.int32), counts
 
     @cached_property
+    def window_hash(self):
+        """Hash index of full-length entries for the uniform coverage probe.
+
+        With a uniform library (every read the same length == max_entry_len)
+        a full-depth window in the coverage walk can only be an ENTIRE
+        seqset entry: entries are distinct, at most depth long, and the
+        walk's kick drops shorter ones — so the probe's answer is always a
+        unique range [entry, entry+1).  That turns the depth-step rank
+        chain (readmap.cpp:368's walk) into one rolling-hash lookup per
+        position: hash every full-length entry's sequence once (sorted
+        64-bit keys), then match query windows by hash + binary search.
+        Returns (keys int64 [n] sorted, ids int64 [n], depth) or None."""
+        depth = int(self.seqset.max_entry_len)
+        if depth < 8 or self.num_entries == 0:
+            return None
+        sizes = np.asarray(self.seqset.entry_sizes)
+        full = np.nonzero(sizes >= depth)[0].astype(np.int64)
+        if len(full) == 0:
+            return None
+        d = self.seqset.d
+        CH = 1 << 17
+        chunks = []
+        for lo in range(0, len(full), CH):
+            sel = full[lo : lo + CH]
+            pad = CH - len(sel)
+            if pad and lo > 0:
+                sel = np.concatenate([sel, np.full(pad, sel[-1])])
+            seq = np.asarray(d.sequences(jnp.asarray(sel), depth))
+            chunks.append(seq[: len(full) - lo])
+        s = np.concatenate(chunks).astype(np.uint32) + np.uint32(1)
+        pw1, _, pw2, _ = _hash_pows_np(depth)
+        h1 = (s * pw1[None, :depth]).sum(axis=1, dtype=np.uint32)
+        h2 = (s * pw2[None, :depth]).sum(axis=1, dtype=np.uint32)
+        key = ((h1.astype(np.uint64) << np.uint64(32)) | h2).view(np.int64)
+        order = np.argsort(key)
+        return jnp.asarray(key[order]), jnp.asarray(full[order]), depth
+
+    @cached_property
     def min_read_len(self) -> int:
         return int(self.read_lengths.min(initial=0))
 
@@ -345,7 +383,24 @@ class Readmap:
 
                 from biograph_tpu.ops.rank4 import chain_fixed_pallas
 
-                if (
+                wh = (
+                    self.window_hash
+                    if not _os.environ.get("BGT_NO_COV_HASH")
+                    else None
+                )
+                if wh is not None:
+                    # rank-free probe: every full-depth window is exactly
+                    # one full-length entry — one rolling-hash lookup per
+                    # position replaces the depth-step rank chain entirely
+                    # (and needs no VMEM-resident rank table, so it holds
+                    # at any seqset scale)
+                    keys, ids, _ = wh
+                    b, e, s = _uniform_hash_probe(
+                        keys, ids,
+                        lax.dynamic_slice_in_dim(text, r0 * Lp, P),
+                        *_hash_pows_dev(P), Lp, depth,
+                    )
+                elif (
                     use_mxu_chains(d)
                     and d.rank4_table is not None
                     and d.sizes_table is not None
@@ -483,6 +538,83 @@ class Readmap:
 from functools import partial
 import jax
 from jax import lax
+
+
+# rolling-hash constants for the uniform coverage probe (any odd multipliers)
+_HM1, _HM2 = 0x9E3779B1, 0x85EBCA77
+_POW_NP: dict = {}
+_POW_DEV: dict = {}
+
+
+def _hash_pows_np(P: int):
+    """(m1^t, m1^-t, m2^t, m2^-t) mod 2^32 for t in [0, P) as uint32."""
+    ent = _POW_NP.get(P)
+    if ent is None:
+        MASK = (1 << 32) - 1
+
+        def pows(m):
+            return np.concatenate(
+                [
+                    np.ones(1, np.uint32),
+                    np.cumprod(np.full(P - 1, m, np.uint32), dtype=np.uint32),
+                ]
+            )
+
+        ent = (
+            pows(_HM1),
+            pows(pow(_HM1, -1, 1 << 32) & MASK),
+            pows(_HM2),
+            pows(pow(_HM2, -1, 1 << 32) & MASK),
+        )
+        _POW_NP[P] = ent
+    return ent
+
+
+def _hash_pows_dev(P: int):
+    ent = _POW_DEV.get(P)
+    if ent is None:
+        ent = tuple(jnp.asarray(a) for a in _hash_pows_np(P))
+        _POW_DEV[P] = ent
+    return ent
+
+
+@partial(jax.jit, static_argnums=(7, 8))
+def _uniform_hash_probe(keys, ids, text, pw1, pwinv1, pw2, pwinv2,
+                        Lp: int, depth: int):
+    """(begin, end, size) of the full-depth window ending at every position
+    via rolling hash + binary search — O(1) rank-free per position.
+
+    The window the walk builds at position j is revcomp(text[j-depth+1..j]),
+    i.e. base i of the entry equals comp(text[j-i]); the polynomial hash
+    H(j) = sum_i (comp(text[j-i])+1)*m^i is computed for ALL j at once as
+    m^j * (P(j) - P(j-depth)) with P the cumulative sum of
+    (comp(text[t])+1)*m^-t, everything mod 2^32 (wrapping uint32).  Two
+    independent multipliers give a 64-bit key against the sorted
+    full-length-entry keys (Readmap.window_hash)."""
+    P = text.shape[0]
+    cc = (jnp.uint32(3) - text.astype(jnp.uint32)) + jnp.uint32(1)
+    pos = jnp.arange(P, dtype=jnp.int64)
+
+    def roll(pw, pwinv):
+        pref = jnp.cumsum(cc * pwinv)  # uint32: exact modular arithmetic
+        shifted = jnp.concatenate(
+            [jnp.zeros((depth,), jnp.uint32), pref[:-depth]]
+        )
+        return pw * (pref - shifted)
+
+    h1 = roll(pw1, pwinv1)
+    h2 = roll(pw2, pwinv2)
+    key = lax.bitcast_convert_type(
+        (h1.astype(jnp.uint64) << jnp.uint64(32)) | h2.astype(jnp.uint64),
+        jnp.int64,
+    )
+    idx = jnp.searchsorted(keys, key)
+    idxc = jnp.clip(idx, 0, keys.shape[0] - 1)
+    hit = (jnp.take(keys, idxc) == key) & ((pos % Lp) + 1 >= depth)
+    b = jnp.where(hit, jnp.take(ids, idxc), 0)
+    e = jnp.where(hit, b + 1, b)
+    s = jnp.where(hit, jnp.int32(depth), jnp.int32(0))
+    return b, e, s
 
 
 @partial(jax.jit, static_argnums=(4, 5))

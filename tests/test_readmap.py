@@ -107,6 +107,39 @@ def test_coverage_counts_duplicates():
     assert (tot >= 3).all()
 
 
+def test_coverage_hash_probe_matches_chain():
+    """The rank-free rolling-hash uniform probe must agree with the rank
+    chain path exactly (same b/e/s semantics -> same depths)."""
+    import os
+
+    rng = np.random.default_rng(7)
+    R, L = 400, 48
+    codes = rng.integers(0, 4, (R, L)).astype(np.uint8)
+    lens = np.full(R, L, np.int32)
+    ss = build_seqset(codes, lens)
+    rm = build_readmap(ss, codes, lens)
+    assert rm.window_hash is not None
+    q = np.zeros((24, 160), np.uint8)
+    ql = np.zeros(24, np.int32)
+    for i in range(24):
+        s = rng.integers(0, R)
+        off = rng.integers(0, 9)
+        seq = np.concatenate(
+            [rng.integers(0, 4, off), codes[s], rng.integers(0, 4, 160)]
+        )[:160]
+        q[i] = seq
+        ql[i] = rng.integers(60, 160)
+    f1, r1 = rm.coverage(jnp.asarray(q), jnp.asarray(ql))
+    os.environ["BGT_NO_COV_HASH"] = "1"
+    try:
+        rm2 = build_readmap(ss, codes, lens)
+        f2, r2 = rm2.coverage(jnp.asarray(q), jnp.asarray(ql))
+    finally:
+        del os.environ["BGT_NO_COV_HASH"]
+    assert (np.asarray(f1) == np.asarray(f2)).all()
+    assert (np.asarray(r1) == np.asarray(r2)).all()
+
+
 def test_save_load(tmp_path, sample):
     reads, mate_of, codes, lens, ss, rm = sample
     p = str(tmp_path / "readmap")
