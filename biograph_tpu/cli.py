@@ -542,6 +542,19 @@ def cmd_discovery(args):
             f" ({time.time()-t0:.1f}s)"
         )
         write_discovery_vcf(args.out, ref, recs, sample=args.sample, opt=opt)
+    elif args.mode == "golden-parity":
+        from biograph_tpu.io.fastq import read_fastq
+        from biograph_tpu.variants.golden_parity import (
+            golden_parity_calls,
+            write_golden_parity_vcf,
+        )
+
+        if not args.reads:
+            raise SystemExit("discovery --mode golden-parity needs --reads")
+        batch = read_fastq(args.reads)
+        calls = golden_parity_calls(ref, batch.codes, batch.lengths)
+        print(f"golden-parity: {len(calls)} calls ({time.time()-t0:.1f}s)")
+        write_golden_parity_vcf(args.out, calls)
     else:
         from biograph_tpu.variants.pileup import (
             run_pileup_pipeline,
@@ -1411,7 +1424,13 @@ def main(argv=None):
     pd.add_argument("--out", required=True)
     pd.add_argument("--sample", default="SAMPLE")
     pd.add_argument("--min-depth", type=int, default=8)
-    pd.add_argument("--mode", choices=["pileup", "assemble"], default="pileup")
+    pd.add_argument(
+        "--mode",
+        choices=["pileup", "assemble", "golden-parity"],
+        default="pileup",
+        help="golden-parity: the 2012 final.vcf reproduction preset "
+        "(variants/golden_parity.py)",
+    )
     pd.add_argument("--region", help="contig:lo-hi (0-based)")
     pd.add_argument(
         "--no-sv",
