@@ -650,8 +650,28 @@ def cmd_coverage(args):
     (reference: biograph coverage, python/biograph/tools/coverage.py:739)"""
     from biograph_tpu.api import BioGraph
     from biograph_tpu.index.reference import Reference
-    from biograph_tpu.variants.coverage_tool import run_coverage
+    from biograph_tpu.variants.coverage_tool import (
+        run_coverage,
+        run_coverage_parallel,
+    )
 
+    t0 = time.time()
+    if getattr(args, "workers", 1) > 1:
+        run_coverage_parallel(
+            args.vcf,
+            args.out,
+            args.biograph,
+            args.ref,
+            n_workers=args.workers,
+            sample=args.sample,
+            features_out=args.features,
+            joint_graph=getattr(args, "joint_graph", False),
+        )
+        print(
+            f"coverage: {args.workers}-worker region-parallel run "
+            f"({time.time()-t0:.1f}s) -> {args.out}"
+        )
+        return
     ref = Reference.load(args.ref) if _is_artifact(args.ref) else (
         Reference.from_reference_dir(args.ref)
         if os.path.isdir(args.ref)
@@ -660,7 +680,6 @@ def cmd_coverage(args):
     bg = BioGraph(args.biograph)
     if bg.readmap is None:
         raise SystemExit(f"{args.biograph}: no readmap")
-    t0 = time.time()
     ann = run_coverage(
         args.vcf,
         args.out,
@@ -1489,6 +1508,13 @@ def main(argv=None):
         action="store_true",
         dest="joint_graph",
         help="re-genotype via the variant-graph path walk (vargraph analog)",
+    )
+    pcov.add_argument(
+        "--workers",
+        type=int,
+        default=1,
+        help="region-parallel worker processes (the reference's region "
+        "worker pool, tools/coverage.py:39-47)",
     )
     pcov.set_defaults(fn=cmd_coverage)
 

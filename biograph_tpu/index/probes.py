@@ -638,6 +638,18 @@ def walk_ranges_multi(d, text, reqs, depth: int,
     keeps feeding it.  Phase 2 polls each span's convergence (one tiny
     fetch; drop-heavy spans get extra blocks).
     Returns a list of (begin[P], end[P], size[P]) device arrays."""
+    # walk_own_512 (TPU_CAMPAIGN_r04 last leg) FAULTED the TPU worker twice:
+    # the rank4 pallas launch at that lane geometry inside the block program
+    # is a Mosaic kernel fault, and a faulted worker wedges the relay for
+    # everyone.  own=128 is chip-validated; anything above is statically
+    # rejected rather than risking the worker (VERDICT r4 item 10).
+    if use_kernel and WALK_OWN > 128:
+        raise ValueError(
+            f"BGT_WALK_OWN={WALK_OWN} with the MXU rank kernel is rejected: "
+            "own-spans above 128 crashed the TPU worker (kernel fault, "
+            "TPU_CAMPAIGN_r04 walk_own_512).  Use BGT_WALK_OWN<=128, or set "
+            "use_kernel=False / BGT_WALK_DEVICE=1 for the XLA-rank walk."
+        )
     geom = []
     carries = []
     for p0, ctx_lo, P in reqs:

@@ -517,6 +517,147 @@ def run_coverage(
     return ann
 
 
+def _region_chunks(records: List[VcfRecord], max_workers: int,
+                   safe_gap: int = 10_000):
+    """Split records into contiguous region chunks whose boundaries fall on
+    >= safe_gap coordinate gaps (or contig changes), so no read, mate pair,
+    or phase link can span two chunks (read/fragment lengths are far below
+    safe_gap).  Mirrors the reference's region queue
+    (python/biograph/tools/parallel_regions.py)."""
+    if not records:
+        return []
+    cuts = [0]
+    for i in range(1, len(records)):
+        a, b = records[i - 1], records[i]
+        if b.chrom != a.chrom or b.pos - a.pos >= safe_gap:
+            cuts.append(i)
+    cuts.append(len(records))
+    chunks = [(cuts[i], cuts[i + 1]) for i in range(len(cuts) - 1)]
+    # merge tiny chunks so worker dispatch overhead stays bounded
+    target = max(len(records) // (4 * max_workers), 1)
+    merged = []
+    lo = chunks[0][0]
+    size = 0
+    for a, b in chunks:
+        size += b - a
+        if size >= target:
+            merged.append((lo, b))
+            lo, size = b, 0
+    if size:
+        merged.append((lo, chunks[-1][1]))
+    return merged
+
+
+def _load_ref_any(path: str):
+    """Reference from an artifact dir, a reference source dir, or a FASTA
+    (the cmd_coverage loading rules)."""
+    import os
+
+    from biograph_tpu.index.reference import Reference
+
+    if os.path.isdir(path):
+        from biograph_tpu.core import container
+
+        if container.exists(path):
+            return Reference.load(path)
+        return Reference.from_reference_dir(path)
+    return Reference.from_fasta(path)
+
+
+def _coverage_region_worker(args):
+    """One region in a spawned process: open the biograph + reference by
+    path, run the single-process pipeline on the region's VCF slice."""
+    (bg_path, ref_path, vcf_in, vcf_out, feats_out, sample, pair_cov,
+     phase, joint_graph) = args
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from biograph_tpu.api import BioGraph
+
+    bg = BioGraph(bg_path)
+    ref = _load_ref_any(ref_path)
+    run_coverage(
+        vcf_in, vcf_out, bg, ref, sample=sample, features_out=feats_out,
+        pair_cov=pair_cov, phase=phase, joint_graph=joint_graph,
+    )
+    return vcf_out
+
+
+def run_coverage_parallel(
+    vcf_in: str,
+    vcf_out: str,
+    bg_path: str,
+    ref_path: str,
+    n_workers: int = 2,
+    sample: str = "SAMPLE",
+    features_out: str | None = None,
+    pair_cov: bool = True,
+    phase: bool = True,
+    joint_graph: bool = False,
+    safe_gap: int = 10_000,
+):
+    """Region-parallel run_coverage across a process pool (the reference's
+    region worker fan-out, python/biograph/tools/coverage.py:39-47,458).
+
+    Records are chunked at >= safe_gap coordinate gaps (no read/pair/phase
+    evidence can cross one), each chunk runs the full single-process
+    pipeline in a worker, and the per-region VCFs/features are concatenated
+    in region order — output identical to single-process run_coverage
+    (gated in tests/test_coverage_tool.py)."""
+    import multiprocessing as mp
+    import os
+    import tempfile
+    from concurrent.futures import ProcessPoolExecutor
+
+    records = read_vcf(vcf_in)
+    chunks = _region_chunks(records, n_workers, safe_gap=safe_gap)
+    if n_workers <= 1 or len(chunks) <= 1:
+        from biograph_tpu.api import BioGraph
+        from biograph_tpu.index.reference import Reference
+
+        bg = BioGraph(bg_path)
+        ref = Reference.from_reference_dir(ref_path)
+        return run_coverage(
+            vcf_in, vcf_out, bg, ref, sample=sample,
+            features_out=features_out, pair_cov=pair_cov, phase=phase,
+            joint_graph=joint_graph,
+        )
+
+    with tempfile.TemporaryDirectory(prefix="bgt_pcmp_") as tmp:
+        jobs = []
+        for i, (lo, hi) in enumerate(chunks):
+            sub_in = os.path.join(tmp, f"in{i}.vcf")
+            with VcfWriter(sub_in, sample=sample) as w:
+                for r in records[lo:hi]:
+                    w.write(r)
+            jobs.append(
+                (
+                    bg_path, ref_path, sub_in,
+                    os.path.join(tmp, f"out{i}.vcf"),
+                    os.path.join(tmp, f"feat{i}.npz") if features_out else None,
+                    sample, pair_cov, phase, joint_graph,
+                )
+            )
+        with ProcessPoolExecutor(
+            max_workers=n_workers, mp_context=mp.get_context("spawn")
+        ) as ex:
+            outs = list(ex.map(_coverage_region_worker, jobs))
+        # merge: header from the first region, bodies in region order
+        with open(vcf_out, "w") as f:
+            for i, path in enumerate(outs):
+                for ln in open(path):
+                    if ln.startswith("#") and i > 0:
+                        continue
+                    f.write(ln)
+        if features_out:
+            parts = [np.load(j[4]) for j in jobs]
+            merged = {
+                k: np.concatenate([p[k] for p in parts])
+                for k in parts[0].files
+            }
+            np.savez(features_out, **merged)
+
+
 def feature_matrix(
     records: List[VcfRecord], ann: CoverageAnnotation, pc: np.ndarray | None = None
 ):

