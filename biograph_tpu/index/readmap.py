@@ -117,7 +117,12 @@ class Readmap:
 
     @cached_property
     def min_read_len(self) -> int:
-        return int(self.read_lengths.min(initial=0))
+        # NOT .min(initial=0): numpy folds `initial` INTO the reduction
+        # (min(x, 0) == 0 always), which silently disabled the uniform
+        # coverage fast path for every library until round 5
+        if self.num_entries == 0:
+            return 0
+        return int(self.read_lengths.min())
 
     @cached_property
     def max_read_len(self) -> int:

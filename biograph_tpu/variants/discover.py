@@ -110,6 +110,16 @@ class DiscoverOptions:
     min_depth_portion: float = 0.23
     min_read_depth: int = 1
     min_pair_depth: int = 0
+    # in-search pair evidence (tracer.cpp:602 DISCARD PATH rule): an
+    # assembled alt path longer than max_bases_between_pairs needs at least
+    # min_pair_evidence consistent mate pairs anchored to its bubble, when
+    # the library is paired (assemble.h:574 default 300; vacuous for
+    # shorter paths and single-end libraries, exactly as the reference's
+    # pushed_since_pair counter is)
+    pair_gate: bool = True
+    max_bases_between_pairs: int = 300  # assemble.h:574
+    max_pair_distance: int = 1000  # assemble.h:589
+    min_pair_evidence: int = 1
     # VCF output shaping:
     vcf_sv_size_threshold: int = 50  # SVLEN/SVTYPE INFO at this size
     output_assembly_ids: bool = False  # AID INFO field
@@ -1897,6 +1907,9 @@ def _finish_from_anchors(ss, reference, ref, ref2, ref2_dev, opt, stats,
         # where unsupported repeat-mediated giant "deletions" would otherwise
         # pay huge decomposition DPs
         all_asms = [a for a in all_asms if a.support >= opt.min_alt_support]
+        # in-search pair evidence (tracer.cpp:602): long alt paths without
+        # any consistent mate-pair anchoring are discarded before records
+        all_asms = pair_gate_assemblies(readmap, ref, all_asms, opt, stats)
     if opt.trace_offsets:
         # offset-trace debug facility (add_offset_trace analog,
         # modules/variants/assemble.h:768): dump every assembly whose bubble
@@ -1930,6 +1943,103 @@ def _rc_assembly(a: Assembly, G: int) -> Assembly:
         support=a.support,
         ref_support=a.ref_support,
     )
+
+
+def _ref_pair_spans(rm: Readmap, ref: np.ndarray, max_frag: int):
+    """Proper-pair spans [a, b) + half-placed mate positions on the
+    reference, computed ONCE per readmap and cached on the instance.
+
+    A proper pair = both mates placed, opposite strands, |distance| <=
+    max_frag (pair_cov.cpp semantics).  Half-placed pairs (one mate on the
+    novel path of an insertion never places) are kept as single positions —
+    generous evidence for the gate, which only culls paths with NOTHING."""
+    key = ("_ref_pair_spans", max_frag)
+    hit = rm.__dict__.get(key)
+    if hit is not None:
+        return hit
+    from biograph_tpu.variants.align import RefKmerIndex, place_reads
+
+    loop = np.asarray(rm.mate_pair_ptr)
+    fwd_ids = np.nonzero(np.asarray(rm.is_forward))[0]
+    mate2 = loop[loop]
+    entries = rm.entry_of_rm[fwd_ids]
+    lens = np.asarray(rm.read_lengths)[fwd_ids]
+    L = int(lens.max(initial=1))
+    codes = np.zeros((len(fwd_ids), L), np.uint8)
+    ss = rm.seqset
+    for lo in range(0, len(fwd_ids), 1 << 14):
+        hi = min(len(fwd_ids), lo + (1 << 14))
+        codes[lo:hi] = np.asarray(
+            ss.d.sequences(jnp.asarray(entries[lo:hi]), L)
+        )
+    codes = np.where(
+        np.arange(L)[None, :] < lens[:, None], codes, 0
+    ).astype(np.uint8)
+    idx = RefKmerIndex.build(ref, 13)
+    pl = place_reads(idx, codes, lens, max_mismatches=3)
+    pos_of_fwd = np.full(rm.num_entries, -1, np.int64)
+    pos_of_fwd[fwd_ids] = np.arange(len(fwd_ids))
+    mate_idx = pos_of_fwd[mate2[fwd_ids]]
+    mclip = np.clip(mate_idx, 0, len(fwd_ids) - 1)
+    placed = pl.pos >= 0
+    paired = (mate_idx != np.arange(len(fwd_ids))) & (mate_idx >= 0)
+    both = placed & paired & placed[mclip]
+    proper = (
+        both
+        & (np.abs(pl.pos - pl.pos[mclip]) <= max_frag)
+        & (pl.is_rc != pl.is_rc[mclip])
+    )
+    a = np.minimum(pl.pos, pl.pos[mclip])[proper]
+    b = np.maximum(pl.pos + lens, pl.pos[mclip] + lens)[proper]
+    half = paired & (placed ^ placed[mclip])
+    half_pos = np.where(placed, pl.pos, pl.pos[mclip])[half]
+    half_len = np.where(placed, lens, lens[mclip])[half]
+    order = np.argsort(a)
+    spans = (a[order], b[order], np.sort(half_pos + half_len // 2))
+    rm.__dict__[key] = spans
+    return spans
+
+
+def pair_gate_assemblies(rm: Readmap, ref: np.ndarray, asms: List[Assembly],
+                         opt: DiscoverOptions, stats: dict | None = None):
+    """The tracer's pair-evidence discard (tracer.cpp:602: a path that
+    extends past max_bases_between_pairs without pair support is dropped),
+    applied at assembly acceptance: alt paths longer than the threshold
+    must show min_pair_evidence proper pairs straddling the bubble (or
+    half-placed mates within max_pair_distance of it).  Vacuous when the
+    library is unpaired — the reference's counter never trips there
+    either."""
+    if not opt.pair_gate or not asms:
+        return asms
+    if int(np.asarray(rm.mate_pair_ptr).size) == 0 or (
+        rm.get_pair_stats()["paired_reads"] == 0
+    ):
+        return asms
+    long_asms = [
+        a for a in asms if len(a.seq) > opt.max_bases_between_pairs
+    ]
+    if not long_asms:
+        return asms
+    a_s, b_s, half_mid = _ref_pair_spans(rm, ref, opt.max_pair_distance)
+    kept = []
+    gated = 0
+    for a in asms:
+        if len(a.seq) <= opt.max_bases_between_pairs:
+            kept.append(a)
+            continue
+        # proper pairs straddling the bubble: a <= anchor and b >= rejoin
+        i = np.searchsorted(a_s, a.anchor + 1, side="right")
+        straddle = int((b_s[:i] >= a.rejoin).sum())
+        # half-placed mates near the bubble (novel-insertion evidence)
+        lo = np.searchsorted(half_mid, a.anchor - opt.max_pair_distance)
+        hi = np.searchsorted(half_mid, a.rejoin + opt.max_pair_distance)
+        if straddle + int(hi - lo) >= opt.min_pair_evidence:
+            kept.append(a)
+        else:
+            gated += 1
+    if stats is not None:
+        stats["pair_gated"] = stats.get("pair_gated", 0) + gated
+    return kept
 
 
 def score_assemblies(rm: Readmap, ref: np.ndarray, asms: List[Assembly], opt: DiscoverOptions):

@@ -143,14 +143,22 @@ ref = Reference.from_reference_dir(
 ss = build_seqset(batch.codes, batch.lengths)
 rm = build_readmap(ss, batch.codes, batch.lengths)
 opt = DiscoverOptions(min_alt_support=5)
+# half the genome: the full-genome span crashes XLA:CPU's thunk executor
+# (SIGABRT in ThunkExecutor::Execute) on the forced-multi-device host mesh
+# at ANY device count >1 — an XLA:CPU limitation of this toolchain, not an
+# engine property (the same engine at 8 devices passes the golden-region
+# gate in tests/test_sharded_discovery.py)
+region = (0, len(np.asarray(ref.flat)) // 2)
 engine = None
 if nd > 1:
     from biograph_tpu.parallel.sharded_discovery import ShardedDiscoveryEngine
     mesh = Mesh(np.array(jax.devices()).reshape(-1), ("model",))
     engine = ShardedDiscoveryEngine(ss, mesh)
-recs = discover_variants(ss, ref, opt=opt, readmap=rm, engine=engine)  # warm
+recs = discover_variants(
+    ss, ref, region=region, opt=opt, readmap=rm, engine=engine)  # warm
 t0 = time.time()
-recs = discover_variants(ss, ref, opt=opt, readmap=rm, engine=engine)
+recs = discover_variants(
+    ss, ref, region=region, opt=opt, readmap=rm, engine=engine)
 print("LEG", json.dumps({"nd": nd, "call_s": round(time.time() - t0, 2),
                          "records": len(recs)}), flush=True)
 """
@@ -219,9 +227,9 @@ def main():
         et1, erecs1 = run_entry_leg(1)
         etn, erecsn = run_entry_leg(n)
         # entry-sharding has no region cuts: record counts match exactly
-        assert erecs1 == erecsn == leg1["records"], (
-            erecs1, erecsn, leg1["records"],
-        )
+        # (its own leg pair; workload is the half-genome region — see
+        # ENTRY_WORKER's XLA:CPU note)
+        assert erecs1 == erecsn, (erecs1, erecsn)
         out["entry_sharded"] = {
             "n_devices": n,
             "t1_s": et1,
