@@ -143,12 +143,12 @@ ref = Reference.from_reference_dir(
 ss = build_seqset(batch.codes, batch.lengths)
 rm = build_readmap(ss, batch.codes, batch.lengths)
 opt = DiscoverOptions(min_alt_support=5)
-# half the genome: the full-genome span crashes XLA:CPU's thunk executor
-# (SIGABRT in ThunkExecutor::Execute) on the forced-multi-device host mesh
-# at ANY device count >1 — an XLA:CPU limitation of this toolchain, not an
-# engine property (the same engine at 8 devices passes the golden-region
-# gate in tests/test_sharded_discovery.py)
-region = (0, len(np.asarray(ref.flat)) // 2)
+# 500 kb region: larger spans (bisected: OK at 500kb, SIGABRT by 2.3Mb)
+# crash XLA:CPU's thunk executor on the forced-multi-device host mesh at
+# any device count >1 — an XLA:CPU toolchain ceiling, not an engine
+# property (the same engine at 8 devices passes the golden-region gate in
+# tests/test_sharded_discovery.py; real TPU meshes don't use this path)
+region = (0, 500_000)
 engine = None
 if nd > 1:
     from biograph_tpu.parallel.sharded_discovery import ShardedDiscoveryEngine
