@@ -1076,6 +1076,139 @@ def find_window_auto(d, text, pos, m, depth: int):
     return find_window_jit(d, text, pos, m, depth)
 
 
+# ---------------------------------------------------------------------------
+# Rank-free fixed-length window probe (the coverage hash trick generalized
+# to any window length m): the m-window ending at position j is
+# revcomp(text[j-m+1..j]); entries sharing a first-m-base prefix form a
+# contiguous GROUP whose start i satisfies shared[i] < m <= size[i] (a
+# group member with shared >= m has LCP >= m with its predecessor, hence
+# size >= m — so group starts always qualify), and whose end is the next
+# shared < m boundary (discover._trunc_tables' next_lt).  One rolling-hash
+# lookup per lane therefore reproduces find_window(m)'s (begin, end, m)
+# exactly, with zero rank work — the structure that makes the prescreened
+# frontend O(lanes) instead of O(lanes * m) at any seqset scale.
+# ---------------------------------------------------------------------------
+
+
+def window_hash_table(ss, m: int):
+    """(keys i64 sorted, group_starts i64) for length-m windows; cached on
+    the Seqset instance per m.  None when the seqset is empty."""
+    cache = ss.__dict__.setdefault("_winhash_tables", {})
+    hit = cache.get(m)
+    if hit is not None:
+        return hit
+    from biograph_tpu.index.readmap import _hash_pows_np
+
+    shared = _np.asarray(ss.shared)
+    sizes = _np.asarray(ss.entry_sizes)
+    n = len(sizes)
+    if n == 0:
+        return None
+    reps = _np.nonzero((shared < m) & (sizes >= m))[0].astype(_np.int64)
+    if len(reps) == 0:
+        return None
+    seqs = ss.__dict__.get("_entry_seq_matrix")
+    if seqs is None:
+        L = int(ss.max_entry_len)
+        CH = 1 << 17
+        chunks = []
+        ids = _np.arange(n, dtype=_np.int64)
+        for lo in range(0, n, CH):
+            sel = ids[lo : lo + CH]
+            pad = CH - len(sel)
+            if pad and lo > 0:
+                sel = _np.concatenate([sel, _np.full(pad, sel[-1])])
+            chunks.append(
+                _np.asarray(ss.d.sequences(jnp.asarray(sel), L))[: n - lo]
+            )
+        seqs = _np.concatenate(chunks)
+        ss.__dict__["_entry_seq_matrix"] = seqs
+    s = seqs[reps, :m].astype(_np.uint32) + _np.uint32(1)
+    pw1, _, pw2, _ = _hash_pows_np(max(m, 2))
+    h1 = (s * pw1[None, :m]).sum(axis=1, dtype=_np.uint32)
+    h2 = (s * pw2[None, :m]).sum(axis=1, dtype=_np.uint32)
+    key = ((h1.astype(_np.uint64) << _np.uint64(32)) | h2).view(_np.int64)
+    order = _np.argsort(key)
+    out = (jnp.asarray(key[order]), jnp.asarray(reps[order]))
+    cache[m] = out
+    return out
+
+
+_TEXT_HASH_CACHE: dict = {}
+
+
+def _text_prefix_hashes(text):
+    """(P1, P2, pw1, pw2) rolling-hash prefix state for a device text
+    buffer, cached per buffer identity."""
+    key = (id(text), text.shape[0])
+    hit = _TEXT_HASH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from biograph_tpu.index.readmap import _hash_pows_dev
+
+    P = text.shape[0]
+    pw1, pwinv1, pw2, pwinv2 = _hash_pows_dev(P)
+    cc = (jnp.uint32(3) - text.astype(jnp.uint32)) + jnp.uint32(1)
+    state = (
+        jax.block_until_ready(jnp.cumsum(cc * pwinv1)),
+        jax.block_until_ready(jnp.cumsum(cc * pwinv2)),
+        pw1,
+        pw2,
+    )
+    if len(_TEXT_HASH_CACHE) > 8:
+        _TEXT_HASH_CACHE.clear()
+    _TEXT_HASH_CACHE[key] = state
+    return state
+
+
+@_partial(jax.jit, static_argnums=(7,))
+def _find_window_hash_jit(keys, reps, next_lt, P1, P2, pw1, pw2, m: int,
+                          pos):
+    idx_hi = jnp.clip(pos, 0, P1.shape[0] - 1)
+    idx_lo = jnp.clip(pos - m, 0, P1.shape[0] - 1)
+    lo_ok = pos - m >= 0
+    h1 = jnp.take(pw1, idx_hi) * (
+        jnp.take(P1, idx_hi)
+        - jnp.where(lo_ok, jnp.take(P1, idx_lo), jnp.uint32(0))
+    )
+    h2 = jnp.take(pw2, idx_hi) * (
+        jnp.take(P2, idx_hi)
+        - jnp.where(lo_ok, jnp.take(P2, idx_lo), jnp.uint32(0))
+    )
+    key = lax.bitcast_convert_type(
+        (h1.astype(jnp.uint64) << jnp.uint64(32)) | h2.astype(jnp.uint64),
+        jnp.int64,
+    )
+    ix = jnp.clip(jnp.searchsorted(keys, key), 0, keys.shape[0] - 1)
+    hit = (jnp.take(keys, ix) == key) & (pos - m + 1 >= 0)
+    b = jnp.where(hit, jnp.take(reps, ix), 0)
+    # group end = first shared < m boundary AFTER the start (next_lt of the
+    # start itself IS the start); past the last entry the group runs to n
+    n = next_lt.shape[0]
+    e_raw = jnp.where(
+        b + 1 < n, jnp.take(next_lt, jnp.clip(b + 1, 0, n - 1)), n
+    )
+    e = jnp.where(hit, e_raw, b)
+    s = jnp.where(hit, jnp.int32(m), jnp.int32(0))
+    return b, e, s
+
+
+def find_window_hash(ss, text, pos, m: int):
+    """find_window(d, text, pos, m, depth=m) by hash — (begin, end, size)
+    identical to the chain (gated by tests/test_probes.py), O(1)/lane."""
+    from biograph_tpu.variants.discover import _trunc_tables
+
+    tab = window_hash_table(ss, m)
+    if tab is None:
+        z = jnp.zeros(pos.shape, jnp.int64)
+        return z, z, jnp.zeros(pos.shape, jnp.int32)
+    keys, reps = tab
+    _, next_lt = _trunc_tables(ss, m)
+    P1, P2, pw1, pw2 = _text_prefix_hashes(text)
+    return _find_window_hash_jit(keys, reps, next_lt, P1, P2, pw1, pw2, m,
+                                 pos)
+
+
 def probe_exact_kernel(d, text, pos, seg_lo, depth: int, min_m: int = 0,
                        seed=None):
     """probe_exact with every binary-search round's find chain as ONE

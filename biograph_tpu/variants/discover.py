@@ -939,11 +939,21 @@ def _discover_compact(ss, reference, ref, ref2, ref2_dev, segments, opt,
     # filter: does a min_anchor_ctx window end here?
     m_vec = jnp.full(pos.shape, opt.min_anchor_ctx, jnp.int32)
     posc = jnp.clip(pos, 0, 2 * G - 1)
-    fb, fe, fs = find_window_auto(d, ref2_dev, posc, m_vec, opt.probe_ctx)
+    from biograph_tpu.index.probes import _use_chain_kernel, find_window_hash
+
+    use_hash_filter = (
+        not _use_chain_kernel(d, opt.probe_ctx)
+        and not os.environ.get("BGT_NO_HASH_FILTER")
+    )
+    if use_hash_filter:
+        # rank-free filter (probes.find_window_hash): one rolling-hash
+        # lookup per lane instead of a min_anchor_ctx-step rank chain —
+        # the chain cost was the frontend's floor at HBM-scale seqsets
+        fb, fe, fs = find_window_hash(ss, ref2_dev, posc, opt.min_anchor_ctx)
+    else:
+        fb, fe, fs = find_window_auto(d, ref2_dev, posc, m_vec, opt.probe_ctx)
     stage_s["probe_filter"] = stage_s.get("probe_filter", 0.0) + (time.time() - _t)
     _t = time.time()
-    from biograph_tpu.index.probes import _use_chain_kernel
-
     if _use_chain_kernel(d, opt.probe_ctx):
         # kernel path: exact rounds are so cheap that compacting to the
         # alive subset costs MORE (a packed-mask host round trip) than it
@@ -952,7 +962,25 @@ def _discover_compact(ss, reference, ref, ref2, ref2_dev, segments, opt,
         pos2, cap2, ctx2 = posc, cap, ctx
         seed = (fb, fe, fs)
     else:
-        alive = _fetch((fb < fe) & (cap >= 0))
+        alive_dev = (fb < fe) & (cap >= 0)
+        if use_hash_filter:
+            # branch pre-gate: the exact longest window's range is a SUBSET
+            # of the filter window's range, so branch width there is
+            # bounded by branch width here — one push4 over the filter
+            # ranges is a necessary condition for anchorhood that compacts
+            # the lanes ~100x before the expensive exact bisection
+            nb4, ne4 = d.push4(SeqsetRanges(fb, fe, fs))
+            W4 = (ne4 - nb4)[:, ::-1]
+            nxt = jnp.take(
+                ref2_dev, jnp.clip(posc + 1, 0, ref2_dev.shape[0] - 1)
+            ).astype(jnp.int32)
+            any_branch = jnp.any(
+                (W4 >= opt.min_branch_width)
+                & (jnp.arange(4)[None, :] != nxt[:, None]),
+                axis=1,
+            )
+            alive_dev = alive_dev & any_branch
+        alive = _fetch(alive_dev)
         if not alive.any():
             stage_s["anchors"] = stage_s.get("anchors", 0.0) + (time.time() - _t)
             return _dedup_records(all_records)
