@@ -112,10 +112,27 @@ def pack_codes(codes, lengths=None):
     return (c << shifts).sum(axis=-1, dtype=xp.uint32)
 
 
+_UNPACK_LUT = None
+
+
 def unpack_words(words, nbases: int):
     """Inverse of pack_codes: [..., W] uint32 -> [..., nbases] uint8."""
     xp = jnp if isinstance(words, jnp.ndarray) else np
     W = words.shape[-1]
+    if xp is np:
+        # byte-LUT fast path: a broadcast u32 shift over [..., W, 16]
+        # materializes 4 bytes per base (6.4s at 800k x 7 words); one
+        # np.take over a 256->4 table is ~20x faster
+        global _UNPACK_LUT
+        if _UNPACK_LUT is None:
+            b = np.arange(256, dtype=np.uint16)
+            _UNPACK_LUT = np.stack(
+                [(b >> s) & 3 for s in (6, 4, 2, 0)], axis=1
+            ).astype(np.uint8)
+        raw = np.ascontiguousarray(words, dtype="<u4").view(np.uint8)
+        raw = raw.reshape(words.shape[:-1] + (W, 4))[..., ::-1]  # big-endian
+        c = _UNPACK_LUT[raw].reshape(words.shape[:-1] + (W * 4 * 4,))
+        return c[..., :nbases]
     shifts = (2 * (BASES_PER_WORD - 1 - xp.arange(BASES_PER_WORD))).astype(xp.uint32)
     c = (words[..., :, None] >> shifts) & 3
     c = c.reshape(words.shape[:-1] + (W * BASES_PER_WORD,))

@@ -1090,6 +1090,40 @@ def find_window_auto(d, text, pos, m, depth: int):
 # ---------------------------------------------------------------------------
 
 
+def entry_seq_matrix(ss) -> "_np.ndarray":
+    """uint8 [n, max_entry_len] entry sequences, cached on the instance.
+
+    Prefers host-unpacking the packed entry words the builder already
+    cached (seqset_build.py _entry_cache) — pure numpy, no device walk;
+    falls back to chunked pop-chain reconstruction otherwise."""
+    seqs = ss.__dict__.get("_entry_seq_matrix")
+    if seqs is not None:
+        return seqs
+    n = int(ss.n_entries)
+    L = int(ss.max_entry_len)
+    cached = ss.__dict__.get("_entry_cache")
+    if cached is not None:
+        from biograph_tpu.core import dna as _dna
+
+        e_words = _np.asarray(cached[0])
+        seqs = _np.ascontiguousarray(_dna.unpack_words(e_words, L)[:, :L])
+    else:
+        CH = 1 << 17
+        chunks = []
+        ids = _np.arange(n, dtype=_np.int64)
+        for lo in range(0, n, CH):
+            sel = ids[lo : lo + CH]
+            pad = CH - len(sel)
+            if pad and lo > 0:
+                sel = _np.concatenate([sel, _np.full(pad, sel[-1])])
+            chunks.append(
+                _np.asarray(ss.d.sequences(jnp.asarray(sel), L))[: n - lo]
+            )
+        seqs = _np.concatenate(chunks)
+    ss.__dict__["_entry_seq_matrix"] = seqs
+    return seqs
+
+
 def window_hash_table(ss, m: int):
     """(keys i64 sorted, group_starts i64) for length-m windows; cached on
     the Seqset instance per m.  None when the seqset is empty."""
@@ -1107,22 +1141,7 @@ def window_hash_table(ss, m: int):
     reps = _np.nonzero((shared < m) & (sizes >= m))[0].astype(_np.int64)
     if len(reps) == 0:
         return None
-    seqs = ss.__dict__.get("_entry_seq_matrix")
-    if seqs is None:
-        L = int(ss.max_entry_len)
-        CH = 1 << 17
-        chunks = []
-        ids = _np.arange(n, dtype=_np.int64)
-        for lo in range(0, n, CH):
-            sel = ids[lo : lo + CH]
-            pad = CH - len(sel)
-            if pad and lo > 0:
-                sel = _np.concatenate([sel, _np.full(pad, sel[-1])])
-            chunks.append(
-                _np.asarray(ss.d.sequences(jnp.asarray(sel), L))[: n - lo]
-            )
-        seqs = _np.concatenate(chunks)
-        ss.__dict__["_entry_seq_matrix"] = seqs
+    seqs = entry_seq_matrix(ss)
     s = seqs[reps, :m].astype(_np.uint32) + _np.uint32(1)
     pw1, _, pw2, _ = _hash_pows_np(max(m, 2))
     h1 = (s * pw1[None, :m]).sum(axis=1, dtype=_np.uint32)

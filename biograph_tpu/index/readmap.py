@@ -97,17 +97,11 @@ class Readmap:
         full = np.nonzero(sizes >= depth)[0].astype(np.int64)
         if len(full) == 0:
             return None
-        d = self.seqset.d
-        CH = 1 << 17
-        chunks = []
-        for lo in range(0, len(full), CH):
-            sel = full[lo : lo + CH]
-            pad = CH - len(sel)
-            if pad and lo > 0:
-                sel = np.concatenate([sel, np.full(pad, sel[-1])])
-            seq = np.asarray(d.sequences(jnp.asarray(sel), depth))
-            chunks.append(seq[: len(full) - lo])
-        s = np.concatenate(chunks).astype(np.uint32) + np.uint32(1)
+        from biograph_tpu.index.probes import entry_seq_matrix
+
+        s = entry_seq_matrix(self.seqset)[full, :depth].astype(
+            np.uint32
+        ) + np.uint32(1)
         pw1, _, pw2, _ = _hash_pows_np(depth)
         h1 = (s * pw1[None, :depth]).sum(axis=1, dtype=np.uint32)
         h2 = (s * pw2[None, :depth]).sum(axis=1, dtype=np.uint32)
